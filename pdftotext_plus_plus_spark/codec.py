@@ -1,0 +1,277 @@
+"""Deterministic binary payload codec for the ``html`` column.
+
+The reference obtains its char-event stream from Poppler callbacks
+(/root/reference/src/PdfParsing.cpp:85-898).  Our corpus rows carry
+self-contained binary payloads instead; this codec defines the layout and the
+decode step, replicating the decode-time semantics the pipeline depends on:
+
+* charMap glyph-name fallback for chars with empty text
+  (PdfParsing.cpp:206-208, utils/CharMap.h);
+* ligature expansion — multi-codepoint ``unicodes`` become multi-char text
+  (PdfParsing.cpp:209-226);
+* whitespace-char suppression incl. U+00A0 (PdfParsing.cpp:229-245);
+* coordinates already on a 0.1pt grid (coordinatePrecision=1, Config.h:85).
+
+Layout (little-endian), version 1::
+
+    b"PTX1"  u16 version
+    u32 n_fonts
+      per font: u16 len + utf8 name, f64 ascent, f64 descent, i32 weight,
+                u8 flags (bit0 italic, bit1 type3, bit2 serif, bit3 fixed,
+                          bit4 symbolic)
+    u32 n_pages
+      per page: i32 page_num, 4*f64 clip box
+        u32 n_chars
+          n_chars * 9 f64: leftX upperY rightX lowerY base fontSize rotation
+                           wMode fontIdx
+          names blob:    u32[n+1] offsets + utf8 bytes
+          texts blob:    u32[n+1] offsets + utf8 bytes
+          unicodes blob: u32[n+1] offsets + u32 codepoints
+        u32 n_figures  -> n * 4 f64 bbox
+        u32 n_shapes   -> n * 4 f64 bbox
+        u32 n_graphics -> n * 4 f64 bbox
+
+The numeric blocks are written contiguously so the decoder reads them with a
+single ``np.frombuffer`` per page (vectorized decode; no per-field parsing).
+"""
+
+from __future__ import annotations
+
+import struct
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .charmap import CHAR_MAP
+from .config import WHITESPACE_TEXTS
+from .model import Char, Doc, FontInfo, NonTextElement, Page
+
+MAGIC = b"PTX1"
+VERSION = 1
+
+# parse failure codes (reference aborts on !pdfDoc->isOk(),
+# PdfToTextPlusPlus.cpp:88-90; we record a code instead of aborting)
+OK = 0
+ERR_EMPTY = 1
+ERR_MAGIC = 2
+ERR_TRUNCATED = 3
+
+_CHAR_FIELDS = 9
+
+
+class PayloadError(Exception):
+    def __init__(self, code: int, msg: str):
+        super().__init__(msg)
+        self.code = code
+
+
+# ---------------------------------------------------------------------------
+# encode
+# ---------------------------------------------------------------------------
+
+def _pack_str_blob(items: List[str]) -> bytes:
+    blobs = [s.encode("utf-8") for s in items]
+    offsets = np.zeros(len(blobs) + 1, dtype="<u4")
+    np.cumsum([len(b) for b in blobs], out=offsets[1:])
+    return offsets.tobytes() + b"".join(blobs)
+
+
+def _pack_u32_blob(items: List[List[int]]) -> bytes:
+    offsets = np.zeros(len(items) + 1, dtype="<u4")
+    np.cumsum([len(u) for u in items], out=offsets[1:])
+    flat = np.array([u for us in items for u in us], dtype="<u4")
+    return offsets.tobytes() + flat.tobytes()
+
+
+def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
+    """Encode a document payload.
+
+    ``pages`` is a list of dicts with keys: ``page_num``, ``clip`` (4-tuple),
+    ``chars`` (list of dicts with keys name, text, unicodes, left_x, upper_y,
+    right_x, lower_y, base, font_size, rotation, w_mode, font), ``figures`` /
+    ``shapes`` / ``graphics`` (lists of 4-tuples).
+    """
+    out = [MAGIC, struct.pack("<H", VERSION), struct.pack("<I", len(fonts))]
+    font_idx = {}
+    for i, f in enumerate(fonts):
+        font_idx[f.name] = i
+        name_b = f.name.encode("utf-8")
+        flags = (int(f.is_italic) | int(f.is_type3) << 1 | int(f.is_serif) << 2
+                 | int(f.is_fixed_width) << 3 | int(f.is_symbolic) << 4)
+        out.append(struct.pack("<H", len(name_b)))
+        out.append(name_b)
+        out.append(struct.pack("<ddiB", f.ascent, f.descent, f.weight, flags))
+
+    out.append(struct.pack("<I", len(pages)))
+    for page in pages:
+        clip = page.get("clip", (0.0, 0.0, 612.0, 792.0))
+        out.append(struct.pack("<idddd", page["page_num"], *clip))
+        chars = page.get("chars", [])
+        out.append(struct.pack("<I", len(chars)))
+        if chars:
+            num = np.empty((len(chars), _CHAR_FIELDS), dtype="<f8")
+            for i, c in enumerate(chars):
+                num[i] = (c["left_x"], c["upper_y"], c["right_x"], c["lower_y"],
+                          c["base"], c["font_size"], c.get("rotation", 0),
+                          c.get("w_mode", 0), font_idx[c["font"]])
+            out.append(num.tobytes())
+            out.append(_pack_str_blob([c.get("name", "") for c in chars]))
+            out.append(_pack_str_blob([c.get("text", "") for c in chars]))
+            out.append(_pack_u32_blob([c.get("unicodes", []) for c in chars]))
+        for key in ("figures", "shapes", "graphics"):
+            elems = page.get(key, [])
+            out.append(struct.pack("<I", len(elems)))
+            if elems:
+                arr = np.asarray(elems, dtype="<f8").reshape(len(elems), 4)
+                out.append(arr.tobytes())
+    return b"".join(out)
+
+
+# ---------------------------------------------------------------------------
+# decode
+# ---------------------------------------------------------------------------
+
+class _Reader:
+    __slots__ = ("buf", "pos")
+
+    def __init__(self, buf: bytes):
+        self.buf = buf
+        self.pos = 0
+
+    def take(self, n: int) -> memoryview:
+        if self.pos + n > len(self.buf):
+            raise PayloadError(ERR_TRUNCATED, "truncated payload")
+        mv = memoryview(self.buf)[self.pos:self.pos + n]
+        self.pos += n
+        return mv
+
+    def u16(self) -> int:
+        return struct.unpack("<H", self.take(2))[0]
+
+    def u32(self) -> int:
+        return struct.unpack("<I", self.take(4))[0]
+
+    def i32(self) -> int:
+        return struct.unpack("<i", self.take(4))[0]
+
+    def f64s(self, n: int) -> np.ndarray:
+        return np.frombuffer(self.take(8 * n), dtype="<f8")
+
+    def str_blob(self, n: int) -> List[str]:
+        offsets = np.frombuffer(self.take(4 * (n + 1)), dtype="<u4")
+        blob = bytes(self.take(int(offsets[-1])))
+        return [blob[offsets[i]:offsets[i + 1]].decode("utf-8")
+                for i in range(n)]
+
+    def u32_blob(self, n: int) -> List[List[int]]:
+        offsets = np.frombuffer(self.take(4 * (n + 1)), dtype="<u4")
+        flat = np.frombuffer(self.take(4 * int(offsets[-1])), dtype="<u4")
+        return [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(n)]
+
+
+def _resolve_text(raw_text: str, name: str, unicodes: List[int]) -> str:
+    """Final char text (PdfParsing.cpp:206-226): explicit text wins; else
+    charMap by glyph name; else chr() of the codepoints (ligatures expand)."""
+    if raw_text:
+        return raw_text
+    if name in CHAR_MAP:
+        return CHAR_MAP[name]
+    if unicodes:
+        return "".join(chr(u) for u in unicodes)
+    return ""
+
+
+def _is_whitespace_text(text: str) -> bool:
+    return len(text) > 0 and all(ch in WHITESPACE_TEXTS for ch in text)
+
+
+def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
+    """Decode a payload into a Doc; returns (doc, failure_code).
+
+    Never raises on malformed input — mirrors the reference's load check
+    (PdfToTextPlusPlus.cpp:88-90) by reporting a failure code so one corrupt
+    document cannot abort a partition.
+    """
+    if not payload:
+        return None, ERR_EMPTY
+    try:
+        r = _Reader(payload)
+        if bytes(r.take(4)) != MAGIC:
+            return None, ERR_MAGIC
+        r.u16()  # version
+
+        doc = Doc()
+        n_fonts = r.u32()
+        fonts: List[FontInfo] = []
+        for _ in range(n_fonts):
+            name = bytes(r.take(r.u16())).decode("utf-8")
+            ascent, descent, weight, flags = struct.unpack("<ddiB", r.take(21))
+            fi = FontInfo(name=name, ascent=ascent, descent=descent,
+                          weight=weight,
+                          is_italic=bool(flags & 1), is_type3=bool(flags & 2),
+                          is_serif=bool(flags & 4),
+                          is_fixed_width=bool(flags & 8),
+                          is_symbolic=bool(flags & 16))
+            fonts.append(fi)
+            doc.font_infos[name] = fi
+
+        n_pages = r.u32()
+        for _ in range(n_pages):
+            page_num = r.i32()
+            clip = r.f64s(4)
+            page = Page(page_num)
+            page.clip_left_x, page.clip_upper_y = float(clip[0]), float(clip[1])
+            page.clip_right_x, page.clip_lower_y = float(clip[2]), float(clip[3])
+
+            n_chars = r.u32()
+            if n_chars:
+                num = r.f64s(n_chars * _CHAR_FIELDS).reshape(n_chars, _CHAR_FIELDS)
+                names = r.str_blob(n_chars)
+                texts = r.str_blob(n_chars)
+                unicodes = r.u32_blob(n_chars)
+                rank = 0
+                for i in range(n_chars):
+                    text = _resolve_text(texts[i], names[i], unicodes[i])
+                    # whitespace suppression (PdfParsing.cpp:229-245)
+                    if not text or _is_whitespace_text(text):
+                        continue
+                    c = Char()
+                    row = num[i]
+                    c.left_x = float(row[0])
+                    c.upper_y = float(row[1])
+                    c.right_x = float(row[2])
+                    c.lower_y = float(row[3])
+                    c.base = float(row[4])
+                    c.font_size = float(row[5])
+                    c.rotation = int(row[6])
+                    c.w_mode = int(row[7])
+                    font = fonts[int(row[8])]
+                    c.font_name = font.name
+                    c.name = names[i]
+                    c.text = text
+                    c.unicodes = unicodes[i] if unicodes[i] else [ord(ch) for ch in text]
+                    c.page_num = page_num
+                    c.rank = rank
+                    rank += 1
+                    page.characters.append(c)
+
+            for kind, target in (("figure", page.figures),
+                                 ("shape", page.shapes),
+                                 ("graphic", page.graphics)):
+                n = r.u32()
+                if n:
+                    arr = r.f64s(n * 4).reshape(n, 4)
+                    for i in range(n):
+                        e = NonTextElement(kind)
+                        e.left_x, e.upper_y = float(arr[i][0]), float(arr[i][1])
+                        e.right_x, e.lower_y = float(arr[i][2]), float(arr[i][3])
+                        e.page_num = page_num
+                        e.rank = i
+                        target.append(e)
+
+            doc.pages.append(page)
+        return doc, OK
+    except PayloadError as exc:
+        return None, exc.code
+    except Exception:
+        return None, ERR_TRUNCATED

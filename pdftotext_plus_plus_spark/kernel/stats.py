@@ -1,0 +1,110 @@
+"""Per-document statistics (operators A1-A3 in SURVEY.md §2.2).
+
+All statistics are per-document modes/means — there is no cross-document
+state, so they run inside the kernel, not as a Spark groupBy.
+
+References:
+* glyph stats  — /root/reference/src/GlyphsStatisticsCalculation.cpp:46-95
+* word stats   — /root/reference/src/WordsStatisticsCalculation.cpp:55-143
+* line stats   — /root/reference/src/TextLinesStatisticsCalculation.cpp:53-125
+"""
+
+from __future__ import annotations
+
+from ..config import PipelineConfig
+from ..model import Doc
+from ..utils.counter import ModeCounter
+from ..utils.elements import (horizontal_gap, max_y_overlap_ratio, vertical_gap)
+from ..utils.mathutils import (equal, equal_or_larger, equal_or_smaller,
+                               round_half_away, smaller)
+
+
+def compute_glyph_statistics(doc: Doc) -> None:
+    """A1: mostFreqFontSize/Name (mode over chars), avgCharWidth/Height."""
+    font_size_counter = ModeCounter()
+    font_name_counter = ModeCounter()
+    sum_widths = 0.0
+    sum_heights = 0.0
+    n = 0
+    for page in doc.pages:
+        for ch in page.characters:
+            font_size_counter.inc(ch.font_size)
+            font_name_counter.inc(ch.font_name)
+            sum_widths += ch.width
+            sum_heights += ch.height
+            n += 1
+    if n == 0:
+        return
+    doc.most_freq_font_size = font_size_counter.most_freq()
+    doc.most_freq_font_name = font_name_counter.most_freq()
+    doc.avg_char_width = sum_widths / n
+    doc.avg_char_height = sum_heights / n
+
+
+def compute_word_statistics(doc: Doc, config: PipelineConfig) -> None:
+    """A2: mode word height, mode same-line horizontal gap, mode
+    different-line vertical gap (filtered to most-freq-font-size words)."""
+    h_gap_counter = ModeCounter()
+    v_gap_counter = ModeCounter()
+    height_counter = ModeCounter()
+
+    for page in doc.pages:
+        # prev_word is always the list predecessor, independent of any filter
+        for i, word in enumerate(page.words):
+            prev_word = page.words[i - 1] if i > 0 else None
+            # only words in the most frequent font size participate
+            if smaller(word.font_size, doc.most_freq_font_size,
+                       config.fs_equal_tolerance):
+                continue
+            height_counter.inc(word.height)
+            if prev_word is None:
+                continue
+            if prev_word.rotation != word.rotation:
+                continue
+            if prev_word.w_mode != word.w_mode:
+                continue
+            if not equal(prev_word.font_size, doc.most_freq_font_size,
+                         config.fs_equal_tolerance):
+                continue
+            ratio = max_y_overlap_ratio(prev_word, word)
+            if equal_or_larger(ratio, config.ws_min_y_overlap_ratio_same_line):
+                h_gap_counter.inc(horizontal_gap(prev_word, word))
+            if equal_or_smaller(ratio, config.ws_max_y_overlap_ratio_different_line):
+                v_gap_counter.inc(vertical_gap(prev_word, word))
+
+    if height_counter.sum_counts() > 0:
+        doc.most_freq_word_height = height_counter.most_freq()
+    if h_gap_counter.sum_counts() > 0:
+        doc.most_freq_word_distance = h_gap_counter.most_freq()
+    if v_gap_counter.sum_counts() > 0:
+        doc.most_freq_estimated_line_distance = v_gap_counter.most_freq()
+
+
+def compute_line_statistics(doc: Doc, config: PipelineConfig) -> None:
+    """A3: mode line distance from *base bounding boxes* (sub/superscripts
+    excluded), overall and per font size."""
+    dist_counter = ModeCounter()
+    per_font_size: dict = {}
+
+    for page in doc.pages:
+        for segment in page.segments:
+            for i in range(1, len(segment.lines)):
+                prev_line = segment.lines[i - 1]
+                curr_line = segment.lines[i]
+                if prev_line.rotation != curr_line.rotation:
+                    continue
+                if prev_line.w_mode != curr_line.w_mode:
+                    continue
+                dist = curr_line.base_bbox_upper_y - prev_line.base_bbox_lower_y
+                dist = max(0.0, round_half_away(dist, config.line_distance_precision))
+                dist_counter.inc(dist)
+                if equal(prev_line.font_size, curr_line.font_size,
+                         config.fs_equal_tolerance):
+                    per_font_size.setdefault(curr_line.font_size,
+                                             ModeCounter()).inc(dist)
+
+    if dist_counter.sum_counts() > 0:
+        doc.most_freq_line_distance = dist_counter.most_freq()
+    for font_size, counter in per_font_size.items():
+        if counter.sum_counts() > 0:
+            doc.most_freq_line_distance_per_font_size[font_size] = counter.most_freq()

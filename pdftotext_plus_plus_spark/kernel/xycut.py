@@ -1,0 +1,207 @@
+"""T6 — the recursive XY-cut kernel.
+
+Reference: /root/reference/src/utils/XYCut.cpp:46-325 plus the bounded
+priority queue (/root/reference/src/utils/FixedCapacityPriorityQueue.h:29-85).
+
+Determinism spec (SURVEY.md §7.1.3): the reference sorts with tolerance
+comparators through std::sort (unstable for equal-within-tolerance keys); we
+use Python's stable ``sorted`` on the raw key, and fixtures keep sort keys
+separated by more than the tolerance.
+"""
+
+from __future__ import annotations
+
+import heapq
+from typing import Callable, List, Optional
+
+from ..utils.elements import horizontal_gap, vertical_gap
+from ..utils.mathutils import equal_or_larger, larger
+
+X = "x"
+Y = "y"
+
+# choose function: (cuts, sorted_elements, silent) -> None (sets cut.is_chosen)
+ChooseCutsFunc = Callable[[List["Cut"], List[object], bool], None]
+
+
+class Cut:
+    """An XY-cut candidate (cf. Cut, /root/reference/src/Types.h:1148-1239)."""
+
+    __slots__ = ("dir", "pos_in_elements", "element_before", "element_after",
+                 "page_num", "x1", "y1", "x2", "y2", "gap_width", "gap_height",
+                 "overlapping_elements", "is_chosen")
+
+    def __init__(self, direction: str, pos_in_elements: int = 0):
+        self.dir = direction
+        self.pos_in_elements = pos_in_elements
+        self.element_before = None
+        self.element_after = None
+        self.page_num = 0
+        self.x1 = self.y1 = self.x2 = self.y2 = 0.0
+        self.gap_width = 0.0
+        self.gap_height = 0.0
+        self.overlapping_elements: List[object] = []
+        self.is_chosen = False
+
+
+def xy_cut(elements, min_x_cut_gap_width: float, min_y_cut_gap_height: float,
+           max_num_overlapping_elements: int,
+           choose_x_cuts: ChooseCutsFunc, choose_y_cuts: ChooseCutsFunc,
+           silent: bool, result_groups: List[List[object]],
+           result_cuts: Optional[List[Cut]] = None) -> None:
+    """Recursive x-then-y alternation (XYCut.cpp:46-97)."""
+    if not elements:
+        return
+
+    x_groups: List[List[object]] = []
+    ok = x_cut(elements, min_x_cut_gap_width, max_num_overlapping_elements,
+               choose_x_cuts, silent, x_groups, result_cuts)
+    if not ok:
+        y_groups: List[List[object]] = []
+        ok = y_cut(elements, min_y_cut_gap_height, choose_y_cuts, silent,
+                   y_groups, result_cuts)
+        if not ok:
+            result_groups.append(list(elements))
+            return
+        for y_group in y_groups:
+            xy_cut(y_group, min_x_cut_gap_width, min_y_cut_gap_height,
+                   max_num_overlapping_elements, choose_x_cuts, choose_y_cuts,
+                   silent, result_groups, result_cuts)
+        return
+
+    for x_group in x_groups:
+        y_groups = []
+        ok = y_cut(x_group, min_y_cut_gap_height, choose_y_cuts, silent,
+                   y_groups, result_cuts)
+        if not ok:
+            result_groups.append(x_group)
+            continue
+        for y_group in y_groups:
+            xy_cut(y_group, min_x_cut_gap_width, min_y_cut_gap_height,
+                   max_num_overlapping_elements, choose_x_cuts, choose_y_cuts,
+                   silent, result_groups, result_cuts)
+
+
+def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
+          choose_cuts: ChooseCutsFunc, silent: bool,
+          result_groups: Optional[List[List[object]]] = None,
+          result_cuts: Optional[List[Cut]] = None) -> bool:
+    """Vertical-line cuts over a left-to-right sweep (XYCut.cpp:100-228).
+
+    A bounded min-heap keeps the <maxOverlap+1> elements with the largest
+    rightX seen so far; a gap to any of them (checked in descending rightX
+    order) that reaches ``min_gap_width`` yields a candidate whose
+    ``overlapping_elements`` are the closer elements that failed the check.
+    """
+    if not elements:
+        return False
+
+    s_elements = sorted(elements, key=lambda e: e.left_x)
+
+    elements_min_y = min(e.upper_y for e in s_elements)
+    elements_max_y = max(e.lower_y for e in s_elements)
+
+    # min-heap keyed by rightX; entry = (right_x, seq, element)
+    q_size = max_num_overlapping_elements + 1
+    heap = [(s_elements[0].right_x, 0, s_elements[0])]
+    seq = 1
+
+    candidates: List[Cut] = []
+    for pos in range(1, len(s_elements)):
+        element = s_elements[pos]
+
+        # queue contents in descending rightX order
+        by_right_x_desc = sorted(heap, key=lambda t: -t[0])
+        overlapping: List[object] = []
+        for _, _, prev_element in by_right_x_desc:
+            gap_width = horizontal_gap(prev_element, element)
+            if equal_or_larger(gap_width, min_gap_width):
+                cut = Cut(X, pos)
+                cut.element_before = prev_element
+                cut.element_after = element
+                cut.page_num = element.page_num
+                gap_x = prev_element.right_x + gap_width / 2.0
+                cut.x1 = cut.x2 = gap_x
+                cut.y1 = elements_min_y
+                cut.y2 = elements_max_y
+                cut.gap_width = gap_width
+                cut.gap_height = elements_max_y - elements_min_y
+                cut.overlapping_elements = overlapping
+                candidates.append(cut)
+                break
+            overlapping.append(prev_element)
+
+        # push iff strictly larger rightX than the queue minimum (XYCut.cpp:187-189)
+        if larger(element.right_x, heap[0][0]):
+            if len(heap) == q_size:
+                heapq.heappop(heap)
+            heapq.heappush(heap, (element.right_x, seq, element))
+            seq += 1
+
+    choose_cuts(candidates, s_elements, silent)
+
+    prev_cut_pos = 0
+    has_chosen = False
+    for cand in candidates:
+        if result_cuts is not None:
+            result_cuts.append(cand)
+        if not cand.is_chosen:
+            continue
+        if result_groups is not None:
+            result_groups.append(s_elements[prev_cut_pos:cand.pos_in_elements])
+        has_chosen = True
+        prev_cut_pos = cand.pos_in_elements
+    if result_groups is not None:
+        result_groups.append(s_elements[prev_cut_pos:])
+    return has_chosen
+
+
+def y_cut(elements, min_gap_height: float, choose_cuts: ChooseCutsFunc,
+          silent: bool, result_groups: Optional[List[List[object]]] = None,
+          result_cuts: Optional[List[Cut]] = None) -> bool:
+    """Horizontal-line cuts over a top-to-bottom sweep (XYCut.cpp:231-325)."""
+    if not elements:
+        return False
+
+    s_elements = sorted(elements, key=lambda e: e.upper_y)
+
+    elements_min_x = min(e.left_x for e in s_elements)
+    elements_max_x = max(e.right_x for e in s_elements)
+
+    element_largest_lower_y = s_elements[0]
+
+    candidates: List[Cut] = []
+    for pos in range(1, len(s_elements)):
+        element = s_elements[pos]
+        gap_height = vertical_gap(element_largest_lower_y, element)
+        if equal_or_larger(gap_height, min_gap_height):
+            cut = Cut(Y, pos)
+            cut.element_before = element_largest_lower_y
+            cut.element_after = element
+            cut.page_num = element.page_num
+            gap_y = element_largest_lower_y.lower_y + gap_height / 2.0
+            cut.x1 = elements_min_x
+            cut.x2 = elements_max_x
+            cut.y1 = cut.y2 = gap_y
+            cut.gap_width = elements_max_x - elements_min_x
+            cut.gap_height = gap_height
+            candidates.append(cut)
+        if larger(element.lower_y, element_largest_lower_y.lower_y):
+            element_largest_lower_y = element
+
+    choose_cuts(candidates, s_elements, silent)
+
+    prev_cut_pos = 0
+    has_chosen = False
+    for cand in candidates:
+        if result_cuts is not None:
+            result_cuts.append(cand)
+        if not cand.is_chosen:
+            continue
+        if result_groups is not None:
+            result_groups.append(s_elements[prev_cut_pos:cand.pos_in_elements])
+        has_chosen = True
+        prev_cut_pos = cand.pos_in_elements
+    if result_groups is not None:
+        result_groups.append(s_elements[prev_cut_pos:])
+    return has_chosen

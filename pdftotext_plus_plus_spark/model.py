@@ -1,0 +1,308 @@
+"""Per-document element model.
+
+Mirrors the reference's containment hierarchy (/root/reference/src/Types.h):
+Doc -> Page -> {Char, Figure, Shape, Graphic, Word, Segment -> Line, Block}.
+Pointer links (prev/next/parent/sibling) are plain Python references — they
+live only inside one kernel invocation and never cross rows, so they need no
+serialization.  Ids are deterministic (``{type}-{page}-{rank}``) per the
+determinism contract in SURVEY.md §7.1 (the reference uses random ids,
+TextUtils.cpp:87-99, which never reach the TXT output).
+
+Rotation-aware accessors follow PdfPosition::getRot* exactly
+(/root/reference/src/Types.cpp:45-128).
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Optional
+
+INF = math.inf
+
+
+class Element:
+    """Geometry shared by all elements (cf. PdfElement/PdfPosition, Types.h:224-397)."""
+
+    __slots__ = ("left_x", "upper_y", "right_x", "lower_y", "rotation",
+                 "w_mode", "page_num", "rank")
+
+    def __init__(self):
+        self.left_x = INF
+        self.upper_y = INF
+        self.right_x = -INF
+        self.lower_y = -INF
+        self.rotation = 0
+        self.w_mode = 0
+        self.page_num = 0
+        self.rank = 0
+
+    # --- plain extents -------------------------------------------------
+    @property
+    def width(self) -> float:
+        return self.right_x - self.left_x
+
+    @property
+    def height(self) -> float:
+        return self.lower_y - self.upper_y
+
+    # --- rotation-aware accessors (Types.cpp:45-128) --------------------
+    def rot_left_x(self) -> float:
+        r = self.rotation
+        if r == 1:
+            return self.upper_y
+        if r == 2:
+            return self.right_x
+        if r == 3:
+            return self.lower_y
+        return self.left_x
+
+    def rot_upper_y(self) -> float:
+        r = self.rotation
+        if r == 1:
+            return self.right_x
+        if r == 2:
+            return self.lower_y
+        if r == 3:
+            return self.left_x
+        return self.upper_y
+
+    def rot_right_x(self) -> float:
+        r = self.rotation
+        if r == 1:
+            return self.lower_y
+        if r == 2:
+            return self.left_x
+        if r == 3:
+            return self.upper_y
+        return self.right_x
+
+    def rot_lower_y(self) -> float:
+        r = self.rotation
+        if r == 1:
+            return self.left_x
+        if r == 2:
+            return self.upper_y
+        if r == 3:
+            return self.right_x
+        return self.lower_y
+
+
+class Char(Element):
+    """cf. PdfCharacter (Types.h:452-527)."""
+
+    __slots__ = ("text", "name", "unicodes", "base", "font_name", "font_size",
+                 "color", "opacity", "word",
+                 "diacritic_mark_of_base_char", "base_char_of_diacritic_mark",
+                 "text_with_diacritic_mark", "is_subscript", "is_superscript")
+
+    def __init__(self):
+        super().__init__()
+        self.text = ""
+        self.name = ""
+        self.unicodes: List[int] = []
+        self.base = 0.0
+        self.font_name = ""
+        self.font_size = 0.0
+        self.color = (0.0, 0.0, 0.0)
+        self.opacity = 1.0
+        self.word: Optional["Word"] = None
+        # diacritic links (Types.h:502-510)
+        self.diacritic_mark_of_base_char: Optional["Char"] = None
+        self.base_char_of_diacritic_mark: Optional["Char"] = None
+        self.text_with_diacritic_mark = ""
+        self.is_subscript = False
+        self.is_superscript = False
+
+    def effective_text(self) -> str:
+        """Text as emitted by the serializers: merged-diacritic text for base
+        chars, empty for merged marks (PlainTextSerializer.cpp:76-82)."""
+        if self.base_char_of_diacritic_mark is not None:
+            return self.text_with_diacritic_mark
+        if self.diacritic_mark_of_base_char is not None:
+            return ""
+        return self.text
+
+
+class NonTextElement(Element):
+    """Figures / shapes / graphics (cf. PdfNonTextElement, Types.h:817-940)."""
+
+    __slots__ = ("kind",)
+
+    def __init__(self, kind: str = "shape"):
+        super().__init__()
+        self.kind = kind  # "figure" | "shape" | "graphic"
+
+
+class Word(Element):
+    """cf. PdfWord (Types.h:535-614)."""
+
+    __slots__ = ("characters", "text", "font_name", "font_size", "line",
+                 "is_part_of_stacked_math_symbol", "is_base_of_stacked_math_symbol",
+                 "is_first_part_of_hyphenated_word",
+                 "is_second_part_of_hyphenated_word")
+
+    def __init__(self):
+        super().__init__()
+        self.characters: List[Char] = []
+        self.text = ""
+        self.font_name = ""
+        self.font_size = 0.0
+        self.line: Optional["Line"] = None
+        self.is_part_of_stacked_math_symbol: Optional["Word"] = None
+        self.is_base_of_stacked_math_symbol: List["Word"] = []
+        # hyphenation links carry the *merged* word (WordsDehyphenation.cpp:62-70)
+        self.is_first_part_of_hyphenated_word: Optional["Word"] = None
+        self.is_second_part_of_hyphenated_word: Optional["Word"] = None
+
+
+class Line(Element):
+    """cf. PdfTextLine (Types.h:622-732)."""
+
+    __slots__ = ("words", "text", "font_name", "font_size", "max_font_size",
+                 "base", "segment", "block", "prev_line", "next_line",
+                 "parent_line", "prev_sibling_line", "next_sibling_line",
+                 "left_margin", "right_margin",
+                 "base_bbox_left_x", "base_bbox_upper_y", "base_bbox_right_x",
+                 "base_bbox_lower_y")
+
+    def __init__(self):
+        super().__init__()
+        self.words: List[Word] = []
+        self.text = ""
+        self.font_name = ""
+        self.font_size = 0.0
+        self.max_font_size = 0.0
+        self.base = 0.0
+        self.segment: Optional["Segment"] = None
+        self.block: Optional["Block"] = None
+        self.prev_line: Optional["Line"] = None
+        self.next_line: Optional["Line"] = None
+        self.parent_line: Optional["Line"] = None
+        self.prev_sibling_line: Optional["Line"] = None
+        self.next_sibling_line: Optional["Line"] = None
+        self.left_margin = 0.0
+        self.right_margin = 0.0
+        # base bbox = bbox of the non-sub/superscript chars (Types.h:665-668);
+        # accumulated in SubSuperScriptsDetection (same init as pos: ±inf).
+        self.base_bbox_left_x = INF
+        self.base_bbox_upper_y = INF
+        self.base_bbox_right_x = -INF
+        self.base_bbox_lower_y = -INF
+
+
+class Segment(Element):
+    """cf. PdfPageSegment (Types.h:956-997): one column-level group."""
+
+    __slots__ = ("elements", "lines", "blocks",
+                 "trim_left_x", "trim_upper_y", "trim_right_x", "trim_lower_y")
+
+    def __init__(self):
+        super().__init__()
+        self.elements: List[Element] = []
+        self.lines: List[Line] = []
+        self.blocks: List["Block"] = []
+        self.trim_left_x = INF
+        self.trim_upper_y = INF
+        self.trim_right_x = -INF
+        self.trim_lower_y = -INF
+
+
+class Block(Element):
+    """cf. PdfTextBlock (Types.h:744-805)."""
+
+    __slots__ = ("lines", "text", "font_name", "font_size", "role", "segment",
+                 "prev_block", "next_block", "is_emphasized",
+                 "is_lines_centered", "hanging_indent",
+                 "trim_left_x", "trim_upper_y", "trim_right_x", "trim_lower_y")
+
+    def __init__(self):
+        super().__init__()
+        self.lines: List[Line] = []
+        self.text = ""
+        self.font_name = ""
+        self.font_size = 0.0
+        self.role = "paragraph"  # default when role prediction is skipped
+        self.segment: Optional[Segment] = None
+        self.prev_block: Optional["Block"] = None
+        self.next_block: Optional["Block"] = None
+        self.is_emphasized = False
+        self.is_lines_centered = False
+        self.hanging_indent = 0.0
+        self.trim_left_x = INF
+        self.trim_upper_y = INF
+        self.trim_right_x = -INF
+        self.trim_lower_y = -INF
+
+
+class FontInfo:
+    """cf. PdfFontInfo (Types.h:138-216)."""
+
+    __slots__ = ("name", "ascent", "descent", "weight", "is_italic",
+                 "is_type3", "is_serif", "is_fixed_width", "is_symbolic")
+
+    def __init__(self, name="", ascent=0.75, descent=-0.25, weight=400,
+                 is_italic=False, is_type3=False, is_serif=False,
+                 is_fixed_width=False, is_symbolic=False):
+        self.name = name
+        self.ascent = ascent
+        self.descent = descent
+        self.weight = weight
+        self.is_italic = is_italic
+        self.is_type3 = is_type3
+        self.is_serif = is_serif
+        self.is_fixed_width = is_fixed_width
+        self.is_symbolic = is_symbolic
+
+
+class Page:
+    """cf. PdfPage (Types.h:1005-1069)."""
+
+    __slots__ = ("page_num", "clip_left_x", "clip_upper_y", "clip_right_x",
+                 "clip_lower_y", "characters", "figures", "shapes", "graphics",
+                 "words", "segments", "blocks")
+
+    def __init__(self, page_num: int = 1):
+        self.page_num = page_num
+        self.clip_left_x = 0.0
+        self.clip_upper_y = 0.0
+        self.clip_right_x = 612.0
+        self.clip_lower_y = 792.0
+        self.characters: List[Char] = []
+        self.figures: List[NonTextElement] = []
+        self.shapes: List[NonTextElement] = []
+        self.graphics: List[NonTextElement] = []
+        self.words: List[Word] = []
+        self.segments: List[Segment] = []
+        self.blocks: List[Block] = []
+
+    @property
+    def width(self) -> float:
+        return self.clip_right_x - self.clip_left_x
+
+    @property
+    def height(self) -> float:
+        return self.clip_lower_y - self.clip_upper_y
+
+
+class Doc:
+    """cf. PdfDocument (Types.h:1077-1138) incl. document-wide statistics."""
+
+    __slots__ = ("pages", "font_infos",
+                 "avg_char_width", "avg_char_height",
+                 "most_freq_font_size", "most_freq_font_name",
+                 "most_freq_word_distance", "most_freq_estimated_line_distance",
+                 "most_freq_line_distance", "most_freq_line_distance_per_font_size",
+                 "most_freq_word_height")
+
+    def __init__(self):
+        self.pages: List[Page] = []
+        self.font_infos: Dict[str, FontInfo] = {}
+        self.avg_char_width = 0.0
+        self.avg_char_height = 0.0
+        self.most_freq_font_size = 0.0
+        self.most_freq_font_name = ""
+        self.most_freq_word_distance = 0.0
+        self.most_freq_estimated_line_distance = 0.0
+        self.most_freq_line_distance = 0.0
+        self.most_freq_line_distance_per_font_size: Dict[float, float] = {}
+        self.most_freq_word_height = 0.0
