@@ -1,0 +1,263 @@
+"""Spark integration: Arrow-batched extraction over a pages DataFrame.
+
+Spark lifecycle (SURVEY.md §3.4):
+
+    read pages table (url, warc_ts, html, text, lang)
+      -> salted repartition by byte-size bucket of `html`   (skew defusal)
+      -> mapInArrow kernel per record batch                 (stages 2-13)
+      -> output DataFrame (extracted_text, span structs, failure codes,
+         per-task lineage columns)
+      -> parquet/Iceberg snapshot + lineage rows; exact resume by anti-join
+
+Design notes for 100 TB scale:
+* Only ``url`` and ``html`` are read by the kernel — column pruning reaches
+  the scan because we select before the exchange.
+* The repartition key is (size_bucket, salt): documents of similar byte size
+  co-locate, and the salt spreads each bucket over many partitions so a tail
+  of jumbo documents cannot serialize into one straggler task.
+* The kernel is embarrassingly parallel per document — no shuffle after the
+  single repartition exchange; output writes stream per task.
+* Failures never abort a partition: corrupt payloads yield a row with
+  ``parse_failure_code`` != 0 (cf. the reference's isOk() check,
+  /root/reference/src/PdfToTextPlusPlus.cpp:88-90).
+"""
+
+from __future__ import annotations
+
+import time
+from typing import Iterator, Optional
+
+import pyarrow as pa
+
+from .config import DEFAULT_CONFIG, PipelineConfig
+from .pipeline import extract
+
+# ---------------------------------------------------------------------------
+# output schemas
+# ---------------------------------------------------------------------------
+
+BLOCK_SPAN_TYPE = pa.struct([
+    ("page", pa.int32()),
+    ("rank", pa.int32()),
+    ("min_x", pa.float64()),
+    ("min_y", pa.float64()),
+    ("max_x", pa.float64()),
+    ("max_y", pa.float64()),
+    ("font", pa.string()),
+    ("font_size", pa.float64()),
+    ("text", pa.string()),
+    ("role", pa.string()),
+])
+
+
+def _arrow_schema(with_spans: bool) -> pa.Schema:
+    fields = [
+        ("url", pa.string()),
+        ("extracted_text", pa.string()),
+        ("extracted_text_extended", pa.string()),
+        ("parse_failure_code", pa.int32()),
+        ("n_pages", pa.int32()),
+        ("n_chars", pa.int32()),
+        ("n_words", pa.int32()),
+        ("n_lines", pa.int32()),
+        ("n_blocks", pa.int32()),
+        ("payload_bytes", pa.int64()),
+        ("part_id", pa.int32()),
+        ("extract_ms", pa.float64()),
+    ]
+    if with_spans:
+        fields.append(("blocks", pa.list_(BLOCK_SPAN_TYPE)))
+    return pa.schema(fields)
+
+
+def _spark_schema_ddl(with_spans: bool) -> str:
+    ddl = ("url string, extracted_text string, extracted_text_extended string, "
+           "parse_failure_code int, n_pages int, n_chars int, n_words int, "
+           "n_lines int, n_blocks int, payload_bytes bigint, part_id int, "
+           "extract_ms double")
+    if with_spans:
+        ddl += (", blocks array<struct<page: int, rank: int, min_x: double, "
+                "min_y: double, max_x: double, max_y: double, font: string, "
+                "font_size: double, text: string, role: string>>")
+    return ddl
+
+
+# ---------------------------------------------------------------------------
+# kernel
+# ---------------------------------------------------------------------------
+
+def _make_kernel(config: PipelineConfig, with_spans: bool):
+    schema = _arrow_schema(with_spans)
+
+    def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        try:
+            from pyspark import TaskContext
+            ctx = TaskContext.get()
+            part_id = ctx.partitionId() if ctx is not None else -1
+        except Exception:
+            part_id = -1
+
+        for batch in batches:
+            urls = batch.column("url").to_pylist()
+            htmls = batch.column("html").to_pylist()
+            n = len(urls)
+            texts, texts_ext = [], []
+            codes, pages, chars, words, lines, blocks_n = [], [], [], [], [], []
+            sizes, times = [], []
+            spans = [] if with_spans else None
+            for i in range(n):
+                t0 = time.perf_counter()
+                res = extract(htmls[i], config, with_spans=with_spans)
+                dt = (time.perf_counter() - t0) * 1000.0
+                texts.append(res.extracted_text)
+                texts_ext.append(res.extracted_text_extended)
+                codes.append(res.parse_failure_code)
+                pages.append(res.n_pages)
+                chars.append(res.n_chars)
+                words.append(res.n_words)
+                lines.append(res.n_lines)
+                blocks_n.append(res.n_blocks)
+                sizes.append(len(htmls[i]) if htmls[i] is not None else 0)
+                times.append(dt)
+                if with_spans:
+                    spans.append([{
+                        "page": b.page, "rank": b.rank, "min_x": b.min_x,
+                        "min_y": b.min_y, "max_x": b.max_x, "max_y": b.max_y,
+                        "font": b.font, "font_size": b.font_size,
+                        "text": b.text, "role": b.role} for b in res.blocks])
+
+            arrays = [
+                pa.array(urls, pa.string()),
+                pa.array(texts, pa.string()),
+                pa.array(texts_ext, pa.string()),
+                pa.array(codes, pa.int32()),
+                pa.array(pages, pa.int32()),
+                pa.array(chars, pa.int32()),
+                pa.array(words, pa.int32()),
+                pa.array(lines, pa.int32()),
+                pa.array(blocks_n, pa.int32()),
+                pa.array(sizes, pa.int64()),
+                pa.array([part_id] * n, pa.int32()),
+                pa.array(times, pa.float64()),
+            ]
+            if with_spans:
+                arrays.append(pa.array(spans, pa.list_(BLOCK_SPAN_TYPE)))
+            yield pa.RecordBatch.from_arrays(arrays, schema=schema)
+
+    return kernel
+
+
+# ---------------------------------------------------------------------------
+# public API
+# ---------------------------------------------------------------------------
+
+def salted_repartition(df, num_partitions: Optional[int] = None,
+                       salt_buckets: int = 64):
+    """Repartition by (payload-size bucket, salt of url).
+
+    Documents land in log2-size buckets; the salt spreads each bucket across
+    partitions so jumbo documents cannot pile into one task (north-rule skew
+    handling).  At 100 TB this is the only shuffle in the job.
+    """
+    from pyspark.sql import functions as F
+
+    size_bucket = F.ceil(F.log2(F.length(F.col("html")) + F.lit(2)))
+    salt = F.pmod(F.xxhash64(F.col("url")), F.lit(salt_buckets))
+    df = df.withColumn("_size_bucket", size_bucket).withColumn("_salt", salt)
+    if num_partitions:
+        df = df.repartition(num_partitions, "_size_bucket", "_salt")
+    else:
+        df = df.repartition("_size_bucket", "_salt")
+    return df.drop("_size_bucket", "_salt")
+
+
+def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
+                  with_spans: bool = False,
+                  num_partitions: Optional[int] = None,
+                  salted: bool = True):
+    """pages DataFrame -> extraction DataFrame (one row per url)."""
+    projected = df.select("url", "html")  # column pruning reaches the scan
+    if salted:
+        projected = salted_repartition(projected, num_partitions)
+    elif num_partitions:
+        projected = projected.repartition(num_partitions)
+    return projected.mapInArrow(_make_kernel(config, with_spans),
+                                _spark_schema_ddl(with_spans))
+
+
+def lineage_frame(result_df):
+    """Per-task lineage/metrics rows (north rule): partition id, row counts,
+    failure counts, byte and time totals — written beside each snapshot."""
+    from pyspark.sql import functions as F
+
+    return (result_df
+            .groupBy("part_id")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("parse_failure_code") != 0).cast("int"))
+                 .alias("n_failures"),
+                 F.sum("payload_bytes").alias("bytes_in"),
+                 F.sum("extract_ms").alias("extract_ms_total"),
+                 F.min("url").alias("min_url"),
+                 F.max("url").alias("max_url")))
+
+
+def run_job(spark, input_path: str, output_path: str,
+            config: PipelineConfig = DEFAULT_CONFIG,
+            with_spans: bool = False,
+            num_partitions: Optional[int] = None,
+            resume: bool = True) -> dict:
+    """Batch extraction job with snapshot + lineage + exact resume.
+
+    Resume semantics: rows whose ``url`` already exists in the committed
+    output are skipped (anti-join), so a re-run after a mid-job failure
+    processes only the remainder — the parquet/Iceberg commit is the
+    checkpoint boundary.
+    """
+    from pyspark.sql.utils import AnalysisException
+
+    pages = spark.read.parquet(input_path)
+    data_path = output_path.rstrip("/") + "/data"
+    lineage_path = output_path.rstrip("/") + "/lineage"
+
+    if resume:
+        try:
+            done = spark.read.parquet(data_path).select("url")
+            pages = pages.join(done, "url", "left_anti")
+        except AnalysisException:
+            pass  # first run: no committed snapshot yet
+
+    result = extract_pages(pages, config, with_spans, num_partitions)
+    result.write.mode("append").parquet(data_path)
+
+    committed = spark.read.parquet(data_path)
+    lineage = lineage_frame(committed)
+    lineage.write.mode("overwrite").parquet(lineage_path)
+
+    n_done = committed.count()
+    n_failed = committed.filter("parse_failure_code != 0").count()
+    return {"output": data_path, "lineage": lineage_path,
+            "n_docs": n_done, "n_failures": n_failed}
+
+
+def build_session(app_name: str = "pdftotext_plus_plus_spark",
+                  cpus: Optional[int] = None,
+                  shuffle_partitions: Optional[int] = None,
+                  driver_memory: str = "8g"):
+    """Local session tuned for the extraction job; on a real cluster the
+    same settings arrive via spark-submit --conf."""
+    from pyspark.sql import SparkSession
+
+    master = "local[%s]" % (cpus if cpus else "*")
+    parts = shuffle_partitions or (cpus or 32)
+    return (SparkSession.builder
+            .master(master)
+            .appName(app_name)
+            .config("spark.sql.shuffle.partitions", str(parts))
+            .config("spark.sql.adaptive.enabled", "true")
+            .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+            .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+            .config("spark.sql.execution.arrow.maxRecordsPerBatch", "256")
+            .config("spark.driver.memory", driver_memory)
+            .config("spark.sql.session.timeZone", "UTC")
+            .config("spark.ui.enabled", "false")
+            .getOrCreate())

@@ -1,0 +1,76 @@
+"""Payload codec: decode semantics (charMap, ligatures, whitespace
+suppression) and failure codes."""
+
+from pdftotext_plus_plus_spark import codec
+from pdftotext_plus_plus_spark.codec import decode_payload, encode_payload
+from pdftotext_plus_plus_spark.model import FontInfo
+
+FONT = FontInfo(name="f0", weight=400)
+
+
+def _char(text, x, name="", unicodes=None, base=100.0, fs=10.0):
+    return {"name": name, "text": text,
+            "unicodes": unicodes if unicodes is not None
+            else [ord(c) for c in text],
+            "left_x": x, "upper_y": base - 7.0, "right_x": x + 5.0,
+            "lower_y": base, "base": base, "font_size": fs, "rotation": 0,
+            "w_mode": 0, "font": "f0"}
+
+
+def _payload(chars, **page_kw):
+    page = {"page_num": 1, "chars": chars}
+    page.update(page_kw)
+    return encode_payload([FONT], [page])
+
+
+def test_roundtrip_basic():
+    doc, code = decode_payload(_payload([_char("a", 0.0), _char("b", 5.0)]))
+    assert code == codec.OK
+    assert len(doc.pages) == 1
+    chars = doc.pages[0].characters
+    assert [c.text for c in chars] == ["a", "b"]
+    assert chars[0].left_x == 0.0 and chars[0].right_x == 5.0
+    assert chars[0].font_name == "f0"
+    assert chars[0].rank == 0 and chars[1].rank == 1
+
+
+def test_charmap_fallback():
+    doc, code = decode_payload(_payload(
+        [_char("", 0.0, name="summationdisplay", unicodes=[])]))
+    assert code == codec.OK
+    assert doc.pages[0].characters[0].text == "∑"
+
+
+def test_ligature_expansion():
+    doc, code = decode_payload(_payload(
+        [_char("", 0.0, name="ffi-lig", unicodes=[0x66, 0x66, 0x69])]))
+    assert doc.pages[0].characters[0].text == "ffi"
+    assert doc.pages[0].characters[0].unicodes == [0x66, 0x66, 0x69]
+
+
+def test_whitespace_suppression():
+    # space, tab, NBSP are dropped at decode (PdfParsing.cpp:229-245)
+    doc, code = decode_payload(_payload(
+        [_char(" ", 0.0), _char("\t", 5.0), _char(" ", 10.0),
+         _char("x", 15.0)]))
+    assert [c.text for c in doc.pages[0].characters] == ["x"]
+    assert doc.pages[0].characters[0].rank == 0
+
+
+def test_failure_codes():
+    assert decode_payload(None) == (None, codec.ERR_EMPTY)
+    assert decode_payload(b"") == (None, codec.ERR_EMPTY)
+    assert decode_payload(b"NOPE1234") == (None, codec.ERR_MAGIC)
+    truncated = _payload([_char("a", 0.0)])[:-10]
+    assert decode_payload(truncated) == (None, codec.ERR_TRUNCATED)
+
+
+def test_non_text_elements():
+    doc, code = decode_payload(_payload(
+        [_char("a", 0.0)],
+        figures=[(0.0, 0.0, 100.0, 50.0)],
+        shapes=[(10.0, 10.0, 20.0, 20.0), (30.0, 10.0, 40.0, 20.0)]))
+    page = doc.pages[0]
+    assert len(page.figures) == 1 and page.figures[0].kind == "figure"
+    assert len(page.shapes) == 2
+    assert page.figures[0].right_x == 100.0

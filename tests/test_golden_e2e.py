@@ -1,0 +1,61 @@
+"""Golden end-to-end: every fixture family must serialize byte-identically
+to its intent-level golden text (the reference's own correctness criterion,
+/root/reference/e2e/e2e_runner.py:290-317 word-diff equality — here we
+require full byte equality, which is stricter)."""
+
+import random
+
+import pytest
+
+from pdftotext_plus_plus_spark import fixtures, pipeline
+
+FAMILIES = sorted(fixtures.FAMILY_BUILDERS)
+SEEDS = [0, 1, 7, 42, 99]
+
+
+@pytest.mark.parametrize("family", FAMILIES)
+@pytest.mark.parametrize("seed", SEEDS)
+def test_family_byte_identical(family, seed):
+    rng = random.Random(seed)
+    payload, golden = fixtures.FAMILY_BUILDERS[family](rng)
+    res = pipeline.extract(payload)
+    assert res.parse_failure_code == 0
+    assert res.extracted_text == golden
+
+
+def test_corpus_byte_identical():
+    rows = fixtures.build_corpus(45, jumbo_every=15)
+    for row in rows:
+        res = pipeline.extract(row["html"])
+        assert res.extracted_text == row["golden_text"], row["url"]
+
+
+def test_corpus_deterministic():
+    a = fixtures.build_corpus(10)
+    b = fixtures.build_corpus(10)
+    assert all(x["html"] == y["html"] for x, y in zip(a, b))
+    assert all(x["golden_text"] == y["golden_text"] for x, y in zip(a, b))
+
+
+def test_spans_and_counts():
+    rng = random.Random(3)
+    payload, golden = fixtures.build_two_col(rng)
+    res = pipeline.extract(payload, with_spans=True)
+    assert res.n_blocks == len(res.blocks) == 4
+    assert res.n_pages == 1
+    assert all(b.role == "paragraph" for b in res.blocks)
+    # reading order: blocks ranked by final order via span text matching golden
+    text_from_spans = "\n\n".join(b.text for b in res.blocks) + "\n"
+    # span text has no dehyphenation substitution, but two-col has no hyphens
+    assert text_from_spans == golden
+
+
+def test_extended_serialization_marks():
+    rng = random.Random(5)
+    payload, golden = fixtures.build_headings(rng)
+    res = pipeline.extract(payload)
+    ext = res.extracted_text_extended
+    assert ext.startswith("[PARAGRAPH] ")
+    assert "\x0c" in ext  # page break marks
+    # the heading block (bold + larger font) is emphasized -> \x01 marker
+    assert "\x01" in ext

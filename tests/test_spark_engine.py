@@ -1,0 +1,69 @@
+"""Spark-side tests: Arrow-batched extraction, salting, lineage, resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdftotext_plus_plus_spark import engine
+
+
+def test_extract_matches_goldens(spark, pages_df):
+    out = engine.extract_pages(pages_df, num_partitions=4)
+    joined = out.join(pages_df.select("url", "golden_text"), "url")
+    total = joined.count()
+    matched = joined.filter(F.col("extracted_text") == F.col("golden_text")).count()
+    assert total == 36
+    assert matched == total
+    assert joined.filter("parse_failure_code != 0").count() == 0
+
+
+def test_extract_with_spans(spark, pages_df):
+    out = engine.extract_pages(pages_df.limit(6), with_spans=True,
+                               num_partitions=2)
+    row = out.filter("n_blocks > 0").first()
+    assert row is not None
+    assert len(row["blocks"]) == row["n_blocks"]
+    assert row["blocks"][0]["role"] == "paragraph"
+
+
+def test_corrupt_payload_yields_failure_row(spark, pages_df):
+    bad = spark.createDataFrame(
+        [("bad://1", bytearray(b"not-a-payload")), ("bad://2", bytearray(b""))],
+        "url string, html binary")
+    out = engine.extract_pages(bad, salted=False)
+    rows = {r["url"]: r for r in out.collect()}
+    assert rows["bad://1"]["parse_failure_code"] != 0
+    assert rows["bad://2"]["parse_failure_code"] != 0
+    assert rows["bad://1"]["extracted_text"] == "\n"
+
+
+def test_salted_repartition_spreads_jumbos(spark, pages_df):
+    out = engine.extract_pages(pages_df, num_partitions=4)
+    parts = out.select("part_id").distinct().count()
+    assert parts >= 2  # the corpus spreads over multiple tasks
+
+
+def test_lineage_frame(spark, pages_df):
+    out = engine.extract_pages(pages_df, num_partitions=4)
+    lineage = engine.lineage_frame(out).collect()
+    assert sum(r["n_docs"] for r in lineage) == 36
+    assert all(r["n_failures"] == 0 for r in lineage)
+    assert all(r["bytes_in"] > 0 for r in lineage)
+
+
+def test_run_job_resume(spark, pages_df, tmp_path):
+    input_path = str(tmp_path / "pages")
+    output_path = str(tmp_path / "out")
+    pages_df.write.parquet(input_path)
+
+    first = engine.run_job(spark, input_path, output_path, num_partitions=2)
+    assert first["n_docs"] == 36
+    assert first["n_failures"] == 0
+
+    # re-run: everything already committed -> no duplicates (exact resume)
+    second = engine.run_job(spark, input_path, output_path, num_partitions=2)
+    assert second["n_docs"] == 36
+    data = spark.read.parquet(first["output"])
+    assert data.select("url").distinct().count() == 36
+    assert data.count() == 36
+    lineage = spark.read.parquet(first["lineage"])
+    assert lineage.agg(F.sum("n_docs")).first()[0] == 36
