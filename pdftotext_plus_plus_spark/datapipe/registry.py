@@ -1,0 +1,124 @@
+"""Central registry: query name -> (spark callable, DuckDB oracle SQL).
+
+This feeds the driver contract in ``__spark_entry__.py``.  The extraction
+queries run the full engine over the deterministic fixture corpus and are
+checked against a VALUES-table oracle built from the intent-level goldens —
+so the driver's DuckDB comparison exercises the whole extraction engine,
+not just relational ops.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional, Tuple
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import dedup, multimodal, similarity, textstats
+
+N_EXTRACT_DOCS = 48
+
+
+def _fixture_pages_df(spark: SparkSession):
+    from pyspark.sql import types as T
+
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("golden_text", T.StringType()),
+        T.StructField("family", T.StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def extract_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: full 13-stage extraction over the fixture corpus."""
+    from .. import engine
+
+    pages = _fixture_pages_df(spark)
+    out = engine.extract_pages(pages, num_partitions=8)
+    return out.select("url", "extracted_text")
+
+
+def extract_text_oracle_sql() -> str:
+    """VALUES-table oracle: the intent-level goldens, computed without
+    running the pipeline (fixtures.golden_from_blocks)."""
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+    values = ",\n".join(
+        "('%s', '%s')" % (r["url"], r["golden_text"].replace("'", "''"))
+        for r in rows)
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, extracted_text)" % values)
+
+
+def extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-family aggregate over extraction outputs (counts only —
+    exercises spans/counters and is stable across engines via the golden
+    text lengths)."""
+    from pyspark.sql import functions as F
+
+    from .. import engine
+
+    pages = _fixture_pages_df(spark)
+    out = engine.extract_pages(pages, num_partitions=8)
+    joined = out.join(pages.select("url", "family", "golden_text"), "url")
+    return (joined.groupBy("family")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum((F.col("extracted_text") == F.col("golden_text"))
+                       .cast("int")).alias("n_byte_identical"),
+                 F.sum("n_blocks").alias("total_blocks"),
+                 F.sum("n_words").alias("total_words")))
+
+
+# rows-only queries (no SQL-expressible oracle)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.ann_lsh_topk(spark, sf_dir)
+
+
+QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
+                         Optional[str]]] = {
+    # extraction engine (SURVEY.md §2 operators, end-to-end)
+    "extract_text": (extract_text, None),  # oracle filled in lazily below
+    # dedup family
+    "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
+                            dedup.NGRAM_JACCARD_SQL),
+    "minhash_signatures": (dedup.minhash_signatures,
+                           dedup.MINHASH_SIGNATURES_SQL),
+    "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
+                          dedup.MINHASH_LSH_PAIRS_SQL),
+    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
+    "simhash_near_pairs": (dedup.simhash_near_pairs,
+                           dedup.SIMHASH_NEAR_PAIRS_SQL),
+    "embedding_near_dup": (dedup.embedding_near_dup,
+                           dedup.EMBEDDING_NEAR_DUP_SQL),
+    # similarity search
+    "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
+                            similarity.ANN_BRUTEFORCE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, None),  # approximate: rows-only check
+    # text analysis
+    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
+    "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
+    "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
+    "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
+    # multimodal plumbing
+    "multimodal_meta": (multimodal.multimodal_meta,
+                        multimodal.MULTIMODAL_META_SQL),
+}
+
+
+def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
+    return {name: fn for name, (fn, _) in QUERIES.items()}
+
+
+def oracle_sql() -> Dict[str, str]:
+    oracles = {name: sql for name, (_, sql) in QUERIES.items()
+               if sql is not None}
+    oracles["extract_text"] = extract_text_oracle_sql()
+    return oracles

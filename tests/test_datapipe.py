@@ -1,0 +1,82 @@
+"""Training-data-pipeline ops: Spark vs DuckDB oracle agreement at sf0.001
+(the same comparison the driver runs at sf0.01), plus behavior checks for
+the rows-only ops."""
+
+import math
+
+import duckdb
+import pytest
+
+from pdftotext_plus_plus_spark.datapipe import registry, similarity
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _normalize(rows, columns):
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = []
+    for row in rows:
+        vals = []
+        for i in order:
+            v = row[i]
+            if isinstance(v, float):
+                v = "nan" if math.isnan(v) else round(v, 6)
+            vals.append(v)
+        out.append(tuple(vals))
+    out.sort(key=repr)
+    return out
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    return con
+
+
+ORACLED = [name for name, (_, sql) in registry.QUERIES.items()
+           if sql is not None and name != "extract_text"]
+
+
+@pytest.mark.parametrize("name", ORACLED)
+def test_oracle_agreement(spark, duck, name):
+    fn, _ = registry.QUERIES[name]
+    sdf = fn(spark, SF_DIR)
+    srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    rel = duck.sql(registry.oracle_sql()[name])
+    drows = _normalize(rel.fetchall(), [d[0] for d in rel.description])
+    assert sorted(sdf.columns) == sorted(d[0] for d in rel.description)
+    assert srows == drows
+
+
+def test_extract_text_oracle(spark, duck):
+    sdf = registry.extract_text(spark, SF_DIR)
+    srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+    rel = duck.sql(registry.extract_text_oracle_sql())
+    drows = _normalize(rel.fetchall(), [d[0] for d in rel.description])
+    assert srows == drows
+
+
+def test_ann_lsh_recall(spark):
+    """The LSH scale path must produce a reasonable subset of the exact
+    top-k (approximate: candidates share the query's bucket)."""
+    exact = {(r["query_id"], r["vec_id"])
+             for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()}
+    approx = similarity.ann_lsh_topk(spark, SF_DIR).collect()
+    assert len(approx) > 0
+    # every approx neighbor is a valid vector and not the query itself
+    assert all(r["vec_id"] != r["query_id"] for r in approx)
+    # sanity recall: bucketing should recover at least a few exact neighbors
+    hits = sum(1 for r in approx if (r["query_id"], r["vec_id"]) in exact)
+    assert hits >= 1
+
+
+def test_multimodal_decode_stub():
+    from pdftotext_plus_plus_spark.datapipe.multimodal import decode_image
+
+    import struct
+    blob = struct.pack("<II", 64, 48) + b"payload"
+    assert decode_image(blob, fake=True) == (64, 48, 7)
+    with pytest.raises(NotImplementedError):
+        decode_image(blob, fake=False)
