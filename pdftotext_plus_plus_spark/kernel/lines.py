@@ -18,7 +18,7 @@ from typing import Dict, List, Tuple
 
 from ..config import PipelineConfig
 from ..model import Doc, Line, Page, Segment, Word
-from ..utils.counter import ModeCounter
+from ..utils.counter import ModeCounter, most_freq
 from ..utils.elements import horizontal_gap, max_y_overlap_ratio, vertical_gap
 from ..utils.mathutils import (equal, equal_or_larger, larger,
                                round_half_away, smaller)
@@ -126,11 +126,11 @@ def _compute_line_properties(line: Line) -> None:
     line.right_x = -math.inf
     line.lower_y = -math.inf
 
-    font_name_counter = ModeCounter()
-    font_size_counter = ModeCounter()
-    base_counter = ModeCounter()
+    font_names: List[str] = []
+    font_sizes: List[float] = []
+    bases: List[float] = []
     parts: List[str] = []
-    for i, word in enumerate(line.words):
+    for word in line.words:
         word_min_x = min(word.left_x, word.right_x)
         word_min_y = min(word.lower_y, word.upper_y)
         word_max_x = max(word.left_x, word.right_x)
@@ -140,20 +140,18 @@ def _compute_line_properties(line: Line) -> None:
         line.right_x = max(line.right_x, word_max_x)
         line.lower_y = max(line.lower_y, word_max_y)
         for ch in word.characters:
-            font_name_counter.inc(ch.font_name)
-            font_size_counter.inc(ch.font_size)
-            base_counter.inc(ch.base)
+            font_names.append(ch.font_name)
+            font_sizes.append(ch.font_size)
+            bases.append(ch.base)
         parts.append(word.text)
         word.line = line
     line.text = " ".join(parts)
 
-    if font_name_counter.sum_counts() > 0:
-        line.font_name = font_name_counter.most_freq()
-    if font_size_counter.sum_counts() > 0:
-        line.font_size = font_size_counter.most_freq()
-        line.max_font_size = font_size_counter.max()
-    if base_counter.sum_counts() > 0:
-        line.base = base_counter.most_freq()
+    if font_names:
+        line.font_name = most_freq(font_names)
+        line.font_size = most_freq(font_sizes)
+        line.max_font_size = max(font_sizes)
+        line.base = most_freq(bases)
 
 
 def _compute_trim_box(segment: Segment, config: PipelineConfig) -> None:

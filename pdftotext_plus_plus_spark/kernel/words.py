@@ -13,10 +13,9 @@ from typing import List
 
 from ..config import PipelineConfig
 from ..model import Char, Doc, Page, Word
-from ..utils.counter import ModeCounter
-from ..utils.elements import (horizontal_gap, max_x_overlap_ratio,
-                              max_y_overlap_ratio)
-from ..utils.mathutils import larger, smaller
+from ..utils.counter import most_freq
+from ..utils.elements import max_x_overlap_ratio
+from ..utils.mathutils import smaller
 
 
 class _ActiveWord(Word):
@@ -31,95 +30,126 @@ def detect_words(doc: Doc, config: PipelineConfig) -> None:
         _merge_stacked_math_symbols(page, config)
 
 
+_TOL = 0.0001
+
+
 def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
+    """Sequential scan with the break rules of startsWord
+    (WordsDetection.cpp:77-258), inlined on plain floats for speed — the
+    semantics (tolerance comparators, asymmetric leftmost selection in the
+    horizontal gap, rotation sign flips) are byte-for-byte those of
+    utils.elements/utils.mathutils."""
     if not page.characters:
         return
 
-    active = _ActiveWord()
-    active.page_num = page.page_num
+    min_y_ratio = config.words_min_y_overlap_ratio
+    gap_factor = config.word_gap_threshold_factor
 
-    def reset(a: _ActiveWord) -> None:
-        a.characters = []
-        a.left_x = math.inf
-        a.upper_y = math.inf
-        a.right_x = -math.inf
-        a.lower_y = -math.inf
-        a.rotation = 0
-        a.w_mode = 0
-        a.font_size = 0.0
-
-    reset(active)
+    active: list = []
+    aw_left = aw_up = math.inf
+    aw_right = aw_low = -math.inf
+    aw_rot = aw_wmode = 0
+    aw_fs = 0.0
 
     for curr in page.characters:
         # merged diacritic marks never start/join words (…cpp:117-121)
         if curr.diacritic_mark_of_base_char is not None:
             continue
 
-        if active.characters and _starts_word(doc, active, curr, config):
-            word = _create_word(active.characters, config)
+        c_left = curr.left_x
+        c_up = curr.upper_y
+        c_right = curr.right_x
+        c_low = curr.lower_y
+
+        starts = False
+        if active:
+            if aw_rot != curr.rotation or aw_wmode != curr.w_mode:
+                starts = True
+            else:
+                # max y-overlap ratio between char and active-word bbox
+                overlap = (c_low if c_low < aw_low else aw_low) - \
+                          (c_up if c_up > aw_up else aw_up)
+                if overlap < 0.0:
+                    overlap = 0.0
+                len1 = c_low - c_up
+                len2 = aw_low - aw_up
+                r1 = overlap / len1 if len1 > 0 else 0.0
+                r2 = overlap / len2 if len2 > 0 else 0.0
+                ratio = r1 if r1 >= r2 else r2
+                if ratio < min_y_ratio - _TOL:
+                    starts = True
+                else:
+                    threshold = gap_factor * aw_fs
+                    # horizontal_gap(curr, active): leftmost by smaller()
+                    if c_left < aw_left - _TOL:
+                        l_right, l_rot, r_left = c_right, curr.rotation, aw_left
+                    else:
+                        l_right, l_rot, r_left = aw_right, aw_rot, c_left
+                    gap1 = (l_right - r_left) if l_rot in (2, 3) else (r_left - l_right)
+                    # horizontal_gap(active, curr): arguments swapped
+                    if aw_left < c_left - _TOL:
+                        l_right, l_rot, r_left = aw_right, aw_rot, c_left
+                    else:
+                        l_right, l_rot, r_left = c_right, curr.rotation, aw_left
+                    gap2 = (l_right - r_left) if l_rot in (2, 3) else (r_left - l_right)
+                    if gap1 > threshold + _TOL or gap2 > threshold + _TOL:
+                        starts = True
+
+        if starts and active:
+            word = _create_word(active, config)
             word.rank = len(page.words)
             page.words.append(word)
-            reset(active)
+            active = []
+            aw_left = aw_up = math.inf
+            aw_right = aw_low = -math.inf
+            aw_rot = aw_wmode = 0
+            aw_fs = 0.0
 
-        active.characters.append(curr)
-        active.left_x = min(active.left_x, curr.left_x)
-        active.upper_y = min(active.upper_y, curr.upper_y)
-        active.right_x = max(active.right_x, curr.right_x)
-        active.lower_y = max(active.lower_y, curr.lower_y)
-        active.rotation = curr.rotation
-        active.w_mode = curr.w_mode
-        active.font_size = max(active.font_size, curr.font_size)
+        active.append(curr)
+        if c_left < aw_left:
+            aw_left = c_left
+        if c_up < aw_up:
+            aw_up = c_up
+        if c_right > aw_right:
+            aw_right = c_right
+        if c_low > aw_low:
+            aw_low = c_low
+        aw_rot = curr.rotation
+        aw_wmode = curr.w_mode
+        if curr.font_size > aw_fs:
+            aw_fs = curr.font_size
 
-    if active.characters:
-        word = _create_word(active.characters, config)
+    if active:
+        word = _create_word(active, config)
         word.rank = len(page.words)
         page.words.append(word)
-
-
-def _starts_word(doc: Doc, active: _ActiveWord, curr: Char,
-                 config: PipelineConfig) -> bool:
-    """Break rules in reference order (WordsDetection.cpp:176-258)."""
-    if not active.characters:
-        return True
-    if active.rotation != curr.rotation:
-        return True
-    if active.w_mode != curr.w_mode:
-        return True
-    if smaller(max_y_overlap_ratio(curr, active), config.words_min_y_overlap_ratio):
-        return True
-    # horizontal gaps on either side vs 0.15 * activeWord.fontSize
-    threshold = config.word_gap_threshold_factor * active.font_size
-    if larger(horizontal_gap(curr, active), threshold):
-        return True
-    if larger(horizontal_gap(active, curr), threshold):
-        return True
-    return False
 
 
 def _create_word(characters: List[Char], config: PipelineConfig) -> Word:
     """Materialize a word from chars (WordsDetectionUtils.cpp:43-106)."""
     word = Word()
     word.page_num = characters[0].page_num
-    font_name_counter = ModeCounter()
-    font_size_counter = ModeCounter()
     text_parts: List[str] = []
+    left = up = float("inf")
+    right = low = float("-inf")
     for ch in characters:
-        word.left_x = min(word.left_x, ch.left_x)
-        word.upper_y = min(word.upper_y, ch.upper_y)
-        word.right_x = max(word.right_x, ch.right_x)
-        word.lower_y = max(word.lower_y, ch.lower_y)
+        if ch.left_x < left:
+            left = ch.left_x
+        if ch.upper_y < up:
+            up = ch.upper_y
+        if ch.right_x > right:
+            right = ch.right_x
+        if ch.lower_y > low:
+            low = ch.lower_y
         if ch.base_char_of_diacritic_mark is not None:
             text_parts.append(ch.text_with_diacritic_mark)
         elif ch.diacritic_mark_of_base_char is None:
             text_parts.append(ch.text)
-        font_name_counter.inc(ch.font_name)
-        font_size_counter.inc(ch.font_size)
         ch.word = word
+    word.left_x, word.upper_y, word.right_x, word.lower_y = left, up, right, low
     word.text = "".join(text_parts)
-    if font_name_counter.sum_counts() > 0:
-        word.font_name = font_name_counter.most_freq()
-    if font_size_counter.sum_counts() > 0:
-        word.font_size = font_size_counter.most_freq()
+    word.font_name = most_freq([c.font_name for c in characters])
+    word.font_size = most_freq([c.font_size for c in characters])
     word.w_mode = characters[0].w_mode
     word.rotation = characters[0].rotation
     word.characters = characters

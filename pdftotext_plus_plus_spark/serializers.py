@@ -24,10 +24,16 @@ ALL_ROLES: Optional[Set[str]] = None  # None = no role filter
 
 
 def _word_text(word: Word) -> str:
-    """Word text as serialized (PlainTextSerializer.cpp:72-83)."""
+    """Word text as serialized (PlainTextSerializer.cpp:72-83).
+
+    The reference re-walks the characters (substituting merged-diacritic
+    text, skipping merged marks) — which is exactly how ``word.text`` was
+    composed at creation (WordsDetectionUtils.cpp:66-73), so the cached text
+    is byte-identical and we use it directly.
+    """
     if word.is_first_part_of_hyphenated_word is not None:
         return word.is_first_part_of_hyphenated_word.text
-    return "".join(ch.effective_text() for ch in word.characters)
+    return word.text
 
 
 def _iter_block_words(block: Block) -> Iterable[Word]:
