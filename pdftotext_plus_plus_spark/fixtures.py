@@ -419,3 +419,218 @@ def build_corpus(n_docs: int, families: Optional[List[str]] = None,
             "family": family,
         })
     return rows
+
+
+# ---------------------------------------------------------------------------
+# extended families (round 1, wave 2)
+# ---------------------------------------------------------------------------
+
+def build_centered(rng: random.Random):
+    """T12/T13 centered block: the 2nd line is narrower and centered; the
+    centering rule (TextBlocksDetectionUtils.cpp:73-161) must keep the block
+    together even though the line would otherwise match the indent rule."""
+    col_center = MARGIN_X + (LINE_UNITS * 5.0 + 7 * WORD_GAP) / 2.0
+    title_lines = [
+        ["centered", "title", "spanning", "the", "whole", "column", "kind"],
+        ["short", "middle", "row"],
+        ["another", "quite", "wide", "centered", "line", "there", "okay"],
+    ]
+    page = _PageBuilder(1)
+    base = TOP_BASE
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    for line in title_lines:
+        width = sum(len(w) for w in line) * 5.0 + WORD_GAP * (len(line) - 1)
+        x = R1(col_center - width / 2.0)
+        place_line(page, line, x, base)
+        base = R1(base + step)
+    base = R1(base - step + BLOCK_GAP + CHAR_H * FS_BODY)
+    body = make_lines(rng, rng.randint(3, 4))
+    for li, line in enumerate(body):
+        place_line(page, line, MARGIN_X, base)
+        base = R1(base + step)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, golden_from_blocks([title_lines, body])
+
+
+def build_enumerations(rng: random.Random):
+    """T12 item rules: '-'-labeled items with indented continuation lines
+    split into one block per item (TextBlocksDetection.cpp:543-648)."""
+    items = []
+    for _ in range(3):
+        first = ["-"] + make_lines(rng, 1, units=38)[0]
+        cont = make_lines(rng, 1, units=36)[0]
+        items.append((first, cont))
+    page = _PageBuilder(1)
+    base = TOP_BASE
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    for first, cont in items:
+        place_line(page, first, MARGIN_X, base)
+        base = R1(base + step)
+        place_line(page, cont, R1(MARGIN_X + 10.0), base)  # indent 2 chars
+        base = R1(base + step)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    blocks = [[first, cont] for first, cont in items]
+    return payload, golden_from_blocks(blocks)
+
+
+def _place_superscript(page: _PageBuilder, ch: str, x: float, body_base: float,
+                       fs: float = 6.0) -> float:
+    """A superscript char: smaller font, raised baseline, bbox overlapping
+    the body line so line merging keeps it (SubSuperScriptsDetection rules:
+    fs < mostFreq - 0.9, base < line.base - 0.1)."""
+    w = R1(CHAR_W * fs)
+    sup_base = R1(body_base - 3.0)
+    page.chars.append({
+        "name": "", "text": ch, "unicodes": [ord(ch)],
+        "left_x": R1(x), "upper_y": R1(sup_base - CHAR_H * fs),
+        "right_x": R1(x + w), "lower_y": R1(sup_base),
+        "base": sup_base, "font_size": fs, "rotation": 0, "w_mode": 0,
+        "font": BODY_FONT.name,
+    })
+    return R1(x + w)
+
+
+def build_subsuper(rng: random.Random):
+    """T10 sub/superscripts + footnote detection: a body word carries a
+    superscript marker; two adjacent footnotes split at the 2nd label
+    (computePotentialFootnoteLabels / computeIsPrefixedByFootnoteLabel)."""
+    body = make_lines(rng, 3)
+    page = _PageBuilder(1)
+    base = TOP_BASE
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    for li, line in enumerate(body):
+        x = MARGIN_X
+        for wi, w in enumerate(line):
+            x = place_word(page, w, x, base)
+            if li == 0 and wi == len(line) - 1:
+                x = _place_superscript(page, "1", x, base)
+            if wi < len(line) - 1:
+                x = R1(x + WORD_GAP)
+        base = R1(base + step)
+    base = R1(base - step + BLOCK_GAP + CHAR_H * FS_BODY)
+    # two adjacent footnotes, each: superscript label + text, normal spacing
+    fn_texts = [make_lines(rng, 1, units=30)[0] for _ in range(2)]
+    fn_blocks = []
+    for i, words in enumerate(fn_texts):
+        x = MARGIN_X
+        x = _place_superscript(page, str(i + 1), x, base)
+        first, rest = words[0], words[1:]
+        x = place_word(page, first, x, base)
+        for w in rest:
+            x = R1(x + WORD_GAP)
+            x = place_word(page, w, x, base)
+        base = R1(base + step)
+        fn_blocks.append([[str(i + 1) + first] + rest])
+    payload = encode_payload(FONTS, [page.to_dict()])
+    intended_body = [line[:] for line in body]
+    intended_body[0][-1] = intended_body[0][-1] + "1"  # marker glued to word
+    return payload, golden_from_blocks([intended_body] + fn_blocks)
+
+
+def build_stacked_math(rng: random.Random):
+    """T4 stacked math: a display summation absorbs its smaller-font limits
+    (WordsDetection.cpp:261-397); the formula line becomes its own block via
+    the font-size rule."""
+    body1 = make_lines(rng, 3)
+    body2 = make_lines(rng, 3)
+    page = _PageBuilder(1)
+    base = TOP_BASE
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    for line in body1:
+        place_line(page, line, MARGIN_X, base)
+        base = R1(base + step)
+    base = R1(base - step + BLOCK_GAP + CHAR_H * FS_BODY + 6.0)
+    x0 = R1(MARGIN_X + 40.0)
+    # base word: 14pt summation symbol
+    page.chars.append({
+        "name": "summationdisplay", "text": "∑", "unicodes": [0x2211],
+        "left_x": x0, "upper_y": R1(base - 9.8), "right_x": R1(x0 + 10.0),
+        "lower_y": base, "base": base, "font_size": 14.0, "rotation": 0,
+        "w_mode": 0, "font": BODY_FONT.name,
+    })
+    # limits below: "i=0" at 6pt, x-overlapping the base symbol
+    lim_base = R1(base + 6.2)
+    x = R1(x0 + 0.5)
+    for ch in "i=0":
+        page.chars.append({
+            "name": "", "text": ch, "unicodes": [ord(ch)],
+            "left_x": x, "upper_y": R1(lim_base - 4.2), "right_x": R1(x + 3.0),
+            "lower_y": lim_base, "base": lim_base, "font_size": 6.0,
+            "rotation": 0, "w_mode": 0, "font": BODY_FONT.name,
+        })
+        x = R1(x + 3.0)
+    base = R1(lim_base + BLOCK_GAP + CHAR_H * FS_BODY + 6.0)
+    for line in body2:
+        place_line(page, line, MARGIN_X, base)
+        base = R1(base + step)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, golden_from_blocks([body1, [["∑", "i=0"]], body2])
+
+
+def build_figures(rng: random.Random):
+    """T11 same-figure rule: two caption lines inside one figure stay one
+    block despite a block-sized gap (TextBlocksDetection.cpp:327-350); a
+    wide shape acts as a reading-order separator (primary y-cut)."""
+    body = make_lines(rng, 3)
+    page = _PageBuilder(1)
+    base = TOP_BASE
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    for line in body:
+        place_line(page, line, MARGIN_X, base)
+        base = R1(base + step)
+    # wide horizontal separator shape between body and the figure zone
+    sep_y = R1(base + 4.0)
+    page.shapes.append((MARGIN_X, sep_y, R1(MARGIN_X + 220.0), R1(sep_y + 0.6)))
+    # figure box with two text lines separated by a block-sized gap; the
+    # lines are near body width so the prev-line-capacity rule cannot split
+    # them in pass 2 (the same-figure rule already kept them in pass 1)
+    fig_top = R1(sep_y + 10.0)
+    cap1 = make_lines(rng, 1, units=38)[0]
+    cap2 = make_lines(rng, 1, units=38)[0]
+    cap1_base = R1(fig_top + 20.0)
+    cap2_base = R1(cap1_base + BLOCK_GAP + CHAR_H * FS_BODY)
+    place_line(page, cap1, R1(MARGIN_X + 10.0), cap1_base)
+    place_line(page, cap2, R1(MARGIN_X + 10.0), cap2_base)
+    fig_bottom = R1(cap2_base + 20.0)
+    page.figures.append((MARGIN_X, fig_top, R1(MARGIN_X + 235.0), fig_bottom))
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, golden_from_blocks([body, [cap1, cap2]])
+
+
+def build_rotated(rng: random.Random):
+    """Rotation paths: a vertical (rotation=1) sidebar on the far left.
+    Faithful to the reference's geometry: vertically-advancing glyphs have
+    zero raw y-overlap, so each becomes its own word
+    (WordsDetection.cpp:219-231); they cluster into one rot-1 line by
+    rotLowerY=leftX and the sidebar block is ordered FIRST by the primary
+    x-cut on rotation (ReadingOrderDetection.cpp:179-194)."""
+    body = [make_lines(rng, 3), make_lines(rng, 3)]
+    page = _PageBuilder(1)
+    body_x = R1(MARGIN_X + 30.0)
+    _layout_paragraphs(page, body, body_x, TOP_BASE)
+    # vertical sidebar at x=40: glyphs advance downward
+    sidebar = "note"
+    x = 40.0
+    y = TOP_BASE
+    for ch in sidebar:
+        page.chars.append({
+            "name": "", "text": ch, "unicodes": [ord(ch)],
+            "left_x": x, "upper_y": R1(y), "right_x": R1(x + 7.0),
+            "lower_y": R1(y + 5.0), "base": x, "font_size": 10.0,
+            "rotation": 1, "w_mode": 0, "font": BODY_FONT.name,
+        })
+        y = R1(y + 5.0)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    # golden: sidebar first (primary x-cut), one word per glyph
+    sidebar_block = [[c for c in sidebar]]
+    return payload, golden_from_blocks([sidebar_block] + body)
+
+
+FAMILY_BUILDERS.update({
+    "centered": build_centered,
+    "enumerations": build_enumerations,
+    "subsuper": build_subsuper,
+    "stacked-math": build_stacked_math,
+    "figures": build_figures,
+    "rotated": build_rotated,
+})
