@@ -274,27 +274,44 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of embeddings with cosine similarity >= threshold.
 
-    Cosine computed with explicit double arithmetic identical to the oracle;
-    rounded to 4 decimals before thresholding so float noise cannot flip
-    membership.  Scale path: replace the self-join with the LSH bucketing in
-    :mod:`.similarity`.
+    Vectorized brute force: the (small) reference matrix is broadcast and
+    each Arrow batch computes a numpy matmul block — the standard
+    block-nested-loop shape for exact all-pairs similarity.  At 10^12 rows
+    you partition the broadcast side into tiles (or switch to the LSH
+    bucketing in :mod:`.similarity`); per-tile the kernel is identical.
+    Cosines are rounded to 4 decimals before thresholding so float noise
+    cannot flip membership against the oracle.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    emb = emb.select("vec_id", "embedding",
-                     F.sqrt(F.aggregate(
-                         F.transform("embedding",
-                                     lambda x: x.cast("double") * x.cast("double")),
-                         F.lit(0.0), lambda acc, x: acc + x)).alias("norm"))
-    a, b = emb.alias("a"), emb.alias("b")
-    dot = F.aggregate(
-        F.zip_with(F.col("a.embedding"), F.col("b.embedding"),
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    return (a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
-            .withColumn("cosine", F.round(dot / (F.col("a.norm") * F.col("b.norm")), 4))
-            .filter(F.col("cosine") >= COSINE_DUP_THRESHOLD)
-            .select(F.col("a.vec_id").alias("id_a"),
-                    F.col("b.vec_id").alias("id_b"), "cosine"))
+    ref = emb.select("vec_id", "embedding").collect()
+    ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
+    ref_mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
+    ref_norm = np.sqrt((ref_mat * ref_mat).sum(axis=1))
+    bc = spark.sparkContext.broadcast((ref_ids, ref_mat, ref_norm))
+    threshold = COSINE_DUP_THRESHOLD
+
+    def kernel(batches):
+        ids_b, mat_b, norm_b = bc.value
+        for pdf in batches:
+            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
+            mat_a = np.array(list(pdf["embedding"]), dtype=np.float64)
+            norm_a = np.sqrt((mat_a * mat_a).sum(axis=1))
+            sims = (mat_a @ mat_b.T) / np.outer(norm_a, norm_b)
+            sims = np.round(sims, 4)
+            # upper triangle only: id_a < id_b
+            mask = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
+            ai, bj = np.nonzero(mask)
+            yield pd.DataFrame({
+                "id_a": ids_a[ai],
+                "id_b": ids_b[bj],
+                "cosine": sims[ai, bj],
+            })
+
+    return emb.select("vec_id", "embedding").mapInPandas(
+        kernel, "id_a bigint, id_b bigint, cosine double")
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""
