@@ -57,6 +57,38 @@ def extract_text_oracle_sql() -> str:
     return ("SELECT * FROM (VALUES\n%s\n) AS t(url, extracted_text)" % values)
 
 
+def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block spans in reading order: (url, pos, block_text, role).
+
+    Checks the structured-span surface (S7/JSONL semantics) through the
+    driver: positions are the final reading order, text is the block text
+    (no dehyphenation substitution — that is a serializer-level rewrite).
+    """
+    from pyspark.sql import functions as F
+
+    from .. import engine
+
+    pages = _fixture_pages_df(spark)
+    out = engine.extract_pages(pages, with_spans=True, num_partitions=8)
+    return (out.select("url", F.posexplode("blocks").alias("pos", "block"))
+            .select("url", "pos",
+                    F.col("block.text").alias("block_text"),
+                    F.col("block.role").alias("role")))
+
+
+def extract_blocks_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+    values = []
+    for r in rows:
+        for pos, text in enumerate(r["golden_blocks"]):
+            values.append("('%s', %d, '%s', 'paragraph')"
+                          % (r["url"], pos, text.replace("'", "''")))
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, pos, block_text, role)"
+            % ",\n".join(values))
+
+
 def extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-family aggregate over extraction outputs (counts only —
     exercises spans/counters and is stable across engines via the golden
@@ -84,7 +116,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          Optional[str]]] = {
     # extraction engine (SURVEY.md §2 operators, end-to-end)
-    "extract_text": (extract_text, None),  # oracle filled in lazily below
+    "extract_text": (extract_text, None),     # oracle filled in lazily below
+    "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
@@ -121,4 +154,5 @@ def oracle_sql() -> Dict[str, str]:
     oracles = {name: sql for name, (_, sql) in QUERIES.items()
                if sql is not None}
     oracles["extract_text"] = extract_text_oracle_sql()
+    oracles["extract_blocks"] = extract_blocks_oracle_sql()
     return oracles

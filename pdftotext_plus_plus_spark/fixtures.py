@@ -173,6 +173,16 @@ def golden_from_blocks(blocks: List[List[List[str]]]) -> str:
     return "\n\n".join(" ".join(ws) for ws in out_blocks if ws) + "\n"
 
 
+def golden_block_texts(blocks: List[List[List[str]]]) -> List[str]:
+    """Intent-level block texts as built by createTextBlock
+    (TextBlocksDetectionUtils.cpp:749-761): words joined by ' ' within a
+    line, lines joined by ' ' — block text carries NO dehyphenation
+    substitution (dehyphenation runs after block creation and only rewrites
+    the serializers' word stream)."""
+    return [" ".join(" ".join(line) for line in block if line)
+            for block in blocks if any(line for line in block)]
+
+
 # ---------------------------------------------------------------------------
 # fixture families
 # ---------------------------------------------------------------------------
@@ -200,7 +210,7 @@ def build_plain_1col(rng: random.Random):
     page = _PageBuilder(1)
     _layout_paragraphs(page, paragraphs, MARGIN_X, TOP_BASE)
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks(paragraphs)
+    return payload, paragraphs
 
 
 def build_two_col(rng: random.Random):
@@ -216,7 +226,7 @@ def build_two_col(rng: random.Random):
     col_b_x = R1(MARGIN_X + 230.0 + COL_GAP)
     _layout_paragraphs(page, col_b, col_b_x, TOP_BASE)
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks(col_a + col_b)
+    return payload, col_a + col_b
 
 
 def build_hyphenated(rng: random.Random):
@@ -234,7 +244,7 @@ def build_hyphenated(rng: random.Random):
     page = _PageBuilder(1)
     _layout_paragraphs(page, paragraphs, MARGIN_X, TOP_BASE)
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks(paragraphs)
+    return payload, paragraphs
 
 
 def build_diacritics(rng: random.Random):
@@ -266,7 +276,7 @@ def build_diacritics(rng: random.Random):
     place_line(page, ["mood"], x, base)
     intended = paragraphs + [[["café", "mood"]]]
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks(intended)
+    return payload, intended
 
 
 def build_ligatures(rng: random.Random):
@@ -285,7 +295,7 @@ def build_ligatures(rng: random.Random):
     place_line(page, ["work"], x, base)
     intended = paragraphs + [[["office", "work"]]]
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks(intended)
+    return payload, intended
 
 
 def build_charnames(rng: random.Random):
@@ -301,7 +311,7 @@ def build_charnames(rng: random.Random):
         {"text": "", "name": "circlecopyrt", "unicodes": [], "width": 7.0}])
     intended = paragraphs + [[["total", "©"]]]
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks(intended)
+    return payload, intended
 
 
 def build_headings(rng: random.Random):
@@ -324,7 +334,7 @@ def build_headings(rng: random.Random):
         place_line(page, line, MARGIN_X, base)
         base = R1(base + step)
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks([heading, body1, body2])
+    return payload, [heading, body1, body2]
 
 
 def build_multi_page(rng: random.Random):
@@ -348,7 +358,7 @@ def build_multi_page(rng: random.Random):
         pages.append(page.to_dict())
         all_paragraphs.extend(paragraphs)
     payload = encode_payload(FONTS, pages)
-    return payload, golden_from_blocks(all_paragraphs)
+    return payload, all_paragraphs
 
 
 def build_degenerate(rng: random.Random):
@@ -361,7 +371,7 @@ def build_degenerate(rng: random.Random):
     place_word(page2, " ", MARGIN_X, 300.0)
     place_word(page2, " ", MARGIN_X + 10.0, 300.0)
     payload = encode_payload(FONTS, [page1.to_dict(), page2.to_dict()])
-    return payload, golden_from_blocks(paragraphs)
+    return payload, paragraphs
 
 
 def build_jumbo(rng: random.Random, n_pages: int = 12):
@@ -375,10 +385,12 @@ def build_jumbo(rng: random.Random, n_pages: int = 12):
         pages.append(page.to_dict())
         all_paragraphs.extend(paragraphs)
     payload = encode_payload(FONTS, pages)
-    return payload, golden_from_blocks(all_paragraphs)
+    return payload, all_paragraphs
 
 
-FAMILY_BUILDERS: Dict[str, Callable[[random.Random], Tuple[bytes, str]]] = {
+# Each builder returns (payload_bytes, intent_blocks); derive golden text
+# via golden_from_blocks(intent) and block texts via golden_block_texts.
+FAMILY_BUILDERS: Dict[str, Callable[[random.Random], Tuple[bytes, list]]] = {
     "plain-1col": build_plain_1col,
     "two-col": build_two_col,
     "hyphenated": build_hyphenated,
@@ -404,18 +416,19 @@ def build_corpus(n_docs: int, families: Optional[List[str]] = None,
         if jumbo_every and i % jumbo_every == jumbo_every - 1:
             family = "jumbo"
             rng = random.Random(seed * 1000003 + i)
-            payload, golden = build_jumbo(rng)
+            payload, intent = build_jumbo(rng)
         else:
             family = families[i % len(families)]
             rng = random.Random(seed * 1000003 + i)
-            payload, golden = FAMILY_BUILDERS[family](rng)
+            payload, intent = FAMILY_BUILDERS[family](rng)
         rows.append({
             "url": "https://fixture.test/%s/doc-%05d" % (family, i),
             "warc_ts": t0 + datetime.timedelta(seconds=i),
             "html": payload,
             "text": "",
             "lang": "en",
-            "golden_text": golden,
+            "golden_text": golden_from_blocks(intent),
+            "golden_blocks": golden_block_texts(intent),
             "family": family,
         })
     return rows
@@ -449,7 +462,7 @@ def build_centered(rng: random.Random):
         place_line(page, line, MARGIN_X, base)
         base = R1(base + step)
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks([title_lines, body])
+    return payload, [title_lines, body]
 
 
 def build_enumerations(rng: random.Random):
@@ -470,7 +483,7 @@ def build_enumerations(rng: random.Random):
         base = R1(base + step)
     payload = encode_payload(FONTS, [page.to_dict()])
     blocks = [[first, cont] for first, cont in items]
-    return payload, golden_from_blocks(blocks)
+    return payload, blocks
 
 
 def _place_superscript(page: _PageBuilder, ch: str, x: float, body_base: float,
@@ -524,7 +537,7 @@ def build_subsuper(rng: random.Random):
     payload = encode_payload(FONTS, [page.to_dict()])
     intended_body = [line[:] for line in body]
     intended_body[0][-1] = intended_body[0][-1] + "1"  # marker glued to word
-    return payload, golden_from_blocks([intended_body] + fn_blocks)
+    return payload, [intended_body] + fn_blocks
 
 
 def build_stacked_math(rng: random.Random):
@@ -564,7 +577,7 @@ def build_stacked_math(rng: random.Random):
         place_line(page, line, MARGIN_X, base)
         base = R1(base + step)
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks([body1, [["∑", "i=0"]], body2])
+    return payload, [body1, [["∑", "i=0"]], body2]
 
 
 def build_figures(rng: random.Random):
@@ -594,7 +607,7 @@ def build_figures(rng: random.Random):
     fig_bottom = R1(cap2_base + 20.0)
     page.figures.append((MARGIN_X, fig_top, R1(MARGIN_X + 235.0), fig_bottom))
     payload = encode_payload(FONTS, [page.to_dict()])
-    return payload, golden_from_blocks([body, [cap1, cap2]])
+    return payload, [body, [cap1, cap2]]
 
 
 def build_rotated(rng: random.Random):
@@ -623,7 +636,7 @@ def build_rotated(rng: random.Random):
     payload = encode_payload(FONTS, [page.to_dict()])
     # golden: sidebar first (primary x-cut), one word per glyph
     sidebar_block = [[c for c in sidebar]]
-    return payload, golden_from_blocks([sidebar_block] + body)
+    return payload, [sidebar_block] + body
 
 
 FAMILY_BUILDERS.update({

@@ -17,10 +17,10 @@ SEEDS = [0, 1, 7, 42, 99]
 @pytest.mark.parametrize("seed", SEEDS)
 def test_family_byte_identical(family, seed):
     rng = random.Random(seed)
-    payload, golden = fixtures.FAMILY_BUILDERS[family](rng)
+    payload, intent = fixtures.FAMILY_BUILDERS[family](rng)
     res = pipeline.extract(payload)
     assert res.parse_failure_code == 0
-    assert res.extracted_text == golden
+    assert res.extracted_text == fixtures.golden_from_blocks(intent)
 
 
 def test_corpus_byte_identical():
@@ -39,7 +39,8 @@ def test_corpus_deterministic():
 
 def test_spans_and_counts():
     rng = random.Random(3)
-    payload, golden = fixtures.build_two_col(rng)
+    payload, intent = fixtures.build_two_col(rng)
+    golden = fixtures.golden_from_blocks(intent)
     res = pipeline.extract(payload, with_spans=True)
     assert res.n_blocks == len(res.blocks) == 4
     assert res.n_pages == 1
@@ -52,7 +53,7 @@ def test_spans_and_counts():
 
 def test_extended_serialization_marks():
     rng = random.Random(5)
-    payload, golden = fixtures.build_headings(rng)
+    payload, _ = fixtures.build_headings(rng)
     res = pipeline.extract(payload)
     ext = res.extracted_text_extended
     assert ext.startswith("[PARAGRAPH] ")
