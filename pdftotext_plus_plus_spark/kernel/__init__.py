@@ -11,7 +11,7 @@ from __future__ import annotations
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..model import Doc
 from . import (blocks, dehyphenation, diacritics, lines, reading_order,
-               scripts, segmentation, stats, words)
+               roles, scripts, segmentation, stats, words)
 
 
 def process_document(doc: Doc, config: PipelineConfig = DEFAULT_CONFIG) -> Doc:
@@ -31,7 +31,9 @@ def process_document(doc: Doc, config: PipelineConfig = DEFAULT_CONFIG) -> Doc:
     stats.compute_line_statistics(doc, config)               # (10) A3
     if not config.skip_blocks_detection:                     # (11) T11-T13
         blocks.detect_blocks(doc, config)
-    if not config.skip_reading_order:                        # (12) T14
+    if not config.skip_semantic_roles:                       # (12a) T15
+        roles.predict_roles(doc, config)
+    if not config.skip_reading_order:                        # (12b) T14
         reading_order.detect_reading_order(doc, config)
     if not config.skip_dehyphenation:                        # (13) T16
         dehyphenation.dehyphenate_words(doc)

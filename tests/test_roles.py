@@ -1,0 +1,101 @@
+"""T15 surface: layout features, BPE encoder, heuristic role head, and the
+T17 role filter on the serializers."""
+
+import random
+from dataclasses import replace
+
+from pdftotext_plus_plus_spark import fixtures, pipeline, serializers
+from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG
+from pdftotext_plus_plus_spark.kernel.roles import (BytePairEncoder,
+                                                    compute_layout_features,
+                                                    split_into_words)
+
+ROLES_ON = replace(DEFAULT_CONFIG, skip_semantic_roles=False)
+
+
+def test_split_into_words():
+    assert split_into_words("This is  some\ttext") == ["This", "is", "some", "text"]
+    assert split_into_words("  lead trail  ") == ["lead", "trail"]
+    assert split_into_words("") == []
+
+
+def test_bpe_greedy_first_pair():
+    # vocab order matters: the FIRST occurring pair in the vocab merges
+    vocab = {"ab": 0, "abc": 1, "c✂": 2, "a": 3, "b": 4, "c": 5}
+    enc = BytePairEncoder(vocab)
+    # "abc" + ✂ -> pairs: ab, bc, c✂ ; 'ab' in vocab -> ["ab","c","✂"]
+    # next pairs: "abc", "c✂" ; 'abc' in vocab -> ["abc","✂"]; "abc✂" not
+    ids = enc.encode("abc", 5)
+    pad = enc.vocab["⊛"]
+    delim = enc.vocab["✂"]
+    assert ids == [1, delim, pad, pad, pad]  # "abc", "✂", pads
+
+
+def test_bpe_pad_truncate():
+    vocab = {"a": 0, "b": 1}
+    enc = BytePairEncoder(vocab)
+    ids = enc.encode("a b a b a b", 4)
+    assert len(ids) == 4
+    ids2 = enc.encode("a", 6)
+    assert len(ids2) == 6
+
+
+def test_layout_features_shape_and_ranges():
+    rng = random.Random(11)
+    payload, _ = fixtures.FAMILY_BUILDERS["headings"](rng)
+    res = pipeline.extract(payload, keep_doc=True)
+    feats = compute_layout_features(res.doc)
+    assert len(feats) == res.n_blocks
+    for row in feats:
+        assert len(row) == 15
+        # normalized coords and ratios stay in [0, 1]
+        for v in row:
+            assert -0.001 <= v <= 1.001
+    # the heading block (largest font) has fs_enc == 1.0
+    assert any(row[5] == 1.0 for row in feats)
+
+
+def test_heuristic_roles_headings():
+    rng = random.Random(11)
+    payload, _ = fixtures.FAMILY_BUILDERS["headings"](rng)
+    res = pipeline.extract(payload, config=ROLES_ON, with_spans=True)
+    roles = [b.role for b in res.blocks]
+    # the 14pt bold heading becomes title (first emphasized max-font block)
+    assert roles[0] == "title"
+    assert all(r == "paragraph" for r in roles[1:])
+
+
+def test_heuristic_roles_footnote_and_caption():
+    rng = random.Random(11)
+    payload, _ = fixtures.FAMILY_BUILDERS["subsuper"](rng)
+    res = pipeline.extract(payload, config=ROLES_ON, with_spans=True)
+    roles = [b.role for b in res.blocks]
+    assert roles.count("footnote") == 2
+
+    payload, _ = fixtures.FAMILY_BUILDERS["figures"](rng)
+    res = pipeline.extract(payload, config=ROLES_ON, with_spans=True)
+    roles = [b.role for b in res.blocks]
+    assert "caption" in roles
+
+
+def test_role_filter_serialization():
+    """T17: serializers drop blocks whose role is filtered out
+    (PlainTextSerializer.cpp:47-49)."""
+    rng = random.Random(11)
+    payload, _ = fixtures.FAMILY_BUILDERS["headings"](rng)
+    res = pipeline.extract(payload, config=ROLES_ON, keep_doc=True)
+    full = serializers.serialize_txt(res.doc)
+    only_para = serializers.serialize_txt(res.doc, roles={"paragraph"})
+    assert len(only_para) < len(full)
+    title_text = res.doc.pages[0].blocks[0].text
+    assert title_text.split()[0] in full
+    assert title_text.split()[0] not in only_para
+
+
+def test_roles_do_not_change_default_txt():
+    """With the stage enabled, TXT output (no role filter) is unchanged."""
+    rng = random.Random(3)
+    for fam in ("plain-1col", "two-col", "headings"):
+        payload, intent = fixtures.FAMILY_BUILDERS[fam](rng)
+        golden = fixtures.golden_from_blocks(intent)
+        assert pipeline.extract(payload, config=ROLES_ON).extracted_text == golden
