@@ -1,0 +1,75 @@
+#!/usr/bin/env python3
+"""Batch extraction job — the spark-submit entry point.
+
+Cluster usage (north rule):
+
+    cd /root/repo && zip -qr /tmp/engine.zip pdftotext_plus_plus_spark
+    spark-submit --py-files /tmp/engine.zip scripts/extract_job.py \
+        --input  s3://corpus/pages/          \
+        --output s3://corpus/extracted/      \
+        --partitions 4096 --with-spans
+
+Local smoke:
+
+    python3 scripts/extract_job.py --demo
+
+The job writes a data snapshot plus per-partition lineage rows and resumes
+exactly from the committed snapshot on re-run (anti-join on url).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--input", help="input pages parquet path")
+    parser.add_argument("--output", help="output snapshot directory")
+    parser.add_argument("--partitions", type=int, default=None)
+    parser.add_argument("--with-spans", action="store_true")
+    parser.add_argument("--no-resume", action="store_true")
+    parser.add_argument("--demo", action="store_true",
+                        help="run on a generated 200-doc fixture corpus in /tmp")
+    args = parser.parse_args()
+
+    from pyspark.sql import SparkSession
+
+    from pdftotext_plus_plus_spark import engine
+
+    spark = SparkSession.builder.appName("pdftotext++-spark").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.demo:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        from pdftotext_plus_plus_spark import fixtures
+
+        rows = fixtures.build_corpus(200, jumbo_every=40)
+        demo_in = "/tmp/extract_job_demo_pages.parquet"
+        pq.write_table(pa.table({
+            "url": [r["url"] for r in rows],
+            "html": [r["html"] for r in rows]}), demo_in)
+        args.input = demo_in
+        args.output = args.output or "/tmp/extract_job_demo_out"
+
+    if not args.input or not args.output:
+        parser.error("--input and --output are required (or use --demo)")
+
+    summary = engine.run_job(
+        spark, args.input, args.output,
+        with_spans=args.with_spans,
+        num_partitions=args.partitions,
+        resume=not args.no_resume)
+    print(json.dumps(summary))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
