@@ -647,3 +647,42 @@ FAMILY_BUILDERS.update({
     "figures": build_figures,
     "rotated": build_rotated,
 })
+
+
+def build_hanging_indent(rng: random.Random):
+    """T12/T13 hanging indent: reference-list entries (flush first lines,
+    constantly-indented lowercase continuations).  computeHangingIndent
+    (TextBlocksDetectionUtils.cpp:243-393) detects the format; the
+    non-indented lines then start blocks (TextBlocksDetection.cpp:727-731).
+
+    The continuations are laid out justified to the same right edge as the
+    first lines so the block does not read as centered
+    (computeIsTextLinesCentered needs |leftOff| ~ |rightOff|).
+    """
+    indent = 15.0  # 3 chars > hangIndentMarginThreshold (1 x avgCharWidth)
+    entries = []
+    for _ in range(3):
+        first = make_lines(rng, 1, units=LINE_UNITS)[0]
+        first[0] = first[0].capitalize()  # non-indented lines start upper
+        # keep the continuation's word count close to the first line's so
+        # |rightOff| stays far from |leftOff| and the pair cannot read as
+        # centered (computeIsCentered tolerance is 2 x avgCharWidth)
+        cont = make_lines(rng, 1, units=37)[0]
+        for _attempt in range(50):
+            if abs(len(cont) - len(first)) <= 1:
+                break
+            cont = make_lines(rng, 1, units=37)[0]
+        entries.append((first, cont))
+    page = _PageBuilder(1)
+    base = TOP_BASE
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    for first, cont in entries:
+        place_line(page, first, MARGIN_X, base)
+        base = R1(base + step)
+        place_line(page, cont, R1(MARGIN_X + indent), base)
+        base = R1(base + step)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, [[first, cont] for first, cont in entries]
+
+
+FAMILY_BUILDERS["hanging-indent"] = build_hanging_indent
