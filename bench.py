@@ -32,7 +32,20 @@ CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
 REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
 JUMBO_EVERY = 50
-CORPUS_PATH = "/tmp/spark_graft_bench_corpus.parquet"
+
+
+def _corpus_path() -> str:
+    """Cache path keyed by corpus spec so family changes invalidate it."""
+    import hashlib
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from pdftotext_plus_plus_spark import fixtures
+    spec = "%d:%d:%s" % (BENCH_DOCS, JUMBO_EVERY,
+                         ",".join(sorted(fixtures.FAMILY_BUILDERS)))
+    tag = hashlib.md5(spec.encode()).hexdigest()[:10]
+    return "/tmp/spark_graft_bench_corpus_%s.parquet" % tag
+
+
+CORPUS_PATH = _corpus_path()
 
 # headline datapipe queries (ngram_jaccard excluded: the synthetic word-soup
 # vocabulary makes char-3-gram joins quadratic at sf0.1 — see datapipe notes)

@@ -168,6 +168,47 @@ def serialize_jsonl(doc: Doc, units: Iterable[str] = ("blocks",),
                                    _num(word.lower_y), word.font_name,
                                    _num(word.font_size), escape_json(word.text),
                                    block.page_num, block.rank))
+        elif unit == "characters":
+            # JsonlSerializer.cpp:101-156: chars of serialized blocks only,
+            # merged diacritic marks skipped, merged text substituted
+            for page in doc.pages:
+                for block in page.blocks:
+                    if roles is not None and block.role not in roles:
+                        continue
+                    for line in block.lines:
+                        for word in line.words:
+                            for c in word.characters:
+                                if c.diacritic_mark_of_base_char is not None:
+                                    continue
+                                font = doc.font_infos.get(c.font_name)
+                                text = (c.text_with_diacritic_mark
+                                        if c.base_char_of_diacritic_mark is not None
+                                        else c.text)
+                                out.append(
+                                    '{"type": "char", "id": "char-%d-%d", '
+                                    '"rank": %d, "page": %d, "minX": %s, '
+                                    '"minY": %s, "maxX": %s, "maxY": %s, '
+                                    '"wMode": %d, "rotation": %d, '
+                                    '"font": "%s", "fontSize": %s, '
+                                    '"weight": %d, "italic": %s, '
+                                    '"type-3": %s, "color": [%s,%s,%s],'
+                                    '"opacity": %s, "text": "%s", '
+                                    '"word": "word-%d-%d", '
+                                    '"block": "block-%d-%d", '
+                                    '"origin": "pdftotext++"}'
+                                    % (c.page_num, c.rank, c.rank, c.page_num,
+                                       _num(c.left_x), _num(c.upper_y),
+                                       _num(c.right_x), _num(c.lower_y),
+                                       c.w_mode, c.rotation, c.font_name,
+                                       _num(c.font_size),
+                                       font.weight if font else 400,
+                                       "true" if font and font.is_italic else "false",
+                                       "true" if font and font.is_type3 else "false",
+                                       _num(c.color[0]), _num(c.color[1]),
+                                       _num(c.color[2]), _num(c.opacity),
+                                       escape_json(text),
+                                       word.page_num, word.rank,
+                                       block.page_num, block.rank))
         elif unit == "figures":
             for page in doc.pages:
                 for i, f in enumerate(page.figures):
