@@ -8,33 +8,51 @@ via :class:`~..config.PipelineConfig` flags exactly like the reference's
 
 from __future__ import annotations
 
+import time
+from typing import Dict, Optional
+
 from ..config import DEFAULT_CONFIG, PipelineConfig
 from ..model import Doc
 from . import (blocks, dehyphenation, diacritics, lines, reading_order,
                roles, scripts, segmentation, stats, words)
 
+# Stage labels mirror the reference's --print-running-times report
+# (/root/reference/src/PdfToTextPlusPlus.cpp:86-253).
+_STAGES = (
+    ("Calculate glyph statistics", None,
+     lambda doc, cfg: stats.compute_glyph_statistics(doc)),
+    ("Merge combining diacritics", "skip_diacritics_merging",
+     diacritics.merge_diacritical_marks),
+    ("Detect words", "skip_words_detection", words.detect_words),
+    ("Calculate words statistics", None, stats.compute_word_statistics),
+    ("Segment pages", "skip_page_segmentation", segmentation.segment_pages),
+    ("Detect lines", "skip_lines_detection", lines.detect_lines),
+    ("Detect sub/superscripts", "skip_sub_super_scripts",
+     scripts.detect_sub_super_scripts),
+    ("Calculate text line statistics", None, stats.compute_line_statistics),
+    ("Detect text blocks", "skip_blocks_detection", blocks.detect_blocks),
+    ("Predict semantic roles", "skip_semantic_roles", roles.predict_roles),
+    ("Detect reading order", "skip_reading_order",
+     reading_order.detect_reading_order),
+    ("Dehyphenate words", "skip_dehyphenation",
+     lambda doc, cfg: dehyphenation.dehyphenate_words(doc)),
+)
 
-def process_document(doc: Doc, config: PipelineConfig = DEFAULT_CONFIG) -> Doc:
-    """Run stages 3-13 on a decoded document (stages 1-2 = codec.decode)."""
-    stats.compute_glyph_statistics(doc)                      # (3)  A1
-    if not config.skip_diacritics_merging:                   # (4)  T1
-        diacritics.merge_diacritical_marks(doc, config)
-    if not config.skip_words_detection:                      # (5)  T2-T4
-        words.detect_words(doc, config)
-    stats.compute_word_statistics(doc, config)               # (6)  A2
-    if not config.skip_page_segmentation:                    # (7)  T5/T6
-        segmentation.segment_pages(doc, config)
-    if not config.skip_lines_detection:                      # (8)  T7-T9
-        lines.detect_lines(doc, config)
-    if not config.skip_sub_super_scripts:                    # (9)  T10
-        scripts.detect_sub_super_scripts(doc, config)
-    stats.compute_line_statistics(doc, config)               # (10) A3
-    if not config.skip_blocks_detection:                     # (11) T11-T13
-        blocks.detect_blocks(doc, config)
-    if not config.skip_semantic_roles:                       # (12a) T15
-        roles.predict_roles(doc, config)
-    if not config.skip_reading_order:                        # (12b) T14
-        reading_order.detect_reading_order(doc, config)
-    if not config.skip_dehyphenation:                        # (13) T16
-        dehyphenation.dehyphenate_words(doc)
+
+def process_document(doc: Doc, config: PipelineConfig = DEFAULT_CONFIG,
+                     timings_ms: Optional[Dict[str, float]] = None) -> Doc:
+    """Run stages 3-13 on a decoded document (stages 1-2 = codec.decode).
+
+    When ``timings_ms`` is given, per-stage wall times are recorded under
+    the reference's stage names (Timing records, Types.h:1247-1265).
+    """
+    for name, skip_flag, fn in _STAGES:
+        if skip_flag is not None and getattr(config, skip_flag):
+            continue
+        if timings_ms is None:
+            fn(doc, config)
+        else:
+            t0 = time.perf_counter()
+            fn(doc, config)
+            timings_ms[name] = (time.perf_counter() - t0) * 1000.0
     return doc

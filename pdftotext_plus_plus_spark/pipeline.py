@@ -70,10 +70,8 @@ def extract(payload: Optional[bytes],
         result.extracted_text_extended = "\n"
         return result
 
-    t1 = time.perf_counter() if with_timings else 0.0
-    process_document(doc, config)
-    if with_timings:
-        result.timings_ms[STAGE_PIPELINE] = (time.perf_counter() - t1) * 1000.0
+    process_document(doc, config,
+                     timings_ms=result.timings_ms if with_timings else None)
 
     t2 = time.perf_counter() if with_timings else 0.0
     result.extracted_text = serializers.serialize_txt(doc)
