@@ -182,6 +182,8 @@ def _resolve_text(raw_text: str, name: str, unicodes: List[int]) -> str:
 
 
 def _is_whitespace_text(text: str) -> bool:
+    if len(text) == 1:  # fast path: almost every char event is 1 char
+        return text in WHITESPACE_TEXTS
     return len(text) > 0 and all(ch in WHITESPACE_TEXTS for ch in text)
 
 
@@ -229,31 +231,41 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                 names = r.str_blob(n_chars)
                 texts = r.str_blob(n_chars)
                 unicodes = r.u32_blob(n_chars)
+                num_list = num.tolist()  # one C-level conversion to floats
                 rank = 0
+                append = page.characters.append
                 for i in range(n_chars):
                     text = _resolve_text(texts[i], names[i], unicodes[i])
                     # whitespace suppression (PdfParsing.cpp:229-245)
                     if not text or _is_whitespace_text(text):
                         continue
-                    c = Char()
-                    row = num[i]
-                    c.left_x = float(row[0])
-                    c.upper_y = float(row[1])
-                    c.right_x = float(row[2])
-                    c.lower_y = float(row[3])
-                    c.base = float(row[4])
-                    c.font_size = float(row[5])
+                    row = num_list[i]
+                    # hot path: bypass __init__, set every slot explicitly
+                    c = Char.__new__(Char)
+                    c.left_x = row[0]
+                    c.upper_y = row[1]
+                    c.right_x = row[2]
+                    c.lower_y = row[3]
+                    c.base = row[4]
+                    c.font_size = row[5]
                     c.rotation = int(row[6])
                     c.w_mode = int(row[7])
-                    font = fonts[int(row[8])]
-                    c.font_name = font.name
+                    c.font_name = fonts[int(row[8])].name
                     c.name = names[i]
                     c.text = text
                     c.unicodes = unicodes[i] if unicodes[i] else [ord(ch) for ch in text]
                     c.page_num = page_num
                     c.rank = rank
+                    c.color = (0.0, 0.0, 0.0)
+                    c.opacity = 1.0
+                    c.word = None
+                    c.diacritic_mark_of_base_char = None
+                    c.base_char_of_diacritic_mark = None
+                    c.text_with_diacritic_mark = ""
+                    c.is_subscript = False
+                    c.is_superscript = False
                     rank += 1
-                    page.characters.append(c)
+                    append(c)
 
             for kind, target in (("figure", page.figures),
                                  ("shape", page.shapes),
