@@ -14,7 +14,7 @@ observable.
 
 from __future__ import annotations
 
-from typing import Dict, List, Tuple
+from typing import Dict, List
 
 from ..config import PipelineConfig
 from ..model import Doc, Line, Page, Segment, Word

@@ -22,7 +22,7 @@ stage skipped; the heuristic surface is tested separately.
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence
+from typing import Dict, List
 
 from ..config import PipelineConfig
 from ..model import Block, Doc
