@@ -1,0 +1,82 @@
+"""Windowed/relational operators over the ``events`` table.
+
+These exercise the relational checklist surface (SURVEY.md §2.5): the
+reference's prev/next-neighbor rules are lag()-over-order patterns and its
+words/blocks detection is break-flag + cumsum sessionization — here the
+same shapes run relationally: gap-based sessionization and tumbling-window
+aggregation (the batch form of the Structured Streaming window op).
+
+Scale notes: both ops are one shuffle on the natural key (user_id / window
+bucket) with map-side partial aggregation; no joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+SESSION_GAP_S = 1800  # 30 min
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessions per user: a new session starts when the gap to the
+    previous event exceeds 30 minutes (lag + cumsum — the relational form of
+    the kernel's words-detection break-flag pattern)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    flagged = ev.withColumn(
+        "new_session",
+        (F.col("ts_s") - F.lag("ts_s").over(w) > SESSION_GAP_S)
+        .cast("int")).fillna({"new_session": 1})
+    with_ids = flagged.withColumn(
+        "session_idx",
+        F.sum("new_session").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (with_ids.groupBy("user_id", "session_idx")
+            .agg(F.count("*").alias("n_events"),
+                 F.min("ts_s").alias("session_start_s"),
+                 F.max("ts_s").alias("session_end_s")))
+
+
+SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_id FROM events
+), flagged AS (
+  SELECT user_id, ts_s, event_id,
+         CASE WHEN ts_s - lag(ts_s) OVER w > {SESSION_GAP_S} THEN 1
+              WHEN lag(ts_s) OVER w IS NULL THEN 1
+              ELSE 0 END AS new_session
+  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+), with_ids AS (
+  SELECT user_id, ts_s,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+)
+SELECT user_id, session_idx, count(*) AS n_events,
+       min(ts_s) AS session_start_s, max(ts_s) AS session_end_s
+FROM with_ids GROUP BY user_id, session_idx
+"""
+
+
+def tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour windows per event type (batch form of the Structured
+    Streaming windowed aggregation)."""
+    ev = _events(spark, sf_dir)
+    return (ev.withColumn("hour_bucket",
+                          F.floor(F.unix_timestamp("ts") / 3600).cast("bigint"))
+            .groupBy("hour_bucket", "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("value_sum")))
+
+
+TUMBLING_COUNTS_SQL = """
+SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour_bucket,
+       event_type, count(*) AS n_events, round(sum(value), 4) AS value_sum
+FROM events GROUP BY 1, 2
+"""

@@ -13,7 +13,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, multimodal, similarity, textstats
+from . import dedup, events, multimodal, similarity, textstats
 
 N_EXTRACT_DOCS = 48
 
@@ -143,6 +143,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # multimodal plumbing
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),
+    # windowed/relational ops over events (§2.5 surface)
+    "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
+    "event_tumbling_counts": (events.tumbling_counts,
+                              events.TUMBLING_COUNTS_SQL),
 }
 
 
