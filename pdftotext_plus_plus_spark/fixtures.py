@@ -214,10 +214,12 @@ def build_plain_1col(rng: random.Random):
 
 
 def build_two_col(rng: random.Random):
-    """T5/T6 column split + T14 reading order (left column first)."""
-    n_lines = rng.randint(6, 8)
-    col_a = [make_lines(rng, n_lines), make_lines(rng, n_lines)]
-    col_b = [make_lines(rng, n_lines), make_lines(rng, n_lines)]
+    """T5/T6 column split + T14 reading order (left column first); the
+    columns have different paragraph lengths (real layouts are ragged)."""
+    col_a = [make_lines(rng, rng.randint(5, 8)),
+             make_lines(rng, rng.randint(5, 8))]
+    col_b = [make_lines(rng, rng.randint(5, 8)),
+             make_lines(rng, rng.randint(5, 8))]
     page = _PageBuilder(1)
     # emit column A first (extraction order = reading order)
     _layout_paragraphs(page, col_a, MARGIN_X, TOP_BASE)
