@@ -13,7 +13,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, events, multimodal, similarity, textstats
+from . import dedup, events, htmlstrip, multimodal, similarity, textstats
 
 N_EXTRACT_DOCS = 48
 
@@ -143,6 +143,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # multimodal plumbing
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),
+    # HTML boilerplate strip (north-rule raw-HTML surface)
+    "boilerplate_strip": (
+        lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
+        None),  # oracle filled in lazily below
     # windowed/relational ops over events (§2.5 surface)
     "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "event_tumbling_counts": (events.tumbling_counts,
@@ -159,4 +163,5 @@ def oracle_sql() -> Dict[str, str]:
                if sql is not None}
     oracles["extract_text"] = extract_text_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
+    oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     return oracles

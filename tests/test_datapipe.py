@@ -80,3 +80,16 @@ def test_multimodal_decode_stub():
     assert decode_image(blob, fake=True) == (64, 48, 7)
     with pytest.raises(NotImplementedError):
         decode_image(blob, fake=False)
+
+
+def test_boilerplate_strip_matches_python_mirror(spark):
+    from pdftotext_plus_plus_spark.datapipe import htmlstrip
+
+    rows = {r["url"]: r["main_text"]
+            for r in htmlstrip.boilerplate_strip(spark, SF_DIR).collect()}
+    for url, html in htmlstrip.build_html_corpus():
+        assert rows[url] == htmlstrip.strip_boilerplate_py(html)
+    # boilerplate really gone
+    sample = next(iter(rows.values()))
+    for token in ("<", ">", "home", "ads", "2024 example", "color:red"):
+        assert token not in sample
