@@ -89,6 +89,33 @@ def extract_blocks_oracle_sql() -> str:
             % ",\n".join(values))
 
 
+def extract_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-url physical word count — checks T2/T3 word segmentation through
+    the driver (the intent token count equals the detected word count for
+    every fixture family)."""
+    from .. import engine
+
+    pages = _fixture_pages_df(spark)
+    out = engine.extract_pages(pages, num_partitions=8)
+    return out.select("url", "n_words", "n_blocks", "n_pages")
+
+
+def extract_word_counts_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+    values = []
+    for r in rows:
+        intent = r["golden_intent"]
+        n_words = sum(len(line) for block in intent for line in block)
+        n_blocks = len(r["golden_blocks"])
+        n_pages = r["n_pages"]
+        values.append("('%s', %d, %d, %d)"
+                      % (r["url"], n_words, n_blocks, n_pages))
+    return ("SELECT * FROM (VALUES\n%s\n) "
+            "AS t(url, n_words, n_blocks, n_pages)" % ",\n".join(values))
+
+
 def extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-family aggregate over extraction outputs (counts only —
     exercises spans/counters and is stable across engines via the golden
@@ -118,6 +145,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # extraction engine (SURVEY.md §2 operators, end-to-end)
     "extract_text": (extract_text, None),     # oracle filled in lazily below
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
+    "extract_word_counts": (extract_word_counts, None),  # oracle below
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
@@ -164,4 +192,5 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_text"] = extract_text_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
+    oracles["extract_word_counts"] = extract_word_counts_oracle_sql()
     return oracles

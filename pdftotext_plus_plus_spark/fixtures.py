@@ -405,6 +405,18 @@ FAMILY_BUILDERS: Dict[str, Callable[[random.Random], Tuple[bytes, list]]] = {
 }
 
 
+def _count_pages(payload: bytes) -> int:
+    """Page count straight from the payload header (codec layout)."""
+    import struct
+    pos = 4 + 2
+    n_fonts = struct.unpack_from("<I", payload, pos)[0]
+    pos += 4
+    for _ in range(n_fonts):
+        name_len = struct.unpack_from("<H", payload, pos)[0]
+        pos += 2 + name_len + 21
+    return struct.unpack_from("<I", payload, pos)[0]
+
+
 def build_corpus(n_docs: int, families: Optional[List[str]] = None,
                  seed: int = 42, jumbo_every: int = 0) -> List[dict]:
     """Deterministic corpus rows matching the input_hint schema plus
@@ -431,6 +443,8 @@ def build_corpus(n_docs: int, families: Optional[List[str]] = None,
             "lang": "en",
             "golden_text": golden_from_blocks(intent),
             "golden_blocks": golden_block_texts(intent),
+            "golden_intent": intent,
+            "n_pages": _count_pages(payload),
             "family": family,
         })
     return rows
