@@ -50,7 +50,7 @@ BLOCK_SPAN_TYPE = pa.struct([
 ])
 
 
-def _arrow_schema(with_spans: bool) -> pa.Schema:
+def _arrow_schema(with_spans: bool, with_jsonl: bool = False) -> pa.Schema:
     fields = [
         ("url", pa.string()),
         ("extracted_text", pa.string()),
@@ -67,10 +67,12 @@ def _arrow_schema(with_spans: bool) -> pa.Schema:
     ]
     if with_spans:
         fields.append(("blocks", pa.list_(BLOCK_SPAN_TYPE)))
+    if with_jsonl:
+        fields.append(("jsonl", pa.string()))
     return pa.schema(fields)
 
 
-def _spark_schema_ddl(with_spans: bool) -> str:
+def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False) -> str:
     ddl = ("url string, extracted_text string, extracted_text_extended string, "
            "parse_failure_code int, n_pages int, n_chars int, n_words int, "
            "n_lines int, n_blocks int, payload_bytes bigint, part_id int, "
@@ -79,6 +81,8 @@ def _spark_schema_ddl(with_spans: bool) -> str:
         ddl += (", blocks array<struct<page: int, rank: int, min_x: double, "
                 "min_y: double, max_x: double, max_y: double, font: string, "
                 "font_size: double, text: string, role: string>>")
+    if with_jsonl:
+        ddl += ", jsonl string"
     return ddl
 
 
@@ -86,8 +90,9 @@ def _spark_schema_ddl(with_spans: bool) -> str:
 # kernel
 # ---------------------------------------------------------------------------
 
-def _make_kernel(config: PipelineConfig, with_spans: bool):
-    schema = _arrow_schema(with_spans)
+def _make_kernel(config: PipelineConfig, with_spans: bool,
+                 roles=None, jsonl_units=None):
+    schema = _arrow_schema(with_spans, bool(jsonl_units))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -105,9 +110,11 @@ def _make_kernel(config: PipelineConfig, with_spans: bool):
             codes, pages, chars, words, lines, blocks_n = [], [], [], [], [], []
             sizes, times = [], []
             spans = [] if with_spans else None
+            jsonls = [] if jsonl_units else None
             for i in range(n):
                 t0 = time.perf_counter()
-                res = extract(htmls[i], config, with_spans=with_spans)
+                res = extract(htmls[i], config, with_spans=with_spans,
+                              roles=roles, jsonl_units=jsonl_units)
                 dt = (time.perf_counter() - t0) * 1000.0
                 texts.append(res.extracted_text)
                 texts_ext.append(res.extracted_text_extended)
@@ -125,6 +132,8 @@ def _make_kernel(config: PipelineConfig, with_spans: bool):
                         "min_y": b.min_y, "max_x": b.max_x, "max_y": b.max_y,
                         "font": b.font, "font_size": b.font_size,
                         "text": b.text, "role": b.role} for b in res.blocks])
+                if jsonl_units:
+                    jsonls.append(res.jsonl)
 
             arrays = [
                 pa.array(urls, pa.string()),
@@ -142,6 +151,8 @@ def _make_kernel(config: PipelineConfig, with_spans: bool):
             ]
             if with_spans:
                 arrays.append(pa.array(spans, pa.list_(BLOCK_SPAN_TYPE)))
+            if jsonl_units:
+                arrays.append(pa.array(jsonls, pa.string()))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return kernel
@@ -174,15 +185,23 @@ def salted_repartition(df, num_partitions: Optional[int] = None,
 def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
                   with_spans: bool = False,
                   num_partitions: Optional[int] = None,
-                  salted: bool = True):
-    """pages DataFrame -> extraction DataFrame (one row per url)."""
+                  salted: bool = True,
+                  roles=None,
+                  jsonl_units=None):
+    """pages DataFrame -> extraction DataFrame (one row per url).
+
+    ``roles`` / ``jsonl_units`` mirror the reference CLI's --role / --type
+    options (serializer-level filtering and the JSONL sink)."""
     projected = df.select("url", "html")  # column pruning reaches the scan
     if salted:
         projected = salted_repartition(projected, num_partitions)
     elif num_partitions:
         projected = projected.repartition(num_partitions)
-    return projected.mapInArrow(_make_kernel(config, with_spans),
-                                _spark_schema_ddl(with_spans))
+    roles = frozenset(roles) if roles else None
+    jsonl_units = tuple(jsonl_units) if jsonl_units else None
+    return projected.mapInArrow(
+        _make_kernel(config, with_spans, roles, jsonl_units),
+        _spark_schema_ddl(with_spans, bool(jsonl_units)))
 
 
 def lineage_frame(result_df):
@@ -205,7 +224,9 @@ def run_job(spark, input_path: str, output_path: str,
             config: PipelineConfig = DEFAULT_CONFIG,
             with_spans: bool = False,
             num_partitions: Optional[int] = None,
-            resume: bool = True) -> dict:
+            resume: bool = True,
+            roles=None,
+            jsonl_units=None) -> dict:
     """Batch extraction job with snapshot + lineage + exact resume.
 
     Resume semantics: rows whose ``url`` already exists in the committed
@@ -226,7 +247,8 @@ def run_job(spark, input_path: str, output_path: str,
         except AnalysisException:
             pass  # first run: no committed snapshot yet
 
-    result = extract_pages(pages, config, with_spans, num_partitions)
+    result = extract_pages(pages, config, with_spans, num_partitions,
+                           roles=roles, jsonl_units=jsonl_units)
     result.write.mode("append").parquet(data_path)
 
     committed = spark.read.parquet(data_path)

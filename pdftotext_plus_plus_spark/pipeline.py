@@ -48,6 +48,7 @@ class ExtractionResult:
     n_blocks: int = 0
     blocks: List[BlockSpan] = field(default_factory=list)
     timings_ms: Dict[str, float] = field(default_factory=dict)
+    jsonl: str = ""
     doc: Optional[Doc] = None
 
 
@@ -55,8 +56,15 @@ def extract(payload: Optional[bytes],
             config: PipelineConfig = DEFAULT_CONFIG,
             keep_doc: bool = False,
             with_spans: bool = True,
-            with_timings: bool = False) -> ExtractionResult:
-    """Run decode -> 13-stage pipeline -> serializers on one payload."""
+            with_timings: bool = False,
+            roles=None,
+            jsonl_units=None) -> ExtractionResult:
+    """Run decode -> 13-stage pipeline -> serializers on one payload.
+
+    ``roles`` filters serialized blocks like the reference's --role option
+    (PlainTextSerializer.cpp:47-49); ``jsonl_units`` additionally produces
+    the JSONL serialization for the requested element types (--type).
+    """
     result = ExtractionResult()
 
     t0 = time.perf_counter() if with_timings else 0.0
@@ -74,8 +82,10 @@ def extract(payload: Optional[bytes],
                      timings_ms=result.timings_ms if with_timings else None)
 
     t2 = time.perf_counter() if with_timings else 0.0
-    result.extracted_text = serializers.serialize_txt(doc)
-    result.extracted_text_extended = serializers.serialize_txt_extended(doc)
+    result.extracted_text = serializers.serialize_txt(doc, roles)
+    result.extracted_text_extended = serializers.serialize_txt_extended(doc, roles)
+    if jsonl_units:
+        result.jsonl = serializers.serialize_jsonl(doc, jsonl_units, roles)
     if with_timings:
         result.timings_ms[STAGE_SERIALIZE] = (time.perf_counter() - t2) * 1000.0
 

@@ -34,13 +34,32 @@ def main() -> None:
     parser.add_argument("--partitions", type=int, default=None)
     parser.add_argument("--with-spans", action="store_true")
     parser.add_argument("--no-resume", action="store_true")
+    # reference-CLI parity (pdftotext++.cpp options)
+    parser.add_argument("--role", action="append", default=None,
+                        help="only serialize blocks with these roles "
+                             "(repeatable; default: all roles)")
+    parser.add_argument("--type", action="append", default=None,
+                        dest="units",
+                        help="also emit a JSONL column with these element "
+                             "types (pages/blocks/words/characters/figures/"
+                             "shapes; repeatable)")
+    parser.add_argument("--skip-dehyphenation", action="store_true")
+    parser.add_argument("--skip-reading-order", action="store_true")
+    parser.add_argument("--skip-diacritics-merging", action="store_true")
+    parser.add_argument("--predict-semantic-roles", action="store_true",
+                        help="enable the heuristic semantic-role head "
+                             "(default off, like --skip-semantic-roles-"
+                             "prediction in the reference)")
     parser.add_argument("--demo", action="store_true",
                         help="run on a generated 200-doc fixture corpus in /tmp")
     args = parser.parse_args()
 
+    from dataclasses import replace
+
     from pyspark.sql import SparkSession
 
     from pdftotext_plus_plus_spark import engine
+    from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG
 
     spark = SparkSession.builder.appName("pdftotext++-spark").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -62,11 +81,20 @@ def main() -> None:
     if not args.input or not args.output:
         parser.error("--input and --output are required (or use --demo)")
 
+    config = replace(
+        DEFAULT_CONFIG,
+        skip_dehyphenation=args.skip_dehyphenation,
+        skip_reading_order=args.skip_reading_order,
+        skip_diacritics_merging=args.skip_diacritics_merging,
+        skip_semantic_roles=not args.predict_semantic_roles)
     summary = engine.run_job(
         spark, args.input, args.output,
+        config=config,
         with_spans=args.with_spans,
         num_partitions=args.partitions,
-        resume=not args.no_resume)
+        resume=not args.no_resume,
+        roles=set(args.role) if args.role else None,
+        jsonl_units=tuple(args.units) if args.units else None)
     print(json.dumps(summary))
     spark.stop()
 
