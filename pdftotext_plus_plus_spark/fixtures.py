@@ -702,3 +702,24 @@ def build_hanging_indent(rng: random.Random):
 
 
 FAMILY_BUILDERS["hanging-indent"] = build_hanging_indent
+
+
+def build_three_col(rng: random.Random):
+    """Three columns: the x-cut sweep must choose TWO cuts in one pass,
+    exercising the prevChosenCut path of the slim-group veto
+    (PageSegmentation.cpp:348-406)."""
+    cols = []
+    for _ in range(3):
+        cols.append([make_lines(rng, rng.randint(5, 7), units=26),
+                     make_lines(rng, rng.randint(4, 6), units=26)])
+    page = _PageBuilder(1)
+    x = MARGIN_X
+    for col in cols:
+        _layout_paragraphs(page, col, x, TOP_BASE)
+        # column width: 26 units * 5 + gaps ~ 150; next column after a gap
+        x = R1(x + 26 * 5.0 + 9 * WORD_GAP + COL_GAP)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, [p for col in cols for p in col]
+
+
+FAMILY_BUILDERS["three-col"] = build_three_col
