@@ -234,11 +234,21 @@ def run_job(spark, input_path: str, output_path: str,
     processes only the remainder — the parquet/Iceberg commit is the
     checkpoint boundary.
     """
+    from pyspark.sql import functions as F
     from pyspark.sql.utils import AnalysisException
 
     pages = spark.read.parquet(input_path)
     data_path = output_path.rstrip("/") + "/data"
     lineage_path = output_path.rstrip("/") + "/lineage"
+    files_path = output_path.rstrip("/") + "/lineage_files"
+
+    # input-file manifest (north rule: lineage records the input files);
+    # computed on the raw scan, where file provenance still exists
+    manifest = (pages
+                .groupBy(F.input_file_name().alias("input_file"))
+                .agg(F.count("*").alias("n_rows"),
+                     F.sum(F.length("html")).alias("payload_bytes")))
+    manifest.write.mode("append").parquet(files_path)
 
     if resume:
         try:
@@ -249,7 +259,11 @@ def run_job(spark, input_path: str, output_path: str,
 
     result = extract_pages(pages, config, with_spans, num_partitions,
                            roles=roles, jsonl_units=jsonl_units)
-    result.write.mode("append").parquet(data_path)
+    # partitioned snapshot: stable hash bucket of url -> downstream jobs
+    # prune by bucket (the parquet stand-in for an Iceberg partition spec)
+    result = result.withColumn(
+        "out_bucket", F.pmod(F.xxhash64("url"), F.lit(16)).cast("int"))
+    result.write.mode("append").partitionBy("out_bucket").parquet(data_path)
 
     committed = spark.read.parquet(data_path)
     lineage = lineage_frame(committed)
@@ -258,6 +272,7 @@ def run_job(spark, input_path: str, output_path: str,
     n_done = committed.count()
     n_failed = committed.filter("parse_failure_code != 0").count()
     return {"output": data_path, "lineage": lineage_path,
+            "input_manifest": files_path,
             "n_docs": n_done, "n_failures": n_failed}
 
 
