@@ -50,3 +50,45 @@ def stream_extract(spark, input_path: str, output_path: str,
         query.awaitTermination()
         return query
     return writer.start()
+
+
+def windowed_event_counts(spark, input_path: str, output_path: str,
+                          checkpoint_path: str,
+                          window: str = "1 hour",
+                          watermark: str = "2 hours",
+                          available_now: bool = True):
+    """Stateful streaming aggregation with late-data handling: tumbling
+    windows per event_type under a watermark (the Structured Streaming form
+    of :func:`~.datapipe.events.tumbling_counts`).
+
+    Late events older than the watermark are dropped by the engine; the
+    append sink emits a window's row once the watermark passes its end —
+    exactly-once per (window, event_type) under the checkpoint.
+    """
+    from pyspark.sql import functions as F
+
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string, value double, props string")
+              .format("parquet")
+              .load(input_path))
+
+    counts = (stream
+              .withWatermark("ts", watermark)
+              .groupBy(F.window("ts", window).alias("win"), "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   F.round(F.sum("value"), 4).alias("value_sum"))
+              .select(F.col("win.start").alias("window_start"),
+                      F.col("win.end").alias("window_end"),
+                      "event_type", "n_events", "value_sum"))
+
+    writer = (counts.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
