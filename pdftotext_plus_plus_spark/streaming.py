@@ -52,6 +52,77 @@ def stream_extract(spark, input_path: str, output_path: str,
     return writer.start()
 
 
+def stateful_sessionize(spark, input_path: str, output_path: str,
+                        checkpoint_path: str, gap_s: int = 1800,
+                        available_now: bool = True):
+    """Custom stateful streaming operator via ``applyInPandasWithState``:
+    per-user session tracking across micro-batches.
+
+    State per user = the open session (start, last ts, event count).  Each
+    batch sorts its events, merges them into the open session or closes it
+    when the gap exceeds ``gap_s``; closed sessions are emitted immediately,
+    the open session persists in the state store across restarts (the
+    checkpoint carries it) — the streaming form of
+    :func:`~.datapipe.events.sessionize`.
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (spark.readStream
+              .schema("event_id bigint, ts timestamp, user_id bigint, "
+                      "event_type string, value double, props string")
+              .format("parquet")
+              .load(input_path)
+              .selectExpr("user_id", "CAST(ts AS LONG) AS ts_s"))
+
+    output_type = ("user_id bigint, session_start_s bigint, "
+                   "session_end_s bigint, n_events bigint")
+    state_type = "start_s bigint, last_s bigint, n bigint"
+
+    def track(key, pdf_iter, state):
+        (user_id,) = key
+        ts = []
+        for pdf in pdf_iter:
+            ts.extend(int(t) for t in pdf["ts_s"])
+        ts.sort()
+        if state.exists:
+            start_s, last_s, n = state.get
+        else:
+            start_s = last_s = None
+            n = 0
+        closed = []
+        for t in ts:
+            if start_s is None:
+                start_s, last_s, n = t, t, 1
+            elif t - last_s > gap_s:
+                closed.append((user_id, start_s, last_s, n))
+                start_s, last_s, n = t, t, 1
+            else:
+                last_s = t
+                n += 1
+        if start_s is not None:
+            state.update((start_s, last_s, n))
+        if closed:
+            yield pd.DataFrame(closed, columns=[
+                "user_id", "session_start_s", "session_end_s", "n_events"])
+
+    sessions = (stream.groupBy("user_id")
+                .applyInPandasWithState(track, output_type, state_type,
+                                        "append",
+                                        GroupStateTimeout.NoTimeout))
+
+    writer = (sessions.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
+
+
 def windowed_event_counts(spark, input_path: str, output_path: str,
                           checkpoint_path: str,
                           window: str = "1 hour",

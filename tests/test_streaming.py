@@ -57,3 +57,41 @@ def test_windowed_event_counts_with_watermark(spark, tmp_path):
     assert dups == 0
     row = got.first()
     assert row["n_events"] > 0
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """applyInPandasWithState session tracking: a session spanning two
+    micro-batches merges through the state store; closed sessions emit once."""
+    import datetime
+
+    in_dir = tmp_path / "ss_in"
+    in_dir.mkdir()
+    out = str(tmp_path / "ss_out")
+    ckpt = str(tmp_path / "ss_ckpt")
+
+    t0 = datetime.datetime(2024, 1, 1, 12, 0, 0)
+
+    def ev(eid, minutes, user):
+        return (eid, t0 + datetime.timedelta(minutes=minutes), user,
+                "click", 1.0, "{}")
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    # batch A: user 1 has two events 10 min apart (one open session)
+    spark.createDataFrame([ev(1, 0, 1), ev(2, 10, 1)], schema) \
+        .coalesce(1).write.parquet(str(in_dir / "a.parquet"))
+    streaming.stateful_sessionize(spark, str(in_dir) + "/*", out, ckpt)
+
+    # batch B: user 1 returns 2h later (closes session 1); user 2 appears
+    spark.createDataFrame([ev(3, 130, 1), ev(4, 131, 2)], schema) \
+        .coalesce(1).write.parquet(str(in_dir / "b.parquet"))
+    streaming.stateful_sessionize(spark, str(in_dir) + "/*", out, ckpt)
+
+    got = spark.read.parquet(out).collect()
+    # exactly one CLOSED session: user 1's first (2 events, 10 min long) —
+    # state carried it across the restart before the 2h gap closed it
+    assert len(got) == 1
+    row = got[0]
+    assert row["user_id"] == 1
+    assert row["n_events"] == 2
+    assert row["session_end_s"] - row["session_start_s"] == 600
