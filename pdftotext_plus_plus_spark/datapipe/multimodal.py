@@ -29,14 +29,6 @@ def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
     width = (F.col("doc_id") * 37) % 1024 + 1
     height = (F.col("doc_id") * 73) % 768 + 1
 
-    # little-endian u32 header packed with JVM-side expressions only
-    def le32(col):
-        b = [F.conv(F.lpad(F.hex((col / F.lit(256 ** i)).cast("long") % 256), 2, "0"), 16, 10)
-             for i in range(4)]
-        return b
-
-    # Simpler and still JVM-side: build the header via a vectorized pandas
-    # UDF is overkill; use concat of unhex(lpad(hex(...))) with byte swap.
     def le_bytes(col):
         # 4-byte little-endian: bytes are value, value>>8, value>>16, value>>24
         parts = [F.unhex(F.lpad(F.hex(
