@@ -723,3 +723,34 @@ def build_three_col(rng: random.Random):
 
 
 FAMILY_BUILDERS["three-col"] = build_three_col
+
+
+def build_mixed_two_col(rng: random.Random):
+    """Composite: a 14pt bold heading atop the left column of a two-column
+    layout — block font-size splits (T11) interacting with column
+    segmentation (T5) and reading order (T14) in one document."""
+    heading = [["Section", "Results"]]
+    col_a_body = [make_lines(rng, rng.randint(4, 6)),
+                  make_lines(rng, rng.randint(4, 6))]
+    col_b = [make_lines(rng, rng.randint(4, 6)),
+             make_lines(rng, rng.randint(4, 6))]
+    page = _PageBuilder(1)
+    # column A: heading, then body paragraphs
+    base = TOP_BASE
+    place_line(page, heading[0], MARGIN_X, base, 14.0, BOLD_FONT)
+    base = R1(base + BLOCK_GAP + CHAR_H * FS_BODY)
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    block_step = R1(BLOCK_GAP + CHAR_H * FS_BODY)
+    for para in col_a_body:
+        for li, line in enumerate(para):
+            place_line(page, line, MARGIN_X, base)
+            base = R1(base + (step if li < len(para) - 1 else 0))
+        base = R1(base + block_step)
+    # column B
+    col_b_x = R1(MARGIN_X + 230.0 + COL_GAP)
+    _layout_paragraphs(page, col_b, col_b_x, TOP_BASE)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, [heading] + col_a_body + col_b
+
+
+FAMILY_BUILDERS["mixed-two-col"] = build_mixed_two_col
