@@ -1,0 +1,89 @@
+"""Training-data chunking + dedup cluster assignment.
+
+* ``chunk_documents`` — overlapping token windows (the standard LLM
+  training-corpus chunker): windows of CHUNK_TOKENS tokens at stride
+  CHUNK_STRIDE.  Pure JVM array expressions; one narrow pass.
+* ``dedup_clusters`` — assigns each document the minimum doc_id reachable
+  within K hops of the MinHash-LSH near-dup graph (bounded min-label
+  propagation).  K fixed rounds keeps it SQL-expressible and
+  oracle-checkable; the 10^12-row path iterates the same join to a
+  fixpoint (or uses a connected-components step), checkpointing labels
+  between rounds.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .dedup import MINHASH_LSH_PAIRS_SQL, minhash_lsh_pairs
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+PROP_ROUNDS = 3
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = F.split(F.trim("text"), r"\s+")
+    return (docs
+            .select("doc_id", toks.alias("toks"))
+            .select("doc_id",
+                    F.posexplode(F.expr(
+                        f"transform(sequence(1, greatest(1, size(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}), {CHUNK_STRIDE}),"
+                        f" i -> array_join(slice(toks, i, {CHUNK_TOKENS}), ' '))"))
+                    .alias("chunk_idx", "chunk_text"))
+            .withColumn("n_chunk_tokens",
+                        F.size(F.split("chunk_text", r"\s+"))))
+
+
+CHUNK_DOCUMENTS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  FROM documents
+), grid AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(1, greatest(1, len(toks) - {CHUNK_TOKENS - CHUNK_STRIDE}), {CHUNK_STRIDE})) AS i
+  FROM toked
+)
+SELECT doc_id,
+       CAST((i - 1) / {CHUNK_STRIDE} AS INT) AS chunk_idx,
+       array_to_string(toks[i:i + {CHUNK_TOKENS - 1}], ' ') AS chunk_text,
+       len(toks[i:i + {CHUNK_TOKENS - 1}]) AS n_chunk_tokens
+FROM grid
+"""
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster label per doc after PROP_ROUNDS of min-label
+    propagation over the undirected MinHash-LSH pair graph."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    # undirected edges incl. self-loops
+    edges = (pairs.selectExpr("id_a AS src", "id_b AS dst")
+             .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+             .union(docs.selectExpr("doc_id AS src", "doc_id AS dst")))
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("label"))
+    for _ in range(PROP_ROUNDS):
+        labels = (edges.join(labels, edges.dst == labels.doc_id)
+                  .groupBy("src").agg(F.min("label").alias("label"))
+                  .select(F.col("src").alias("doc_id"), "label"))
+    return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+DEDUP_CLUSTERS_SQL = f"""
+WITH pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents
+),
+l0 AS (SELECT doc_id, doc_id AS label FROM documents),
+l1 AS (SELECT e.src AS doc_id, min(l.label) AS label
+       FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src),
+l2 AS (SELECT e.src AS doc_id, min(l.label) AS label
+       FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src),
+l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
+       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
+SELECT doc_id, label AS cluster_id FROM l3
+"""

@@ -13,7 +13,7 @@ from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import dedup, events, htmlstrip, multimodal, similarity, textstats
+from . import chunking, dedup, events, htmlstrip, multimodal, similarity, textstats
 
 N_EXTRACT_DOCS = 48
 
@@ -175,6 +175,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "boilerplate_strip": (
         lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
         None),  # oracle filled in lazily below
+    # chunking + dedup clusters
+    "chunk_documents": (chunking.chunk_documents,
+                        chunking.CHUNK_DOCUMENTS_SQL),
+    "dedup_clusters": (chunking.dedup_clusters,
+                       chunking.DEDUP_CLUSTERS_SQL),
     # windowed/relational ops over events (§2.5 surface)
     "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "event_tumbling_counts": (events.tumbling_counts,
