@@ -12,7 +12,7 @@ decode step, replicating the decode-time semantics the pipeline depends on:
 * whitespace-char suppression incl. U+00A0 (PdfParsing.cpp:229-245);
 * coordinates already on a 0.1pt grid (coordinatePrecision=1, Config.h:85).
 
-Layout (little-endian), version 1::
+Layout (little-endian), version 2 (v1 readable: 9 numeric char fields)::
 
     b"PTX1"  u16 version
     u32 n_fonts
@@ -22,8 +22,10 @@ Layout (little-endian), version 1::
     u32 n_pages
       per page: i32 page_num, 4*f64 clip box
         u32 n_chars
-          n_chars * 9 f64: leftX upperY rightX lowerY base fontSize rotation
-                           wMode fontIdx
+          n_chars * 10 f64: leftX upperY rightX lowerY base fontSize rotation
+                            wMode fontIdx figureIdx (-1 = page char; >= 0 =
+                            clip-diverted into figures[figureIdx], excluded
+                            from extraction, PdfParsing.cpp:513-591)
           names blob:    u32[n+1] offsets + utf8 bytes
           texts blob:    u32[n+1] offsets + utf8 bytes
           unicodes blob: u32[n+1] offsets + u32 codepoints
@@ -47,7 +49,7 @@ from .config import WHITESPACE_TEXTS
 from .model import Char, Doc, FontInfo, NonTextElement, Page
 
 MAGIC = b"PTX1"
-VERSION = 1
+VERSION = 2
 
 # parse failure codes (reference aborts on !pdfDoc->isOk(),
 # PdfToTextPlusPlus.cpp:88-90; we record a code instead of aborting)
@@ -56,7 +58,8 @@ ERR_EMPTY = 1
 ERR_MAGIC = 2
 ERR_TRUNCATED = 3
 
-_CHAR_FIELDS = 9
+_CHAR_FIELDS_V1 = 9
+_CHAR_FIELDS = 10
 
 
 class PayloadError(Exception):
@@ -113,7 +116,8 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
             for i, c in enumerate(chars):
                 num[i] = (c["left_x"], c["upper_y"], c["right_x"], c["lower_y"],
                           c["base"], c["font_size"], c.get("rotation", 0),
-                          c.get("w_mode", 0), font_idx[c["font"]])
+                          c.get("w_mode", 0), font_idx[c["font"]],
+                          c.get("figure_idx", -1))
             out.append(num.tobytes())
             out.append(_pack_str_blob([c.get("name", "") for c in chars]))
             out.append(_pack_str_blob([c.get("text", "") for c in chars]))
@@ -200,7 +204,8 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
         r = _Reader(payload)
         if bytes(r.take(4)) != MAGIC:
             return None, ERR_MAGIC
-        r.u16()  # version
+        version = r.u16()
+        char_fields = _CHAR_FIELDS_V1 if version == 1 else _CHAR_FIELDS
 
         doc = Doc()
         n_fonts = r.u32()
@@ -226,8 +231,9 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
             page.clip_right_x, page.clip_lower_y = float(clip[2]), float(clip[3])
 
             n_chars = r.u32()
+            deferred = []  # (figure_idx, char bbox) for clip-diverted chars
             if n_chars:
-                num = r.f64s(n_chars * _CHAR_FIELDS).reshape(n_chars, _CHAR_FIELDS)
+                num = r.f64s(n_chars * char_fields).reshape(n_chars, char_fields)
                 names = r.str_blob(n_chars)
                 texts = r.str_blob(n_chars)
                 unicodes = r.u32_blob(n_chars)
@@ -240,6 +246,13 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     if not text or _is_whitespace_text(text):
                         continue
                     row = num_list[i]
+                    if char_fields > 9 and row[9] >= 0:
+                        # clip-diverted char: belongs to a figure, not the
+                        # page — it grows the figure's bbox and never enters
+                        # extraction (PdfParsing.cpp:513-591)
+                        deferred.append((int(row[9]),
+                                         row[0], row[1], row[2], row[3]))
+                        continue
                     # hot path: bypass __init__, set every slot explicitly
                     c = Char.__new__(Char)
                     c.left_x = row[0]
@@ -267,6 +280,7 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     rank += 1
                     append(c)
 
+            pending_figures = deferred
             for kind, target in (("figure", page.figures),
                                  ("shape", page.shapes),
                                  ("graphic", page.graphics)):
@@ -280,6 +294,15 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                         e.page_num = page_num
                         e.rank = i
                         target.append(e)
+
+            # clip-diverted chars expand their figure's bbox
+            for fig_idx, lx, uy, rx, ly in pending_figures:
+                if 0 <= fig_idx < len(page.figures):
+                    fig = page.figures[fig_idx]
+                    fig.left_x = min(fig.left_x, lx)
+                    fig.upper_y = min(fig.upper_y, uy)
+                    fig.right_x = max(fig.right_x, rx)
+                    fig.lower_y = max(fig.lower_y, ly)
 
             doc.pages.append(page)
         return doc, OK

@@ -754,3 +754,31 @@ def build_mixed_two_col(rng: random.Random):
 
 
 FAMILY_BUILDERS["mixed-two-col"] = build_mixed_two_col
+
+
+def build_clipped_figure(rng: random.Random):
+    """S2 clip-box figure grouping: chars drawn under a non-page clip box
+    divert into the figure (PdfParsing.cpp:513-591) and never reach the
+    extracted text; the page text around the figure extracts normally."""
+    body = [make_lines(rng, 3), make_lines(rng, 3)]
+    page = _PageBuilder(1)
+    _layout_paragraphs(page, body, MARGIN_X, TOP_BASE)
+    # a figure with internal (clipped) label text that must NOT extract
+    fig_top, fig_left = 260.0, MARGIN_X
+    page.figures.append((fig_left, fig_top, R1(fig_left + 180.0),
+                         R1(fig_top + 60.0)))
+    x = R1(fig_left + 20.0)
+    for ch in "axis":
+        page.chars.append({
+            "name": "", "text": ch, "unicodes": [ord(ch)],
+            "left_x": x, "upper_y": R1(fig_top + 20.0), "right_x": R1(x + 5.0),
+            "lower_y": R1(fig_top + 27.0), "base": R1(fig_top + 27.0),
+            "font_size": 10.0, "rotation": 0, "w_mode": 0,
+            "font": BODY_FONT.name, "figure_idx": 0,
+        })
+        x = R1(x + 5.0)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, body  # the clipped "axis" text is intentionally absent
+
+
+FAMILY_BUILDERS["clipped-figure"] = build_clipped_figure
