@@ -166,13 +166,20 @@ def main() -> None:
     ensure_corpus()
     total_t0 = time.perf_counter()
 
-    # N -> 4N pair inside the machine's linear region (see module docstring)
+    # N -> 4N pair inside the machine's linear region (see module docstring).
+    # The two levels are measured in ALTERNATING single-pass rounds
+    # (low, high, low, high) and the best round per level is kept, so a
+    # co-tenant load spike cannot hit only one side of the ratio.
     n_low = int(os.environ.get("BENCH_SCALE_LOW", "2"))
     n_high = 4 * n_low
-    # scale the replicated work with the level so each timed pass is long
-    # enough to average noise but the low level doesn't dominate wall time
-    res_low = run_worker(n_low, max(2, REPLICATE // 4))
-    res_high = run_worker(n_high, REPLICATE)
+
+    def best(a, b):
+        return a if a["elapsed"] <= b["elapsed"] else b
+
+    res_low = run_worker(n_low, max(2, REPLICATE // 4), passes=1)
+    res_high = run_worker(n_high, REPLICATE, passes=1)
+    res_low = best(res_low, run_worker(n_low, max(2, REPLICATE // 4), passes=1))
+    res_high = best(res_high, run_worker(n_high, REPLICATE, passes=1))
     # headline level: one pass (informational; the scaling pair matters)
     res_full = (run_worker(CPUS, REPLICATE, passes=1)
                 if CPUS > n_high else res_high)
