@@ -39,9 +39,11 @@ def _corpus_path() -> str:
     import hashlib
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from pdftotext_plus_plus_spark import fixtures
+    import random
+    sample = fixtures.FAMILY_BUILDERS["plain-1col"](random.Random(0))[0]
     spec = "%d:%d:%s" % (BENCH_DOCS, JUMBO_EVERY,
                          ",".join(sorted(fixtures.FAMILY_BUILDERS)))
-    tag = hashlib.md5(spec.encode()).hexdigest()[:10]
+    tag = hashlib.md5(spec.encode() + sample).hexdigest()[:10]
     return "/tmp/spark_graft_bench_corpus_%s.parquet" % tag
 
 
