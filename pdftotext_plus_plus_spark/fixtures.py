@@ -783,3 +783,33 @@ def build_clipped_figure(rng: random.Random):
 
 
 FAMILY_BUILDERS["clipped-figure"] = build_clipped_figure
+
+
+def build_wmode(rng: random.Random):
+    """Writing-mode paths: a vertical-writing-mode (wMode=1) margin note.
+    Word/block splits on wMode change (WordsDetection.cpp:207-216,
+    TextBlocksDetection.cpp:374-392) and the wMode-driven primary x-cut
+    (ReadingOrderDetection.cpp:179-194) order the note first."""
+    body = [make_lines(rng, 3), make_lines(rng, 3)]
+    page = _PageBuilder(1)
+    body_x = R1(MARGIN_X + 30.0)
+    _layout_paragraphs(page, body, body_x, TOP_BASE)
+    # margin note: horizontal glyph run with wMode=1, above the body (a
+    # baseline between body lines would interleave the segment's line
+    # sequence and split the first paragraph — faithful wMode behavior)
+    note = "nb"
+    x = 40.0
+    note_base = R1(TOP_BASE - 12.0)
+    for ch in note:
+        page.chars.append({
+            "name": "", "text": ch, "unicodes": [ord(ch)],
+            "left_x": x, "upper_y": R1(note_base - 7.0), "right_x": R1(x + 5.0),
+            "lower_y": note_base, "base": note_base, "font_size": 10.0,
+            "rotation": 0, "w_mode": 1, "font": BODY_FONT.name,
+        })
+        x = R1(x + 5.0)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, [[["nb"]]] + body
+
+
+FAMILY_BUILDERS["wmode"] = build_wmode
