@@ -84,6 +84,7 @@ class PipelineConfig:
     skip_blocks_detection: bool = False
     skip_reading_order: bool = False
     skip_semantic_roles: bool = True             # reference: TF model; default-skip
+    role_head: str = "heuristic"                 # "heuristic" | "model" (T15 head)
     skip_dehyphenation: bool = False
 
     # Words detection (Config.h:171-227)

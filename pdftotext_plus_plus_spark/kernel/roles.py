@@ -196,7 +196,61 @@ def _iswpunct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
+_MODEL_CACHE = {}
+
+
+def _load_role_head():
+    """Load the trained numpy head once per process (the per-executor
+    load-once pattern of the reference, SemanticRolesPrediction.cpp:133-135;
+    the .npz ships inside the package via --py-files)."""
+    if "head" not in _MODEL_CACHE:
+        import io
+        from importlib import resources
+
+        import numpy as np
+
+        # importlib.resources works when the package ships as a
+        # --py-files zip (zipimport) as well as from a directory
+        blob = (resources.files("pdftotext_plus_plus_spark")
+                .joinpath("resources/role_head.npz").read_bytes())
+        data = np.load(io.BytesIO(blob))
+        _MODEL_CACHE["head"] = (data["weights"], data["bias"],
+                                [str(r) for r in data["roles"]])
+    return _MODEL_CACHE["head"]
+
+
+def predict_roles_model(doc: Doc) -> None:
+    """Model-based role head: 15-dim layout features -> argmax(XW + b)
+    with weights trained by scripts/train_role_head.py (multinomial
+    logistic head; labels from the deterministic heuristic standing in for
+    the reference's hand-labeled corpus).  The argmax mirrors the
+    reference's predict() (SemanticRolesPrediction.cpp:151-167)."""
+    import numpy as np
+
+    feats = compute_layout_features(doc)
+    if not feats:
+        return
+    weights, bias, roles_list = _load_role_head()
+    logits = np.asarray(feats, dtype=np.float64) @ weights + bias
+    pred = logits.argmax(axis=1)
+    i = 0
+    for page in doc.pages:
+        for block in page.blocks:
+            block.role = roles_list[int(pred[i])]
+            i += 1
+
+
 def predict_roles(doc: Doc, config: PipelineConfig) -> None:
+    """Role-prediction stage dispatch: ``config.role_head`` selects the
+    deterministic heuristic (default) or the trained numpy model head.
+    """
+    if getattr(config, "role_head", "heuristic") == "model":
+        predict_roles_model(doc)
+        return
+    _predict_roles_heuristic(doc, config)
+
+
+def _predict_roles_heuristic(doc: Doc, config: PipelineConfig) -> None:
     """Deterministic heuristic classifier head (stand-in for the TF model;
     see module docstring).  Assigns title/heading/footnote/caption/
     author-info/paragraph from the same layout features the model consumes.

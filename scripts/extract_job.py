@@ -47,9 +47,13 @@ def main() -> None:
     parser.add_argument("--skip-reading-order", action="store_true")
     parser.add_argument("--skip-diacritics-merging", action="store_true")
     parser.add_argument("--predict-semantic-roles", action="store_true",
-                        help="enable the heuristic semantic-role head "
-                             "(default off, like --skip-semantic-roles-"
-                             "prediction in the reference)")
+                        help="enable semantic-role prediction (default off, "
+                             "like --skip-semantic-roles-prediction in the "
+                             "reference)")
+    parser.add_argument("--role-head", choices=("heuristic", "model"),
+                        default="heuristic",
+                        help="role classifier: deterministic heuristic or "
+                             "the trained numpy head (resources/role_head.npz)")
     parser.add_argument("--demo", action="store_true",
                         help="run on a generated 200-doc fixture corpus in /tmp")
     args = parser.parse_args()
@@ -86,7 +90,8 @@ def main() -> None:
         skip_dehyphenation=args.skip_dehyphenation,
         skip_reading_order=args.skip_reading_order,
         skip_diacritics_merging=args.skip_diacritics_merging,
-        skip_semantic_roles=not args.predict_semantic_roles)
+        skip_semantic_roles=not args.predict_semantic_roles,
+        role_head=args.role_head)
     summary = engine.run_job(
         spark, args.input, args.output,
         config=config,

@@ -99,3 +99,32 @@ def test_roles_do_not_change_default_txt():
         payload, intent = fixtures.FAMILY_BUILDERS[fam](rng)
         golden = fixtures.golden_from_blocks(intent)
         assert pipeline.extract(payload, config=ROLES_ON).extracted_text == golden
+
+
+def test_model_role_head():
+    """The trained numpy head (T15 model path): loads once, deterministic,
+    and agrees with the heuristic labeler on the fixture corpus for the
+    layout-separable classes."""
+    from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG
+
+    model_cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False,
+                        role_head="model")
+    heur_cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False)
+
+    rows = fixtures.build_corpus(40, jumbo_every=20)
+    agree = total = 0
+    for row in rows:
+        m = pipeline.extract(row["html"], config=model_cfg, with_spans=True)
+        h = pipeline.extract(row["html"], config=heur_cfg, with_spans=True)
+        assert len(m.blocks) == len(h.blocks)
+        for bm, bh in zip(m.blocks, h.blocks):
+            total += 1
+            agree += int(bm.role == bh.role)
+        # determinism: same payload -> same predictions
+        m2 = pipeline.extract(row["html"], config=model_cfg, with_spans=True)
+        assert [b.role for b in m2.blocks] == [b.role for b in m.blocks]
+    assert total > 100
+    assert agree / total >= 0.9
+    # the TXT output (no role filter) is unchanged by the model head
+    assert pipeline.extract(rows[0]["html"], config=model_cfg).extracted_text \
+        == rows[0]["golden_text"]
