@@ -162,7 +162,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # similarity search
     "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
                             similarity.ANN_BRUTEFORCE_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, None),  # approximate: rows-only check
+    "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
     # text analysis
     "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
     "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),

@@ -86,14 +86,14 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 
 def _hyperplane_sign_expr(plane: int):
     """Sign of dot(embedding, r_plane) where r_plane[i] is a deterministic
-    pseudo-random weight in [-1000, 1000] derived from md5(plane:i).
-
-    Pure JVM expression — the same arithmetic is reproducible anywhere.
+    pseudo-random integer weight in [-1000, 1000] derived from md5(plane:i)
+    — integer arithmetic up to the final dot product, so the identical
+    weights are computable in ANSI SQL (the DuckDB oracle).
     """
     return (
         "aggregate(zip_with(embedding,"
         f" transform(sequence(1, size(embedding)),"
-        f"   i -> cast(conv(substr(md5(concat('{plane}', ':', i)), 1, 6), 16, 10) as double) % 2001 - 1000),"
+        f"   i -> cast(cast(conv(substr(md5(concat('{plane}', ':', i)), 1, 6), 16, 10) as bigint) % 2001 - 1000 as double)),"
         "  (x, r) -> cast(x as double) * r), cast(0.0 as double), (acc, x) -> acc + x)"
     )
 
@@ -131,3 +131,47 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (scored.withColumn("rank", F.row_number().over(w))
             .filter(F.col("rank") <= TOP_K)
             .select("query_id", "rank", "vec_id", "cosine"))
+
+
+ANN_LSH_SQL = f"""
+WITH elems AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT e.vec_id, e.embedding,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e)
+), planes AS (
+  SELECT p.plane, i.i,
+         (('0x' || substr(md5(p.plane::VARCHAR || ':' || i.i::VARCHAR), 1, 6))::BIGINT
+          % 2001 - 1000)::DOUBLE AS r
+  FROM generate_series(0, {N_PLANES - 1}) p(plane),
+       generate_series(1, 64) i(i)
+), signs AS (
+  SELECT e.vec_id, p.plane,
+         CASE WHEN sum(e.x * p.r) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM elems e JOIN planes p ON p.i = e.i
+  GROUP BY e.vec_id, p.plane
+), sig AS (
+  SELECT vec_id, sum(bit << plane) AS bucket FROM signs GROUP BY vec_id
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
+), dots AS (
+  SELECT q.vec_id AS query_id, e.vec_id, sum(qe.x * ee.x) AS dot
+  FROM sig q
+  JOIN sig e ON e.bucket = q.bucket AND e.vec_id != q.vec_id
+  JOIN elems qe ON qe.vec_id = q.vec_id
+  JOIN elems ee ON ee.vec_id = e.vec_id AND ee.i = qe.i
+  WHERE q.vec_id < {N_QUERIES}
+  GROUP BY q.vec_id, e.vec_id
+), scored AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (nq.norm * ne.norm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms ne ON ne.vec_id = d.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
