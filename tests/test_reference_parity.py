@@ -133,3 +133,103 @@ def test_ref_vertical_gap_signs():
     assert vertical_gap(a, b) == 4.0
     c = _el(0.0, 8.0, 10.0, 18.0)
     assert vertical_gap(a, c) == -2.0
+
+
+# --- TextBlocksDetectionUtilsTest scenario ports (logic level) --------------
+# The reference's cases run on a fixture PDF; the scenario shapes are ported
+# onto hand-built lines (test/utils/TextBlocksDetectionUtilsTest.cpp:72-110).
+
+def _line(left, right, upper=100.0, lower=107.0, text="x", words=None):
+    from pdftotext_plus_plus_spark.model import Line, Word
+
+    line = Line()
+    line.left_x, line.right_x = left, right
+    line.upper_y, line.lower_y = upper, lower
+    line.text = text
+    if words:
+        ws = []
+        for wl, wr in words:
+            w = Word()
+            w.left_x, w.right_x = wl, wr
+            w.upper_y, w.lower_y = upper, lower
+            ws.append(w)
+        line.words = ws
+    return line
+
+
+def _detector(avg_char_width=5.0):
+    from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG
+    from pdftotext_plus_plus_spark.kernel.blocks import _BlocksDetector
+    from pdftotext_plus_plus_spark.model import Doc
+
+    doc = Doc()
+    doc.avg_char_width = avg_char_width
+    return _BlocksDetector(doc, DEFAULT_CONFIG)
+
+
+def test_ref_compute_is_centered_scenarios():
+    det = _detector()
+    wide = _line(50.0, 250.0)
+    disjoint = _line(260.0, 400.0)
+    partial = _line(200.0, 350.0)
+    nested_skewed = _line(60.0, 120.0)     # offsets 10 vs 130: not equal
+    nested_centered = _line(100.0, 200.0)  # offsets 50 vs 50: equal
+
+    # no horizontal overlap -> False
+    assert not det._is_centered_pair(wide, disjoint)
+    # partial overlap (< 0.99 max ratio) -> False
+    assert not det._is_centered_pair(wide, partial)
+    # nested but |leftOff| != |rightOff| -> False
+    assert not det._is_centered_pair(wide, nested_skewed)
+    # identical line -> True; nested with equal offsets -> True (both ways)
+    assert det._is_centered_pair(wide, wide)
+    assert det._is_centered_pair(wide, nested_centered)
+    assert det._is_centered_pair(nested_centered, wide)
+
+
+def test_ref_compute_has_prev_line_capacity_scenarios():
+    det = _detector()
+    # prev line right margin 60; next first word width 20 -> 60 > 20+10: True
+    prev = _line(50.0, 190.0)
+    prev.right_margin = 60.0
+    curr = _line(50.0, 250.0, words=[(50.0, 70.0)])
+    assert det._has_prev_line_capacity(prev, curr)
+    # margin 25 vs word width 20 (+tol 10) -> False
+    prev.right_margin = 25.0
+    assert not det._has_prev_line_capacity(prev, curr)
+    # no previous line / no words -> False (…Utils.cpp:222-229)
+    assert not det._has_prev_line_capacity(None, curr)
+    assert not det._has_prev_line_capacity(prev, _line(50.0, 250.0))
+
+
+def test_ref_compute_is_emphasized_scenarios():
+    from pdftotext_plus_plus_spark.model import Block, FontInfo
+
+    det = _detector()
+    doc = det.doc
+    doc.most_freq_font_name = "regular"
+    doc.most_freq_font_size = 10.0
+    doc.font_infos["regular"] = FontInfo(name="regular", weight=400)
+    doc.font_infos["bold"] = FontInfo(name="bold", weight=700)
+    doc.font_infos["italic"] = FontInfo(name="italic", weight=400,
+                                        is_italic=True)
+
+    def block(font, fs, text):
+        b = Block()
+        b.font_name, b.font_size, b.text = font, fs, text
+        return b
+
+    # larger font size -> emphasized (…Utils.cpp:183)
+    assert det._is_emphasized(block("regular", 14.0, "some text"))
+    # same size + bolder weight -> emphasized (:189-191)
+    assert det._is_emphasized(block("bold", 10.0, "some text"))
+    # same size + italic -> emphasized (:194-196)
+    assert det._is_emphasized(block("italic", 10.0, "some text"))
+    # all-caps -> emphasized (:202-214)
+    assert det._is_emphasized(block("regular", 10.0, "ALL CAPS 123"))
+    # plain -> not emphasized
+    assert not det._is_emphasized(block("regular", 10.0, "plain text"))
+    # smaller font + bold -> NOT emphasized (font size gate)
+    assert not det._is_emphasized(block("bold", 8.0, "small bold"))
+    # unknown font -> False (:168-174)
+    assert not det._is_emphasized(block("ghost", 14.0, "text"))
