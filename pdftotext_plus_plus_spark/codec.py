@@ -163,13 +163,19 @@ class _Reader:
 
     def str_blob(self, n: int) -> List[str]:
         offsets = np.frombuffer(self.take(4 * (n + 1)), dtype="<u4")
-        blob = bytes(self.take(int(offsets[-1])))
+        total = int(offsets[-1])
+        if total == 0:  # fast path: all items empty (e.g. glyph names)
+            return [""] * n
+        blob = bytes(self.take(total))
         return [blob[offsets[i]:offsets[i + 1]].decode("utf-8")
                 for i in range(n)]
 
     def u32_blob(self, n: int) -> List[List[int]]:
         offsets = np.frombuffer(self.take(4 * (n + 1)), dtype="<u4")
-        flat = np.frombuffer(self.take(4 * int(offsets[-1])), dtype="<u4")
+        total = int(offsets[-1])
+        if total == 0:  # fast path: unicodes omitted (derivable from text)
+            return [[]] * n  # aliased empties are only ever read
+        flat = np.frombuffer(self.take(4 * total), dtype="<u4")
         return [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(n)]
 
 
