@@ -13,7 +13,7 @@ from __future__ import annotations
 
 from ..config import PipelineConfig
 from ..model import Doc
-from ..utils.counter import ModeCounter
+from ..utils.counter import ModeCounter, most_freq
 from ..utils.elements import (horizontal_gap, max_y_overlap_ratio, vertical_gap)
 from ..utils.mathutils import (equal, equal_or_larger, equal_or_smaller,
                                round_half_away, smaller)
@@ -21,22 +21,21 @@ from ..utils.mathutils import (equal, equal_or_larger, equal_or_smaller,
 
 def compute_glyph_statistics(doc: Doc) -> None:
     """A1: mostFreqFontSize/Name (mode over chars), avgCharWidth/Height."""
-    font_size_counter = ModeCounter()
-    font_name_counter = ModeCounter()
+    font_sizes = []
+    font_names = []
     sum_widths = 0.0
     sum_heights = 0.0
-    n = 0
     for page in doc.pages:
         for ch in page.characters:
-            font_size_counter.inc(ch.font_size)
-            font_name_counter.inc(ch.font_name)
-            sum_widths += ch.width
-            sum_heights += ch.height
-            n += 1
+            font_sizes.append(ch.font_size)
+            font_names.append(ch.font_name)
+            sum_widths += ch.right_x - ch.left_x
+            sum_heights += ch.lower_y - ch.upper_y
+    n = len(font_sizes)
     if n == 0:
         return
-    doc.most_freq_font_size = font_size_counter.most_freq()
-    doc.most_freq_font_name = font_name_counter.most_freq()
+    doc.most_freq_font_size = most_freq(font_sizes)
+    doc.most_freq_font_name = most_freq(font_names)
     doc.avg_char_width = sum_widths / n
     doc.avg_char_height = sum_heights / n
 

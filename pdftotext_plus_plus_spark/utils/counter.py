@@ -57,6 +57,16 @@ class ModeCounter(dict):
 
 def most_freq(values: Iterable[T], default: T = None) -> T:
     """Mode of an iterable with the deterministic smallest-value tie-break."""
+    if isinstance(values, list):
+        if not values:
+            return default
+        # fast path: uniform lists (most words/lines are single-font)
+        first = values[0]
+        for v in values:
+            if v != first:
+                break
+        else:
+            return first
     counts = _Counter(values)
     if not counts:
         return default
