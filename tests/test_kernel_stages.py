@@ -141,3 +141,69 @@ def test_empty_page_and_doc():
     assert doc.pages[0].blocks == []
     res = pipeline.extract(encode_payload(FONTS, [page.to_dict()]))
     assert res.extracted_text == "\n"
+
+
+def _two_col_page(n_lines=25, words_per_line=12, spanner=None):
+    """Two dense columns (> 500 words total) with an optional element
+    spanning the inter-column gap at the given vertical center."""
+    page = _PageBuilder(1)
+    for col_x in (50.0, 320.0):
+        base = 80.0
+        for _ in range(n_lines):
+            x = col_x
+            for _ in range(words_per_line):
+                x = place_word(page, "ab", x, base)
+                x = round(x + 2.5, 1)
+            base = round(base + 9.0, 1)
+    if spanner is not None:
+        place_word(page, "wide" * 20, 150.0, spanner)  # spans the gap
+    return page
+
+
+def test_overlap_cut_allowed_with_500_elements():
+    """chooseXCut_overlappingElements (PageSegmentation.cpp:208-263): with
+    >= 500 elements, a column cut may overlap one element if the element
+    keeps >= 5*avgCharHeight margin from both cut ends — a mid-page
+    spanning element does not block the column split."""
+    page = _two_col_page(spanner=190.0)  # vertical middle
+    doc = run([page.to_dict()])
+    segments = doc.pages[0].segments
+    assert len(segments) >= 2  # the columns split despite the spanner
+    n_words = sum(len(s.elements) for s in segments)
+    assert n_words == 25 * 12 * 2 + 1
+
+
+def test_overlap_cut_vetoed_near_cut_end():
+    """The same spanning element flush with the top line has margin <
+    5*avgCharHeight to the cut end, so the full-height overlapping cut is
+    vetoed; instead a y-cut separates the header band and the columns split
+    below it (the header/footer protection the rule exists for)."""
+    page = _two_col_page(spanner=80.0)  # flush with the top line
+    doc = run([page.to_dict()])
+    segments = doc.pages[0].segments
+    assert len(segments) == 3
+    header = [s for s in segments
+              if any(getattr(e, "text", "").startswith("wide")
+                     for e in s.elements)]
+    assert len(header) == 1
+    # the two column segments below do not contain the spanner
+    columns = [s for s in segments if s is not header[0]]
+    assert all(s.upper_y > header[0].upper_y for s in columns)
+    assert columns[0].right_x < columns[1].left_x
+
+
+def test_overlap_cut_refused_below_500_elements():
+    """With < 500 elements an overlapping cut is never chosen
+    (overlappingMinNumElements, Config.h:340): the spanner stays fused
+    with the column it overlaps; only the clean non-overlapping gap on its
+    left splits."""
+    page = _two_col_page(n_lines=8, words_per_line=6, spanner=110.0)
+    doc = run([page.to_dict()])
+    segments = doc.pages[0].segments
+    assert len(segments) == 2
+    with_spanner = [s for s in segments
+                    if any(getattr(e, "text", "").startswith("wide")
+                           for e in s.elements)]
+    assert len(with_spanner) == 1
+    # the spanner's segment still contains the overlapped right column
+    assert len(with_spanner[0].elements) == 8 * 6 + 1
