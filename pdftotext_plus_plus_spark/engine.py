@@ -216,6 +216,7 @@ def lineage_frame(result_df):
                  .alias("n_failures"),
                  F.sum("payload_bytes").alias("bytes_in"),
                  F.sum("extract_ms").alias("extract_ms_total"),
+                 F.max("extract_ms").alias("max_doc_ms"),  # straggler signal
                  F.min("url").alias("min_url"),
                  F.max("url").alias("max_url")))
 
