@@ -45,25 +45,28 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
     min_y_ratio = config.words_min_y_overlap_ratio
     gap_factor = config.word_gap_threshold_factor
 
-    active: list = []
+    # merged diacritic marks never start/join words (…cpp:117-121); words are
+    # contiguous runs over the filtered sequence, so the active word is just
+    # a start index plus the accumulated bbox state
+    filtered = [c for c in page.characters
+                if c.diacritic_mark_of_base_char is None]
+    if not filtered:
+        return
+    data = [(c.left_x, c.upper_y, c.right_x, c.lower_y,
+             c.rotation, c.w_mode, c.font_size) for c in filtered]
+
+    start = -1
     aw_left = aw_up = math.inf
     aw_right = aw_low = -math.inf
     aw_rot = aw_wmode = 0
     aw_fs = 0.0
 
-    for curr in page.characters:
-        # merged diacritic marks never start/join words (…cpp:117-121)
-        if curr.diacritic_mark_of_base_char is not None:
-            continue
-
-        c_left = curr.left_x
-        c_up = curr.upper_y
-        c_right = curr.right_x
-        c_low = curr.lower_y
+    for i, row in enumerate(data):
+        c_left, c_up, c_right, c_low, c_rot, c_wmode, c_fs = row
 
         starts = False
-        if active:
-            if aw_rot != curr.rotation or aw_wmode != curr.w_mode:
+        if start >= 0:
+            if aw_rot != c_rot or aw_wmode != c_wmode:
                 starts = True
             else:
                 # max y-overlap ratio between char and active-word bbox
@@ -82,7 +85,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
                     threshold = gap_factor * aw_fs
                     # horizontal_gap(curr, active): leftmost by smaller()
                     if c_left < aw_left - _TOL:
-                        l_right, l_rot, r_left = c_right, curr.rotation, aw_left
+                        l_right, l_rot, r_left = c_right, c_rot, aw_left
                     else:
                         l_right, l_rot, r_left = aw_right, aw_rot, c_left
                     gap1 = (l_right - r_left) if l_rot in (2, 3) else (r_left - l_right)
@@ -90,22 +93,22 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
                     if aw_left < c_left - _TOL:
                         l_right, l_rot, r_left = aw_right, aw_rot, c_left
                     else:
-                        l_right, l_rot, r_left = c_right, curr.rotation, aw_left
+                        l_right, l_rot, r_left = c_right, c_rot, aw_left
                     gap2 = (l_right - r_left) if l_rot in (2, 3) else (r_left - l_right)
                     if gap1 > threshold + _TOL or gap2 > threshold + _TOL:
                         starts = True
 
-        if starts and active:
-            word = _create_word(active, config)
+        if starts:
+            word = _create_word(filtered[start:i], config)
             word.rank = len(page.words)
             page.words.append(word)
-            active = []
+            start = -1
             aw_left = aw_up = math.inf
             aw_right = aw_low = -math.inf
-            aw_rot = aw_wmode = 0
             aw_fs = 0.0
 
-        active.append(curr)
+        if start < 0:
+            start = i
         if c_left < aw_left:
             aw_left = c_left
         if c_up < aw_up:
@@ -114,15 +117,14 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
             aw_right = c_right
         if c_low > aw_low:
             aw_low = c_low
-        aw_rot = curr.rotation
-        aw_wmode = curr.w_mode
-        if curr.font_size > aw_fs:
-            aw_fs = curr.font_size
+        aw_rot = c_rot
+        aw_wmode = c_wmode
+        if c_fs > aw_fs:
+            aw_fs = c_fs
 
-    if active:
-        word = _create_word(active, config)
-        word.rank = len(page.words)
-        page.words.append(word)
+    word = _create_word(filtered[start:], config)
+    word.rank = len(page.words)
+    page.words.append(word)
 
 
 def _create_word(characters: List[Char], config: PipelineConfig) -> Word:
