@@ -536,6 +536,22 @@ def build_subsuper(rng: random.Random):
                 x = _place_superscript(page, "1", x, base)
             if wi < len(line) - 1:
                 x = R1(x + WORD_GAP)
+        if li == len(body) - 1:
+            # a chemistry-style word with a SUBSCRIPT digit appended to the
+            # last body line: lowered baseline, smaller font, bbox still
+            # y-overlapping the word (SubSuperScriptsDetection.cpp:85-89)
+            x = R1(x + WORD_GAP)
+            x = place_word(page, "h", x, base)
+            sub_base = R1(base + 2.0)
+            sw = R1(CHAR_W * 6.0)
+            page.chars.append({
+                "name": "", "text": "2", "unicodes": [ord("2")],
+                "left_x": x, "upper_y": R1(sub_base - CHAR_H * 6.0),
+                "right_x": R1(x + sw), "lower_y": sub_base, "base": sub_base,
+                "font_size": 6.0, "rotation": 0, "w_mode": 0,
+                "font": BODY_FONT.name,
+            })
+            place_word(page, "o", R1(x + sw), base)
         base = R1(base + step)
     base = R1(base - step + BLOCK_GAP + CHAR_H * FS_BODY)
     # two adjacent footnotes, each: superscript label + text, normal spacing
@@ -554,6 +570,7 @@ def build_subsuper(rng: random.Random):
     payload = encode_payload(FONTS, [page.to_dict()])
     intended_body = [line[:] for line in body]
     intended_body[0][-1] = intended_body[0][-1] + "1"  # marker glued to word
+    intended_body[-1] = intended_body[-1] + ["h2o"]    # subscript word
     return payload, [intended_body] + fn_blocks
 
 
