@@ -60,3 +60,20 @@ def test_extended_serialization_marks():
     assert "\x0c" in ext  # page break marks
     # the heading block (bold + larger font) is emphasized -> \x01 marker
     assert "\x01" in ext
+
+
+@pytest.mark.parametrize("family", ["plain-1col", "two-col", "enumerations",
+                                    "hanging-indent", "three-col"])
+@pytest.mark.parametrize("seed", [1, 42])
+def test_extended_byte_identical_single_page_plain(family, seed):
+    """TXT-EXTENDED golden for single-page families with no emphasized
+    blocks: '[PARAGRAPH] ' prefixes, one \\n\\x0c page mark, final \\n
+    (PlainTextExtendedSerializer.cpp:44-110)."""
+    rng = random.Random(seed)
+    payload, intent = fixtures.FAMILY_BUILDERS[family](rng)
+    res = pipeline.extract(payload)
+    golden = fixtures.golden_from_blocks(intent)
+    block_texts = golden[:-1].split("\n\n")
+    mirror = ("\n\n".join("[PARAGRAPH] " + b for b in block_texts)
+              + "\n\x0c\n")
+    assert res.extracted_text_extended == mirror
