@@ -67,3 +67,33 @@ def test_run_job_resume(spark, pages_df, tmp_path):
     assert data.count() == 36
     lineage = spark.read.parquet(first["lineage"])
     assert lineage.agg(F.sum("n_docs")).first()[0] == 36
+
+
+def test_role_filter_through_engine(spark):
+    """T17 at the Spark surface: roles= drops filtered blocks from the
+    serialized text; jsonl_units= adds the JSONL column."""
+    from dataclasses import replace
+
+    from pyspark.sql import types as T
+
+    from pdftotext_plus_plus_spark import fixtures
+    from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG
+
+    rows = [r for r in fixtures.build_corpus(24)
+            if r["family"] == "headings"][:2]
+    schema = T.StructType([T.StructField("url", T.StringType()),
+                           T.StructField("html", T.BinaryType())])
+    df = spark.createDataFrame([(r["url"], r["html"]) for r in rows], schema)
+    cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False)
+
+    full = engine.extract_pages(df, config=cfg, salted=False).collect()
+    only_para = engine.extract_pages(df, config=cfg, salted=False,
+                                     roles={"paragraph"},
+                                     jsonl_units=("blocks",)).collect()
+    by_url_full = {r["url"]: r for r in full}
+    for r in only_para:
+        assert len(r["extracted_text"]) < len(
+            by_url_full[r["url"]]["extracted_text"])
+        # jsonl column present and the filtered role absent from it
+        assert '"role": "title"' not in r["jsonl"]
+        assert '"role": "paragraph"' in r["jsonl"]
