@@ -232,11 +232,11 @@ def main() -> None:
     docs_sec_full = res_full["docs"] / res_full["elapsed"]
     efficiency = (docs_sec_high / docs_sec_low) / (n_high / n_low)
 
-    # the machine's own scaling ceiling (bare kernel, no Spark) at the same
-    # levels and the same equal-load regime; normalized = spark efficiency /
+    # the machine's own scaling ceiling (bare kernel, no Spark), sampled
+    # adjacent to each Spark sample above; normalized = spark efficiency /
     # machine ceiling isolates the Spark layer's contribution
-    base_low = _mp_baseline(n_low, BENCH_DOCS * 2, spinners=eq)
-    base_high = _mp_baseline(n_high, BENCH_DOCS * 4)
+    base_low = max(base_low_samples)
+    base_high = max(base_high_samples)
     base_efficiency = (base_high / base_low) / (n_high / n_low)
     normalized_efficiency = (efficiency / base_efficiency
                              if base_efficiency > 0 else 0.0)
