@@ -219,11 +219,18 @@ def main() -> None:
         return a if a["elapsed"] <= b["elapsed"] else b
 
     eq = n_high - n_low  # equal-machine-load spinners for the low level
+    # each Spark sample is paired with an mp-ceiling sample taken in the
+    # SAME time window, so co-tenant load affects both alike
+    base_low_samples, base_high_samples = [], []
     res_low = run_worker(n_low, max(2, REPLICATE // 4), passes=1, spinners=eq)
+    base_low_samples.append(_mp_baseline(n_low, BENCH_DOCS, spinners=eq))
     res_high = run_worker(n_high, REPLICATE, passes=1)
+    base_high_samples.append(_mp_baseline(n_high, BENCH_DOCS * 2))
     res_low = best(res_low, run_worker(n_low, max(2, REPLICATE // 4),
                                        passes=1, spinners=eq))
+    base_low_samples.append(_mp_baseline(n_low, BENCH_DOCS, spinners=eq))
     res_high = best(res_high, run_worker(n_high, REPLICATE, passes=1))
+    base_high_samples.append(_mp_baseline(n_high, BENCH_DOCS * 2))
     # headline level: one pass (informational; the scaling pair matters)
     res_full = (run_worker(CPUS, REPLICATE, passes=1)
                 if CPUS > n_high else res_high)
