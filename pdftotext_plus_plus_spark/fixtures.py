@@ -138,9 +138,11 @@ def make_lines(rng: random.Random, n_lines: int,
 # golden-text mirror (intent level)
 # ---------------------------------------------------------------------------
 
-def golden_from_blocks(blocks: List[List[List[str]]]) -> str:
-    """Mirror of TXT semantics over intended (block -> line -> words) text,
-    including cross-block/page dehyphenation (WordsDehyphenation.cpp:37-78)."""
+def golden_dehyphenated_blocks(blocks: List[List[List[str]]]) -> List[List[str]]:
+    """Dehyphenated per-block word lists over intended (block -> line ->
+    words) text, including cross-block/page merges
+    (WordsDehyphenation.cpp:37-78) — shared by the TXT and TXT-EXTENDED
+    golden mirrors."""
     # Flatten to (block_idx, line_words) preserving order.
     flat: List[Tuple[int, List[str]]] = []
     for b, block in enumerate(blocks):
@@ -171,7 +173,37 @@ def golden_from_blocks(blocks: List[List[List[str]]]) -> str:
                 continue
             out_blocks[-1].append(merged_first.get((i, j), w))
 
+    return out_blocks
+
+
+def golden_from_blocks(blocks: List[List[List[str]]]) -> str:
+    """Mirror of TXT semantics over intended (block -> line -> words) text."""
+    out_blocks = golden_dehyphenated_blocks(blocks)
     return "\n\n".join(" ".join(ws) for ws in out_blocks if ws) + "\n"
+
+
+def golden_extended_paged(blocks: List[List[List[str]]],
+                          blocks_per_page: List[int]) -> str:
+    """Mirror of TXT-EXTENDED semantics (all-paragraph roles, no emphasis):
+    '[PARAGRAPH] ' prefixes, '\n\x0c' after every page, final '\n'
+    (PlainTextExtendedSerializer.cpp:44-110)."""
+    out_blocks = golden_dehyphenated_blocks(blocks)
+    parts: List[str] = []
+    prev = False
+    idx = 0
+    for n in blocks_per_page:
+        for _ in range(n):
+            ws = out_blocks[idx]
+            idx += 1
+            if not ws:
+                continue
+            if prev:
+                parts.append("\n\n")
+            parts.append("[PARAGRAPH] " + " ".join(ws))
+            prev = True
+        parts.append("\n\x0c")
+    parts.append("\n")
+    return "".join(parts)
 
 
 def golden_block_texts(blocks: List[List[List[str]]]) -> List[str]:

@@ -77,3 +77,14 @@ def test_extended_byte_identical_single_page_plain(family, seed):
     mirror = ("\n\n".join("[PARAGRAPH] " + b for b in block_texts)
               + "\n\x0c\n")
     assert res.extracted_text_extended == mirror
+
+
+@pytest.mark.parametrize("seed", [0, 7, 42])
+def test_multi_page_extended_with_page_breaks(seed):
+    """TXT-EXTENDED golden across pages: \\n\\x0c after each of the 3 pages,
+    cross-page dehyphenation substituted in the prefixed block stream."""
+    payload, intent = fixtures.build_multi_page(random.Random(seed))
+    res = pipeline.extract(payload)
+    mirror = fixtures.golden_extended_paged(intent, [2, 2, 2])
+    assert res.extracted_text_extended == mirror
+    assert res.extracted_text_extended.count("\x0c") == 3
