@@ -54,8 +54,9 @@ WITH ev AS (
   FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY ts_s, event_id)
 ), with_ids AS (
   SELECT user_id, ts_s,
-         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s, event_id
-                                ROWS UNBOUNDED PRECEDING) AS session_idx
+         CAST(sum(new_session) OVER (PARTITION BY user_id ORDER BY ts_s,
+                                      event_id ROWS UNBOUNDED PRECEDING)
+              AS BIGINT) AS session_idx
   FROM flagged
 )
 SELECT user_id, session_idx, count(*) AS n_events,

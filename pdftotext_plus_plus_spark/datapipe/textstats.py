@@ -60,7 +60,8 @@ WITH toks AS (
   WHERE length(tok) > 0
 ), agg AS (
   SELECT doc_id, count(*) AS n_tok,
-         sum(CASE WHEN tok IN ({_sw_list_sql()}) THEN 1 ELSE 0 END) AS n_sw
+         CAST(sum(CASE WHEN tok IN ({_sw_list_sql()}) THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_sw
   FROM toks GROUP BY doc_id
 )
 SELECT doc_id, n_tok, n_sw, round(n_sw / n_tok, 6) AS sw_ratio,
@@ -146,7 +147,8 @@ WITH toks AS (
   WHERE length(tok) > 0
 )
 SELECT doc_id, count(*) AS n_ws_tokens,
-       sum(CAST(floor((length(tok) + 3) / 4) AS BIGINT)) AS n_subwords
+       CAST(sum(CAST(floor((length(tok) + 3) / 4) AS BIGINT))
+            AS BIGINT) AS n_subwords
 FROM toks GROUP BY doc_id
 """
 
