@@ -7,13 +7,16 @@ Scale notes (100 TB): every op here is shuffle-bounded by design —
   whole point of LSH at 10^12 rows;
 * SimHash: narrow per-doc aggregation, then pairs only within identical
   16-bit prefix buckets (banding) rather than a cross join;
-* n-gram Jaccard: pair generation is restricted to pairs sharing >= 1
-  shingle (the shingle self-join), never a cross join.
+* n-gram Jaccard: exact PPJoin-style prefix filtering — candidates join
+  only on each doc's rarest-first shingle prefix, so near-universal
+  stop-grams never become join keys and the key distribution stays flat;
+* embedding near-dup: tiled block self-join (applyInPandas per block
+  pair), bounded per-task memory, no driver materialization.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 N_BANDS = 8
@@ -82,16 +85,51 @@ FROM documents GROUP BY md5(text)
 # ---------------------------------------------------------------------------
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard >= threshold pairs over char-3-gram sets, with
+    PPJoin-style prefix filtering (Xiao et al., WWW'08) for candidate
+    generation.
+
+    Why not a plain shingle self-join: stop-grams ("th ", "e a") occur in
+    nearly every document, so the equi-join key is massively skewed and the
+    candidate set near-quadratic at scale.  Prefix filtering is the exact
+    fix: order each doc's shingles by global document frequency ascending
+    (rarest first) and join only on each doc's *prefix* — the first
+    ``n - ceil(t*n) + 1`` shingles.  Two sets with Jaccard >= t MUST share a
+    prefix shingle under any common total order, so no qualifying pair is
+    missed; hot shingles sit at the tail of every ordering and are never
+    join keys unless a document is tiny.  A size filter
+    (``t*n_a <= n_b <= n_a/t``, also exact for Jaccard >= t) prunes further.
+    Exact intersection counts are then computed on candidates only.
+    """
     docs = _documents(spark, sf_dir)
     sh = _shingles(docs)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                     & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("id_a"),
-                       F.col("b.doc_id").alias("id_b"))
-              .agg(F.count("*").alias("n_common")))
+
+    # global document frequency per shingle; rarest-first total order
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    ranked = (sh.join(dfreq, "sh")
+              .withColumn("pos", F.row_number().over(w))
+              .join(sizes, "doc_id"))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh")
+        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
+
+    a = prefix.select(F.col("doc_id").alias("id_a"), "sh",
+                      F.col("n_sh").alias("n_a"))
+    b = prefix.select(F.col("doc_id").alias("id_b"), "sh",
+                      F.col("n_sh").alias("n_b"))
+    cand = (a.join(b, ["sh"])
+            .filter((F.col("id_a") < F.col("id_b"))
+                    & (F.col("n_b") >= F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_a")))
+                    & (F.col("n_a") >= F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_b"))))
+            .select("id_a", "id_b").distinct())
+
+    # exact intersection counts on candidates only (keyed by (doc_id, sh))
+    x = sh.select(F.col("doc_id").alias("id_a"), "sh")
+    y = sh.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (cand.join(x, "id_a").join(y, ["id_b", "sh"])
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (common.join(sa, "id_a").join(sb, "id_b")
@@ -272,47 +310,71 @@ WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 # embedding-cosine near-dup
 # ---------------------------------------------------------------------------
 
+EMB_TILES = 4
+
+
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of embeddings with cosine similarity >= threshold.
 
-    Vectorized brute force: the (small) reference matrix is broadcast and
-    each Arrow batch computes a numpy matmul block — the standard
-    block-nested-loop shape for exact all-pairs similarity.  At 10^12 rows
-    you partition the broadcast side into tiles (or switch to the LSH
-    bucketing in :mod:`.similarity`); per-tile the kernel is identical.
-    Cosines are rounded to 4 decimals before thresholding so float noise
-    cannot flip membership against the oracle.
+    Exact all-pairs via a *tiled self-join*: each vector lands in block
+    ``vec_id % B``; every unordered block pair ``(i, j), i <= j`` is one
+    task that receives the two blocks' rows (replicated through an
+    ``explode`` over the tile index — pure shuffle, nothing on the driver)
+    and computes the numpy matmul for its tile.  Per-task memory is
+    ``O((N/B)^2)`` of the tile, shuffle volume ``O(N * B)``; at 10^12 rows
+    you raise B so a tile fits an executor, and the kernel is unchanged.
+    Exact all-pairs is inherently O(N^2) compute — for the approximate
+    scale path see :mod:`.similarity`'s LSH bucketing.  Cosines are rounded
+    to 4 decimals before thresholding so float noise cannot flip membership
+    against the oracle.
     """
     import numpy as np
     import pandas as pd
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    ref = emb.select("vec_id", "embedding").collect()
-    ref_ids = np.array([r["vec_id"] for r in ref], dtype=np.int64)
-    ref_mat = np.array([r["embedding"] for r in ref], dtype=np.float64)
-    ref_norm = np.sqrt((ref_mat * ref_mat).sum(axis=1))
-    bc = spark.sparkContext.broadcast((ref_ids, ref_mat, ref_norm))
+    B = EMB_TILES
     threshold = COSINE_DUP_THRESHOLD
+    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+           .select("vec_id", "embedding")
+           .withColumn("blk", (F.col("vec_id") % B).cast("int")))
+    # row in block i is the left side of tiles (i, j>=i) ...
+    left = (emb.withColumn("tj", F.explode(F.sequence(F.col("blk"), F.lit(B - 1))))
+            .select(F.col("blk").alias("ti"), "tj", "vec_id", "embedding",
+                    F.lit(0).alias("side")))
+    # ... and the right side of tiles (i<=j, j)
+    right = (emb.withColumn("ti", F.explode(F.sequence(F.lit(0), F.col("blk"))))
+             .select("ti", F.col("blk").alias("tj"), "vec_id", "embedding",
+                     F.lit(1).alias("side")))
 
-    def kernel(batches):
-        ids_b, mat_b, norm_b = bc.value
-        for pdf in batches:
-            ids_a = pdf["vec_id"].to_numpy(dtype=np.int64)
-            mat_a = np.array(list(pdf["embedding"]), dtype=np.float64)
-            norm_a = np.sqrt((mat_a * mat_a).sum(axis=1))
-            sims = (mat_a @ mat_b.T) / np.outer(norm_a, norm_b)
-            sims = np.round(sims, 4)
-            # upper triangle only: id_a < id_b
+    def kernel(key, pdf):
+        ti, tj = key
+        a = pdf[pdf["side"] == 0]
+        ids_a = a["vec_id"].to_numpy(dtype=np.int64)
+        mat_a = np.array(list(a["embedding"]), dtype=np.float64)
+        if ti == tj:
+            ids_b, mat_b = ids_a, mat_a
+        else:
+            b = pdf[pdf["side"] == 1]
+            ids_b = b["vec_id"].to_numpy(dtype=np.int64)
+            mat_b = np.array(list(b["embedding"]), dtype=np.float64)
+        if not len(ids_a) or not len(ids_b):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []})
+        norm_a = np.sqrt((mat_a * mat_a).sum(axis=1))
+        norm_b = np.sqrt((mat_b * mat_b).sum(axis=1))
+        sims = np.round((mat_a @ mat_b.T) / np.outer(norm_a, norm_b), 4)
+        if ti == tj:
+            # within-block: upper triangle only
             mask = (sims >= threshold) & (ids_a[:, None] < ids_b[None, :])
-            ai, bj = np.nonzero(mask)
-            yield pd.DataFrame({
-                "id_a": ids_a[ai],
-                "id_b": ids_b[bj],
-                "cosine": sims[ai, bj],
-            })
+        else:
+            # cross-block: every pair is unique to this tile; orient below
+            mask = sims >= threshold
+        ai, bj = np.nonzero(mask)
+        lo = np.minimum(ids_a[ai], ids_b[bj])
+        hi = np.maximum(ids_a[ai], ids_b[bj])
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": sims[ai, bj]})
 
-    return emb.select("vec_id", "embedding").mapInPandas(
-        kernel, "id_a bigint, id_b bigint, cosine double")
+    return (left.unionByName(right)
+            .groupBy("ti", "tj")
+            .applyInPandas(kernel, "id_a bigint, id_b bigint, cosine double"))
 
 
 EMBEDDING_NEAR_DUP_SQL = f"""

@@ -53,3 +53,68 @@ def test_broadcast_in_ann_plan(spark):
     df = similarity.ann_bruteforce_topk(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_embedding_near_dup_is_tiled_no_driver_collect(spark):
+    """embedding_near_dup must be a distributed tiled self-join: grouped
+    Arrow kernel in the plan, no driver-side collect/broadcast of the
+    table (the round-1 scale-killer), and every tile bounded to ~2N/B
+    rows so per-task memory is controlled."""
+    import inspect
+
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    src = inspect.getsource(dedup.embedding_near_dup)
+    assert ".collect()" not in src and "broadcast(" not in src
+
+    df = dedup.embedding_near_dup(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "FlatMapGroupsInPandas" in plan
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    n = emb.count()
+    b = dedup.EMB_TILES
+    # replication factor is exactly B+1 copies per row across all tiles
+    tile_rows = (emb
+                 .withColumn("blk", (F.col("vec_id") % b).cast("int"))
+                 .withColumn("tj", F.explode(F.sequence(F.col("blk"), F.lit(b - 1))))
+                 .groupBy(F.col("blk").alias("ti"), "tj").count().collect())
+    assert sum(r["count"] for r in tile_rows) <= n * (b + 1)
+    assert max(r["count"] for r in tile_rows) <= (n // b) + b
+
+
+def test_ngram_jaccard_prefix_kills_hot_shingles(spark):
+    """Prefix filtering must keep near-universal stop-grams out of the
+    candidate join keys: the max document-frequency among prefix shingles
+    must be far below the global max, and the candidate pair count far
+    below the unfiltered shingle self-join's."""
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    sh = dedup._shingles(docs)
+    dfreq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    global_max_df = dfreq.agg(F.max("df")).collect()[0][0]
+    assert global_max_df > 0.9 * n_docs  # stop-grams ARE near-universal
+
+    from pyspark.sql import Window
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("sh"))
+    prefix = (sh.join(dfreq, "sh")
+              .withColumn("pos", F.row_number().over(w))
+              .join(sizes, "doc_id")
+              .filter(F.col("pos") <= F.col("n_sh")
+                      - F.ceil(F.lit(dedup.JACCARD_THRESHOLD) * F.col("n_sh")) + 1))
+    # the actual skew driver is join-key multiplicity: how many docs carry
+    # a given shingle IN THEIR PREFIX (what gets joined), not global df
+    prefix_max_key = (prefix.groupBy("sh").agg(F.count("*").alias("c"))
+                      .agg(F.max("c")).collect()[0][0])
+    assert prefix_max_key < 0.25 * global_max_df
+
+    # candidate blowup check: sum over join keys of multiplicity^2
+    naive = (sh.groupBy("sh").agg(F.count("*").alias("c"))
+             .agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
+    filtered = (prefix.groupBy("sh").agg(F.count("*").alias("c"))
+                .agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
+    assert filtered < 0.1 * naive
