@@ -89,6 +89,189 @@ def extract_blocks_oracle_sql() -> str:
             % ",\n".join(values))
 
 
+def extract_text_extended(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S6 — TXT-EXTENDED sink over the full fixture corpus: '[ROLE] '
+    prefixes, \\x01 emphasis marks, \\n\\x0c page breaks
+    (PlainTextExtendedSerializer.cpp:44-110)."""
+    from .. import engine
+
+    pages = _fixture_pages_df(spark)
+    out = engine.extract_pages(pages, num_partitions=8)
+    return out.select("url", "extracted_text_extended")
+
+
+def extract_text_extended_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+    values = ",\n".join(
+        "('%s', '%s')" % (r["url"],
+                          fixtures.golden_extended_for_row(r).replace("'", "''"))
+        for r in rows)
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, extracted_text_extended)"
+            % values)
+
+
+# families where per-page block creation rank == emission (reading) order,
+# so the deterministic JSONL id "block-{page}-{rank}" is intent-derivable
+# (rotated is the one family where the sidebar reorders ranks; jumbo is
+# excluded only to bound query runtime)
+JSONL_FAMILIES = [
+    "plain-1col", "two-col", "hyphenated", "diacritics", "ligatures",
+    "charnames", "headings", "multi-page", "degenerate", "centered",
+    "enumerations", "subsuper", "stacked-math", "figures", "hanging-indent",
+    "three-col", "mixed-two-col", "clipped-figure", "wmode", "article-roles",
+]
+N_JSONL_DOCS = 40
+
+
+def _jsonl_golden_rows():
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_JSONL_DOCS, families=JSONL_FAMILIES)
+    out = []
+    for r in rows:
+        out_blocks = fixtures.golden_dehyphenated_blocks(r["golden_intent"])
+        texts = fixtures.golden_block_texts(r["golden_intent"])
+        n_pages = r["n_pages"]
+        bpp_fn, _ = fixtures.FAMILY_EXT_META.get(r["family"], (None, None))
+        nb = len(out_blocks)
+        bpp = (bpp_fn(nb, n_pages) if bpp_fn
+               else [nb // n_pages] * n_pages)
+        pos = 0
+        idx = 0
+        for page_num, n in enumerate(bpp, start=1):
+            for rank in range(n):
+                out.append((r["url"], pos, "block-%d-%d" % (page_num, rank),
+                            page_num, texts[idx], "paragraph"))
+                pos += 1
+                idx += 1
+    return out
+
+
+def extract_jsonl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 — the JSONL string sink itself: one JSON line per block
+    (JsonlSerializer.cpp:53-270), parsed back into fields so the driver
+    checks ids, linkage, escaping, and text through the string surface."""
+    from pyspark.sql import functions as F
+
+    from .. import fixtures
+    from .. import engine
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_JSONL_DOCS, families=JSONL_FAMILIES))
+    out = engine.extract_pages(pages, num_partitions=8,
+                               jsonl_units=("blocks",))
+    lines = (out.select(
+        "url",
+        F.posexplode(F.split(F.col("jsonl"), "\n")).alias("pos", "line"))
+        .filter(F.col("line") != ""))  # the sink's trailing newline
+    return lines.select(
+        "url", "pos",
+        F.get_json_object("line", "$.id").alias("block_id"),
+        F.get_json_object("line", "$.page").cast("int").alias("page"),
+        F.get_json_object("line", "$.text").alias("block_text"),
+        F.get_json_object("line", "$.role").alias("role"))
+
+
+def extract_jsonl_oracle_sql() -> str:
+    values = ",\n".join(
+        "('%s', %d, '%s', %d, '%s', '%s')"
+        % (url, pos, bid, page, text.replace("'", "''"), role)
+        for url, pos, bid, page, text, role in _jsonl_golden_rows())
+    return ("SELECT * FROM (VALUES\n%s\n) "
+            "AS t(url, pos, block_id, page, block_text, role)" % values)
+
+
+N_ROLE_DOCS = 16
+
+
+def _make_pages_df(spark: SparkSession, rows):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("url", T.StringType()),
+        T.StructField("warc_ts", T.TimestampType()),
+        T.StructField("html", T.BinaryType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("golden_text", T.StringType()),
+        T.StructField("family", T.StringType()),
+    ])
+    return spark.createDataFrame(rows, schema)
+
+
+def _roles_config():
+    from dataclasses import replace
+
+    from ..config import DEFAULT_CONFIG
+
+    return replace(DEFAULT_CONFIG, skip_semantic_roles=False)
+
+
+def extract_roles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 — role prediction enabled over the article-roles family; the
+    oracle carries non-default roles (title/author-info/heading), so a
+    regression in role prediction is driver-visible."""
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_ROLE_DOCS, families=["article-roles"]))
+    out = engine.extract_pages(pages, config=_roles_config(),
+                               with_spans=True, num_partitions=8)
+    return (out.select("url", F.posexplode("blocks").alias("pos", "block"))
+            .select("url", "pos",
+                    F.col("block.text").alias("block_text"),
+                    F.col("block.role").alias("role")))
+
+
+def extract_roles_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_ROLE_DOCS, families=["article-roles"])
+    values = []
+    for r in rows:
+        texts = fixtures.golden_block_texts(r["golden_intent"])
+        for pos, (text, role) in enumerate(zip(texts, fixtures.ARTICLE_ROLES)):
+            values.append("('%s', %d, '%s', '%s')"
+                          % (r["url"], pos, text.replace("'", "''"), role))
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, pos, block_text, role)"
+            % ",\n".join(values))
+
+
+ROLE_FILTER = ("title", "heading")
+
+
+def extract_text_role_filtered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17 — serializer-level role filter (the reference CLI's --role,
+    pdftotext++.cpp:236-241): TXT output restricted to title+heading
+    blocks."""
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_ROLE_DOCS, families=["article-roles"]))
+    out = engine.extract_pages(pages, config=_roles_config(),
+                               num_partitions=8, roles=ROLE_FILTER)
+    return out.select("url", "extracted_text")
+
+
+def extract_text_role_filtered_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_ROLE_DOCS, families=["article-roles"])
+    values = []
+    for r in rows:
+        blocks = fixtures.golden_dehyphenated_blocks(r["golden_intent"])
+        kept = [" ".join(ws) for ws, role in zip(blocks, fixtures.ARTICLE_ROLES)
+                if role in ROLE_FILTER]
+        golden = "\n\n".join(kept) + "\n"
+        values.append("('%s', '%s')" % (r["url"], golden.replace("'", "''")))
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, extracted_text)"
+            % ",\n".join(values))
+
+
 def extract_word_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-url physical word count — checks T2/T3 word segmentation through
     the driver (the intent token count equals the detected word count for
@@ -146,6 +329,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_text": (extract_text, None),     # oracle filled in lazily below
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     "extract_word_counts": (extract_word_counts, None),  # oracle below
+    "extract_text_extended": (extract_text_extended, None),  # oracle below
+    "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
+    "extract_roles": (extract_roles, None),    # oracle filled in lazily below
+    "extract_text_role_filtered": (extract_text_role_filtered, None),
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
@@ -198,4 +385,9 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["extract_word_counts"] = extract_word_counts_oracle_sql()
+    oracles["extract_text_extended"] = extract_text_extended_oracle_sql()
+    oracles["extract_jsonl"] = extract_jsonl_oracle_sql()
+    oracles["extract_roles"] = extract_roles_oracle_sql()
+    oracles["extract_text_role_filtered"] = \
+        extract_text_role_filtered_oracle_sql()
     return oracles

@@ -183,27 +183,61 @@ def golden_from_blocks(blocks: List[List[List[str]]]) -> str:
 
 
 def golden_extended_paged(blocks: List[List[List[str]]],
-                          blocks_per_page: List[int]) -> str:
-    """Mirror of TXT-EXTENDED semantics (all-paragraph roles, no emphasis):
-    '[PARAGRAPH] ' prefixes, '\n\x0c' after every page, final '\n'
+                          blocks_per_page: List[int],
+                          emphasized: Optional[set] = None,
+                          roles: Optional[List[str]] = None) -> str:
+    """Mirror of TXT-EXTENDED semantics: '[ROLE] ' prefixes (default
+    PARAGRAPH), '\x01' emphasis marks for ``emphasized`` block indices,
+    '\n\x0c' after every page, final '\n'
     (PlainTextExtendedSerializer.cpp:44-110)."""
     out_blocks = golden_dehyphenated_blocks(blocks)
+    emphasized = emphasized or set()
     parts: List[str] = []
     prev = False
     idx = 0
     for n in blocks_per_page:
         for _ in range(n):
             ws = out_blocks[idx]
+            role = roles[idx] if roles else "paragraph"
+            mark = "\x01" if idx in emphasized else ""
             idx += 1
             if not ws:
                 continue
             if prev:
                 parts.append("\n\n")
-            parts.append("[PARAGRAPH] " + " ".join(ws))
+            parts.append("[" + role.upper() + "] " + mark + " ".join(ws))
             prev = True
         parts.append("\n\x0c")
     parts.append("\n")
     return "".join(parts)
+
+
+# Per-family TXT-EXTENDED mirror metadata: blocks-per-page distribution
+# (None = even split over n_pages) and emphasized block indices (bold and/or
+# larger-font blocks, by construction of the family builders).
+FAMILY_EXT_META: Dict[str, Tuple[Optional[Callable[[int, int], List[int]]],
+                                 frozenset]] = {
+    "degenerate": (lambda nb, np: [0] * (np - 1) + [nb], frozenset()),
+    "headings": (None, frozenset({0})),
+    "mixed-two-col": (None, frozenset({0})),
+    "article-roles": (None, frozenset({0, 3})),
+}
+
+
+def golden_extended_for_row(row: dict) -> str:
+    """TXT-EXTENDED golden for a build_corpus row, computed from the intent
+    + family metadata (never from the pipeline)."""
+    intent = row["golden_intent"]
+    n_pages = row["n_pages"]
+    out_blocks = golden_dehyphenated_blocks(intent)
+    bpp_fn, emphasized = FAMILY_EXT_META.get(row["family"], (None, frozenset()))
+    if bpp_fn is None:
+        nb = len(out_blocks)
+        assert nb % n_pages == 0, (row["family"], nb, n_pages)
+        bpp = [nb // n_pages] * n_pages
+    else:
+        bpp = bpp_fn(len(out_blocks), n_pages)
+    return golden_extended_paged(intent, bpp, set(emphasized))
 
 
 def golden_block_texts(blocks: List[List[List[str]]]) -> List[str]:
@@ -862,3 +896,49 @@ def build_wmode(rng: random.Random):
 
 
 FAMILY_BUILDERS["wmode"] = build_wmode
+
+
+# ---------------------------------------------------------------------------
+# role-rich family (T15/T17 driver coverage)
+# ---------------------------------------------------------------------------
+
+# Expected roles by construction, in reading order, for build_article_roles
+# (the heuristic head's rules, kernel/roles.py:_predict_roles_heuristic):
+# '@' in text -> author-info; first emphasized max-font block -> title;
+# other emphasized larger-than-body blocks -> heading; rest -> paragraph.
+ARTICLE_ROLES = ["title", "author-info", "paragraph", "heading", "paragraph"]
+FS_TITLE = 16.0
+FS_HEADING = 13.0
+
+
+def build_article_roles(rng: random.Random):
+    """Title (16pt bold) + author line ('@') + body + heading (13pt bold) +
+    body — every role the heuristic head assigns from layout alone, with
+    deterministic expected roles (ARTICLE_ROLES)."""
+    title = [["Network", "Flow", "Methods"]]
+    author = [["by", "jane@example.org"]]
+    heading = [["Related", "Work"]]
+    body1 = make_lines(rng, rng.randint(3, 4))
+    body2 = make_lines(rng, rng.randint(3, 4))
+
+    page = _PageBuilder(1)
+    base = TOP_BASE
+    place_line(page, title[0], MARGIN_X, base, FS_TITLE, BOLD_FONT)
+    base = R1(base + BLOCK_GAP + CHAR_H * FS_BODY)
+    place_line(page, author[0], MARGIN_X, base, FS_BODY, BODY_FONT)
+    base = R1(base + BLOCK_GAP + CHAR_H * FS_BODY)
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    for line in body1:
+        place_line(page, line, MARGIN_X, base)
+        base = R1(base + step)
+    base = R1(base - step + BLOCK_GAP + CHAR_H * FS_BODY)
+    place_line(page, heading[0], MARGIN_X, base, FS_HEADING, BOLD_FONT)
+    base = R1(base + BLOCK_GAP + CHAR_H * FS_BODY)
+    for line in body2:
+        place_line(page, line, MARGIN_X, base)
+        base = R1(base + step)
+    payload = encode_payload(FONTS, [page.to_dict()])
+    return payload, [title, author, body1, heading, body2]
+
+
+FAMILY_BUILDERS["article-roles"] = build_article_roles

@@ -88,3 +88,14 @@ def test_multi_page_extended_with_page_breaks(seed):
     mirror = fixtures.golden_extended_paged(intent, [2, 2, 2])
     assert res.extracted_text_extended == mirror
     assert res.extracted_text_extended.count("\x0c") == 3
+
+
+@pytest.mark.parametrize("seed", [3, 42])
+def test_extended_mirror_full_corpus(seed):
+    """TXT-EXTENDED byte-identity across EVERY family (incl. jumbo) via the
+    per-family mirror metadata (fixtures.golden_extended_for_row)."""
+    rows = fixtures.build_corpus(44, seed=seed, jumbo_every=11)
+    for row in rows:
+        res = pipeline.extract(row["html"])
+        assert res.extracted_text_extended == fixtures.golden_extended_for_row(row), \
+            row["url"]

@@ -128,3 +128,29 @@ def test_model_role_head():
     # the TXT output (no role filter) is unchanged by the model head
     assert pipeline.extract(rows[0]["html"], config=model_cfg).extracted_text \
         == rows[0]["golden_text"]
+
+
+def test_article_roles_family():
+    """The article-roles family assigns every heuristic role class
+    deterministically (title / author-info / heading / paragraph)."""
+    for seed in (0, 11, 42):
+        payload, intent = fixtures.FAMILY_BUILDERS["article-roles"](
+            random.Random(seed))
+        res = pipeline.extract(payload, config=ROLES_ON, with_spans=True)
+        assert [b.role for b in res.blocks] == fixtures.ARTICLE_ROLES
+        assert ([b.text for b in res.blocks]
+                == fixtures.golden_block_texts(intent))
+        assert res.extracted_text == fixtures.golden_from_blocks(intent)
+
+
+def test_article_roles_filtered_txt():
+    """T17 role filter end-to-end on article-roles: TXT restricted to
+    title+heading equals the intent-level filtered golden."""
+    payload, intent = fixtures.FAMILY_BUILDERS["article-roles"](
+        random.Random(5))
+    res = pipeline.extract(payload, config=ROLES_ON,
+                           roles={"title", "heading"})
+    blocks = fixtures.golden_dehyphenated_blocks(intent)
+    kept = [" ".join(ws) for ws, role in zip(blocks, fixtures.ARTICLE_ROLES)
+            if role in ("title", "heading")]
+    assert res.extracted_text == "\n\n".join(kept) + "\n"
