@@ -180,12 +180,16 @@ class _Reader:
 
 
 def _resolve_text(raw_text: str, name: str, unicodes: List[int]) -> str:
-    """Final char text (PdfParsing.cpp:206-226): explicit text wins; else
-    charMap by glyph name; else chr() of the codepoints (ligatures expand)."""
+    """Final char text (PdfParsing.cpp:206-226): the charMap entry OVERRIDES
+    a single provided unicode (``uLen == 1 && charMap.count(name)``); else
+    the explicit text; else chr() of the codepoints (ligatures expand).
+    When ``unicodes`` is omitted as derivable from the text, the codepoint
+    count of the text is the uLen analog."""
+    n_uni = len(unicodes) if unicodes else len(raw_text)
+    if n_uni == 1 and name in CHAR_MAP:
+        return CHAR_MAP[name][1]
     if raw_text:
         return raw_text
-    if name in CHAR_MAP:
-        return CHAR_MAP[name]
     if unicodes:
         return "".join(chr(u) for u in unicodes)
     return ""

@@ -367,18 +367,34 @@ def build_ligatures(rng: random.Random):
     return payload, intended
 
 
+# glyph names sampled across the full CharMap table (CharMap.h:32-171),
+# incl. the multi-char thumbs_up text ("ὄ" + 'D', a faithful replication
+# of the reference's 4-hex-digit C++ literal)
+CHARNAME_SAMPLE = [
+    ("circlecopyrt", "©"), ("epsilon1", "ε"), ("parenleftbig", "("),
+    ("radicalBigg", "√"), ("logicalanddisplay", "∧"), ("bardbl", "‖"),
+    ("unionmultitext", "⊎"), ("ceilingleftbig", "⌈"), ("prime", "′"),
+    ("thumbs_up", "ὄD"),
+]
+
+
 def build_charnames(rng: random.Random):
-    """S2 charMap fallback: glyph name only, no encoding."""
+    """S2 charMap fallback: glyph name + a deliberately WRONG single
+    unicode ('?'), proving the name map overrides a provided unicode
+    (PdfParsing.cpp:206-208 applies the map when uLen == 1)."""
     paragraphs = [make_lines(rng, 3)]
     page = _PageBuilder(1)
     _layout_paragraphs(page, paragraphs, MARGIN_X, TOP_BASE)
     base = R1(TOP_BASE + (len(paragraphs[0]) - 1) * (LINE_DIST + CHAR_H * FS_BODY)
               + BLOCK_GAP + CHAR_H * FS_BODY)
     x = place_line(page, ["total"], MARGIN_X, base)
-    x = R1(x + WORD_GAP)
-    x = place_word(page, "", x, base, char_specs=[
-        {"text": "", "name": "circlecopyrt", "unicodes": [], "width": 7.0}])
-    intended = paragraphs + [[["total", "©"]]]
+    glyph_words = ["total"]
+    for name, text in CHARNAME_SAMPLE:
+        x = R1(x + WORD_GAP)
+        x = place_word(page, "", x, base, char_specs=[
+            {"text": "", "name": name, "unicodes": [0x3F], "width": 7.0}])
+        glyph_words.append(text)
+    intended = paragraphs + [[glyph_words]]
     payload = encode_payload(FONTS, [page.to_dict()])
     return payload, intended
 

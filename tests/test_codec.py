@@ -35,10 +35,34 @@ def test_roundtrip_basic():
 
 
 def test_charmap_fallback():
+    """The charMap OVERRIDES a single provided unicode when the glyph name
+    is mapped (PdfParsing.cpp:206-208: uLen == 1 && charMap.count(name))."""
     doc, code = decode_payload(_payload(
-        [_char("", 0.0, name="summationdisplay", unicodes=[])]))
+        [_char("", 0.0, name="summationdisplay", unicodes=[0x3F])]))
     assert code == codec.OK
     assert doc.pages[0].characters[0].text == "∑"
+    # ... also when the single unicode arrives as explicit text
+    doc, _ = decode_payload(_payload(
+        [_char("?", 0.0, name="epsilon1", unicodes=[])]))
+    assert doc.pages[0].characters[0].text == "ε"
+    # uLen > 1: the map does NOT apply (ligature path wins)
+    doc, _ = decode_payload(_payload(
+        [_char("", 0.0, name="epsilon1", unicodes=[0x66, 0x69])]))
+    assert doc.pages[0].characters[0].text == "fi"
+
+
+def test_charmap_full_table():
+    """All 134 reference entries carried; multi-char thumbs text replicates
+    the reference's 4-hex C++ literal ("\\u1F44" + 'E')."""
+    from pdftotext_plus_plus_spark.charmap import CHAR_MAP
+
+    # 134 reference rows, one duplicate name (summationdisplay, lines 33+150)
+    assert len(CHAR_MAP) == 133
+    assert CHAR_MAP["epsilon1"] == (0x03B5, "ε")
+    assert CHAR_MAP["parenleftbig"] == (0x0028, "(")
+    assert CHAR_MAP["thumbs_up"] == (0x1F44D, "ὄ" + "D")
+    assert CHAR_MAP["thumbs_down"] == (0x1F44E, "ὄ" + "E")
+    assert CHAR_MAP["question_sign"] == (0x003F, "?")
 
 
 def test_ligature_expansion():
