@@ -241,6 +241,30 @@ def extract_roles_oracle_sql() -> str:
             % ",\n".join(values))
 
 
+def extract_roles_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15 model path — the reference-architecture numpy net (embedding +
+    LSTM over shipped BPE ids + layout features; kernel/roles_net.py) run
+    end-to-end through Spark; same non-default-role oracle as
+    extract_roles."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+    from ..config import DEFAULT_CONFIG
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_ROLE_DOCS, families=["article-roles"]))
+    cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False,
+                  role_head="model")
+    out = engine.extract_pages(pages, config=cfg,
+                               with_spans=True, num_partitions=8)
+    return (out.select("url", F.posexplode("blocks").alias("pos", "block"))
+            .select("url", "pos",
+                    F.col("block.text").alias("block_text"),
+                    F.col("block.role").alias("role")))
+
+
 ROLE_FILTER = ("title", "heading")
 
 
@@ -332,6 +356,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_text_extended": (extract_text_extended, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
+    "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
@@ -388,6 +413,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_text_extended"] = extract_text_extended_oracle_sql()
     oracles["extract_jsonl"] = extract_jsonl_oracle_sql()
     oracles["extract_roles"] = extract_roles_oracle_sql()
+    oracles["extract_roles_model"] = extract_roles_oracle_sql()
     oracles["extract_text_role_filtered"] = \
         extract_text_role_filtered_oracle_sql()
     return oracles

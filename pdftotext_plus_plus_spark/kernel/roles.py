@@ -11,13 +11,20 @@ The reference feeds each block into a tiny Keras net with two inputs
   first-matching-pair merging in occurrence order, ✂ word delimiter,
   pad/truncate to the target length).
 
-The trained TF SavedModel itself is NOT portable into this environment
-(cppflow/TensorFlow are unavailable), so the classifier head is a
-deterministic heuristic stand-in (:func:`predict_roles`) behind the same
-skip flag the reference exposes (--skip-semantic-roles-prediction,
-pdftotext++.cpp:663); with the stage skipped, every block keeps the default
-PARAGRAPH role exactly like the reference.  Golden fixtures run with the
-stage skipped; the heuristic surface is tested separately.
+Two classifier heads sit behind the same skip flag the reference exposes
+(--skip-semantic-roles-prediction, pdftotext++.cpp:663; with the stage
+skipped, every block keeps the default PARAGRAPH role exactly like the
+reference):
+
+* ``role_head="heuristic"`` — a deterministic rule head over the same
+  layout features;
+* ``role_head="model"`` — the reference's exact model architecture
+  (embedding -> LSTM over the shipped bpe-vocab.tsv ids, concat 15 layout
+  dims -> dense relu -> softmax over the 14-role enum) replicated in numpy
+  (:mod:`.roles_net`).  The reference repo copy ships the architecture and
+  vocabularies but NOT the trained weight values (variables.data-* is
+  absent), so the backbone is frozen at a seeded init and the output layers
+  are trained on the fixture corpus (scripts/train_reference_role_net.py).
 """
 
 from __future__ import annotations
@@ -196,48 +203,17 @@ def _iswpunct(ch: str) -> bool:
     return unicodedata.category(ch).startswith("P")
 
 
-_MODEL_CACHE = {}
-
-
-def _load_role_head():
-    """Load the trained numpy head once per process (the per-executor
-    load-once pattern of the reference, SemanticRolesPrediction.cpp:133-135;
-    the .npz ships inside the package via --py-files)."""
-    if "head" not in _MODEL_CACHE:
-        import io
-        from importlib import resources
-
-        import numpy as np
-
-        # importlib.resources works when the package ships as a
-        # --py-files zip (zipimport) as well as from a directory
-        blob = (resources.files("pdftotext_plus_plus_spark")
-                .joinpath("resources/role_head.npz").read_bytes())
-        data = np.load(io.BytesIO(blob))
-        _MODEL_CACHE["head"] = (data["weights"], data["bias"],
-                                [str(r) for r in data["roles"]])
-    return _MODEL_CACHE["head"]
-
-
 def predict_roles_model(doc: Doc) -> None:
-    """Model-based role head: 15-dim layout features -> argmax(XW + b)
-    with weights trained by scripts/train_role_head.py (multinomial
-    logistic head; labels from the deterministic heuristic standing in for
-    the reference's hand-labeled corpus).  The argmax mirrors the
-    reference's predict() (SemanticRolesPrediction.cpp:151-167)."""
-    import numpy as np
+    """Model-based role head: the reference's exact architecture (words
+    BPE ids -> embedding -> LSTM, concat 15 layout dims -> dense relu ->
+    softmax over the 14-role enum) with the SHIPPED bpe/roles vocabularies,
+    replicated in numpy — see kernel/roles_net.py for the full provenance
+    (the reference repo copy ships the architecture + vocabs but not the
+    trained weight values).  Loads once per executor process
+    (SemanticRolesPrediction.cpp:133-135); ships via --py-files."""
+    from . import roles_net
 
-    feats = compute_layout_features(doc)
-    if not feats:
-        return
-    weights, bias, roles_list = _load_role_head()
-    logits = np.asarray(feats, dtype=np.float64) @ weights + bias
-    pred = logits.argmax(axis=1)
-    i = 0
-    for page in doc.pages:
-        for block in page.blocks:
-            block.role = roles_list[int(pred[i])]
-            i += 1
+    roles_net.predict_roles_net(doc)
 
 
 def predict_roles(doc: Doc, config: PipelineConfig) -> None:

@@ -53,7 +53,7 @@ def main() -> None:
     parser.add_argument("--role-head", choices=("heuristic", "model"),
                         default="heuristic",
                         help="role classifier: deterministic heuristic or "
-                             "the trained numpy head (resources/role_head.npz)")
+                             "the reference-architecture numpy net (resources/role_net.npz)")
     parser.add_argument("--demo", action="store_true",
                         help="run on a generated 200-doc fixture corpus in /tmp")
     args = parser.parse_args()

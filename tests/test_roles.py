@@ -154,3 +154,54 @@ def test_article_roles_filtered_txt():
     kept = [" ".join(ws) for ws, role in zip(blocks, fixtures.ARTICLE_ROLES)
             if role in ("title", "heading")]
     assert res.extracted_text == "\n\n".join(kept) + "\n"
+
+
+def test_reference_net_architecture_and_vocabs():
+    """roles_net replicates the shipped model's exact shapes and vocabs:
+    embedding [2259,256] (2256 BPE entries + 3 meta symbols), LSTM(256)
+    kernels [256,1024], dense [271,256], output [256,14] == the SemanticRole
+    enum order (saved_model.pb VarHandleOp shapes; roles-vocab.tsv)."""
+    from pdftotext_plus_plus_spark.config import SEMANTIC_ROLE_NAMES
+    from pdftotext_plus_plus_spark.kernel import roles_net
+
+    vocab = roles_net.load_bpe_vocab()
+    assert len(vocab) == 2256
+    assert vocab["!"] == 0 and vocab["ward✂"] == 2255
+    assert tuple(roles_net.load_roles_vocab()) == SEMANTIC_ROLE_NAMES
+
+    emb, w, u, b = roles_net.frozen_backbone()
+    assert emb.shape == (2259, 256)
+    assert w.shape == (256, 1024) and u.shape == (256, 1024)
+    assert b.shape == (1024,)
+    assert (b[256:512] == 1.0).all()  # unit forget bias
+
+    dense_w, dense_b, out_w, out_b = roles_net._load_head()
+    assert dense_w.shape == (271, 256) and out_w.shape == (256, 14)
+
+
+def test_reference_net_words_input():
+    """The words input is [n_blocks, 100] shipped-vocab BPE ids
+    (createWordsInputTensor, SemanticRolesPrediction.cpp:372-404)."""
+    from pdftotext_plus_plus_spark.kernel import roles_net
+
+    payload, _ = fixtures.FAMILY_BUILDERS["article-roles"](random.Random(3))
+    res = pipeline.extract(payload, keep_doc=True)
+    ids = roles_net.words_input(res.doc)
+    n_blocks = sum(len(p.blocks) for p in res.doc.pages)
+    assert ids.shape == (n_blocks, 100)
+    assert ids.min() >= 0 and ids.max() < 2259
+    vocab = roles_net.load_bpe_vocab()
+    pad = len(vocab)  # PADDING appended first -> id 2256
+    assert (ids[:, -1] == pad).any()  # short blocks end padded
+
+
+def test_reference_net_registry_corpus_exact():
+    """The net reproduces the expected roles on the driver-registry role
+    corpus exactly (the extract_roles_model oracle depends on this)."""
+    from pdftotext_plus_plus_spark.kernel import roles_net
+
+    for row in fixtures.build_corpus(16, families=["article-roles"]):
+        res = pipeline.extract(row["html"], keep_doc=True)
+        roles_net.predict_roles_net(res.doc)
+        preds = [b.role for p in res.doc.pages for b in p.blocks]
+        assert preds == fixtures.ARTICLE_ROLES, row["url"]
