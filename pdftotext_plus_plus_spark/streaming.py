@@ -2,9 +2,10 @@
 
 The per-document kernel is stateless, so the streaming form is a file-source
 stream driven through ``foreachBatch`` — each micro-batch runs the exact
-batch path (:func:`~.engine.extract_pages`) and appends to the output
-snapshot, with Spark's checkpoint directory giving exactly-once micro-batch
-tracking on top of the batch layer's per-url resume.
+batch path (:func:`~.engine.extract_pages`) and writes its own
+``batch_id``-keyed partition with dynamic partition overwrite, making the
+sink idempotent under foreachBatch's at-least-once replays; Spark's
+checkpoint directory tracks micro-batch progress on top.
 
 At the 10^12-row tier this is the continuous-ingest form: WARC drops land in
 the input directory, each micro-batch is one salted extraction pass.
@@ -32,15 +33,26 @@ def stream_extract(spark, input_path: str, output_path: str,
         schema = ("url string, warc_ts timestamp, html binary, "
                   "text string, lang string")
 
+    from pyspark.sql import functions as F
+
     stream = (spark.readStream
               .schema(schema)
               .format("parquet")
               .load(input_path))
 
     def process_batch(batch_df, batch_id: int) -> None:
-        out = extract_pages(batch_df, config=config,
-                            num_partitions=num_partitions)
-        out.write.mode("append").parquet(output_path)
+        # Idempotent micro-batch write: foreachBatch is at-least-once, so a
+        # retried batch must not append duplicates.  Each batch lands in its
+        # own batch_id partition and the write DYNAMICALLY overwrites only
+        # that partition — a replay rewrites the same files instead of
+        # doubling them (the standard exactly-once foreachBatch recipe).
+        out = (extract_pages(batch_df, config=config,
+                             num_partitions=num_partitions)
+               .withColumn("batch_id", F.lit(batch_id)))
+        (out.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("batch_id")
+            .parquet(output_path))
 
     writer = (stream.writeStream
               .foreachBatch(process_batch)

@@ -95,3 +95,34 @@ def test_stateful_sessionize_across_batches(spark, tmp_path):
     assert row["user_id"] == 1
     assert row["n_events"] == 2
     assert row["session_end_s"] - row["session_start_s"] == 600
+
+
+def test_stream_extract_batch_replay_idempotent(spark, pages_df, tmp_path):
+    """foreachBatch is at-least-once: replaying a micro-batch (same
+    batch_id) must NOT append duplicate rows — the batch_id-partitioned
+    dynamic overwrite rewrites the partition instead."""
+    input_path = str(tmp_path / "in")
+    output_path = str(tmp_path / "out")
+    checkpoint = str(tmp_path / "ckpt")
+    pages_df.select("url", "warc_ts", "html", "text", "lang") \
+        .write.parquet(input_path)
+
+    streaming.stream_extract(spark, input_path, output_path, checkpoint,
+                             num_partitions=4)
+    n = pages_df.count()
+    assert spark.read.parquet(output_path).count() == n
+
+    # simulate a retried micro-batch: re-invoke the batch writer directly
+    # with the SAME batch_id (0) and the same input
+    from pdftotext_plus_plus_spark.engine import extract_pages
+    from pyspark.sql import functions as F
+
+    out = (extract_pages(spark.read.parquet(input_path), num_partitions=4)
+           .withColumn("batch_id", F.lit(0)))
+    (out.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id")
+        .parquet(output_path))
+    replayed = spark.read.parquet(output_path)
+    assert replayed.count() == n
+    assert replayed.select("url").distinct().count() == n
