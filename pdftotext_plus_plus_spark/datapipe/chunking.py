@@ -54,21 +54,79 @@ FROM grid
 """
 
 
+def _undirected_edges(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Undirected near-dup edges incl. self-loops."""
+    return (pairs.selectExpr("id_a AS src", "id_b AS dst")
+            .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+            .union(docs.selectExpr("doc_id AS src", "doc_id AS dst")))
+
+
+def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
+    """One min-label propagation step over the undirected edge list."""
+    return (edges.join(labels, edges.dst == labels.doc_id)
+            .groupBy("src").agg(F.min("label").alias("label"))
+            .select(F.col("src").alias("doc_id"), "label"))
+
+
+def propagate_to_fixpoint(edges: DataFrame, labels: DataFrame,
+                          max_rounds: int = 50) -> DataFrame:
+    """Min-label propagation iterated until no label changes.
+
+    Each round is localCheckpoint()ed: the labels materialize and the plan
+    lineage truncates, so the iteration count cannot blow up the DAG at
+    10^12 rows (the VERDICT's checkpointing requirement).  Convergence
+    needs at most diameter(graph) rounds; near-dup graphs are shallow, and
+    ``max_rounds`` is a safety bound only."""
+    labels = labels.localCheckpoint()
+    for _ in range(max_rounds):
+        new_labels = _propagate_round(edges, labels).localCheckpoint()
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), "doc_id")
+                   .filter(F.col("n.label") != F.col("o.label"))
+                   .limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels
+
+
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster label per doc after PROP_ROUNDS of min-label
     propagation over the undirected MinHash-LSH pair graph."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    pairs = minhash_lsh_pairs(spark, sf_dir)
-    # undirected edges incl. self-loops
-    edges = (pairs.selectExpr("id_a AS src", "id_b AS dst")
-             .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
-             .union(docs.selectExpr("doc_id AS src", "doc_id AS dst")))
+    edges = _undirected_edges(docs, minhash_lsh_pairs(spark, sf_dir))
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("label"))
     for _ in range(PROP_ROUNDS):
-        labels = (edges.join(labels, edges.dst == labels.doc_id)
-                  .groupBy("src").agg(F.min("label").alias("label"))
-                  .select(F.col("src").alias("doc_id"), "label"))
+        labels = _propagate_round(edges, labels)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+def dedup_clusters_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The scale path: the same propagation iterated to a FIXPOINT (chains
+    longer than PROP_ROUNDS hops under-merge in the bounded variant), with
+    per-round checkpointing."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
+    edges = _undirected_edges(docs, minhash_lsh_pairs(spark, sf_dir)).persist()
+    labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("label"))
+    out = propagate_to_fixpoint(edges, labels)
+    return out.select("doc_id", F.col("label").alias("cluster_id"))
+
+
+DEDUP_CLUSTERS_FIXPOINT_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.label
+  FROM edges e JOIN reach r ON e.dst = r.doc_id
+)
+SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+"""
 
 
 DEDUP_CLUSTERS_SQL = f"""

@@ -392,6 +392,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                         chunking.CHUNK_DOCUMENTS_SQL),
     "dedup_clusters": (chunking.dedup_clusters,
                        chunking.DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
+                                chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
     # windowed/relational ops over events (§2.5 surface)
     "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "event_tumbling_counts": (events.tumbling_counts,

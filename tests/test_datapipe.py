@@ -93,3 +93,29 @@ def test_boilerplate_strip_matches_python_mirror(spark):
     sample = next(iter(rows.values()))
     for token in ("<", ">", "home", "ads", "2024 example", "color:red"):
         assert token not in sample
+
+
+def test_dedup_clusters_fixpoint_long_chain(spark):
+    """A chain longer than PROP_ROUNDS hops: the bounded variant
+    under-merges, the fixpoint variant labels the whole chain with its
+    minimum (and needs per-round checkpointing to terminate)."""
+    from pdftotext_plus_plus_spark.datapipe import chunking
+
+    # chain 0-1-2-...-9 (9 hops) plus an isolated node 100
+    docs = spark.createDataFrame([(i,) for i in list(range(10)) + [100]],
+                                 "doc_id bigint")
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(9)],
+                                  "id_a bigint, id_b bigint")
+    edges = chunking._undirected_edges(docs, pairs)
+    labels = docs.selectExpr("doc_id", "doc_id AS label")
+
+    bounded = labels
+    for _ in range(chunking.PROP_ROUNDS):
+        bounded = chunking._propagate_round(edges, bounded)
+    bounded_map = {r.doc_id: r.label for r in bounded.collect()}
+    assert bounded_map[9] != 0  # 9 hops away: NOT merged in 3 rounds
+
+    fixed = chunking.propagate_to_fixpoint(edges, labels)
+    fixed_map = {r.doc_id: r.label for r in fixed.collect()}
+    assert all(fixed_map[i] == 0 for i in range(10))
+    assert fixed_map[100] == 100
