@@ -375,6 +375,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
                             similarity.ANN_BRUTEFORCE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
+    "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
+                                similarity.ANN_MULTIPROBE_SQL),
     # text analysis
     "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
     "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),

@@ -18,6 +18,16 @@ TOP_K = 10
 N_QUERIES = 5
 N_PLANES = 4
 
+# multiprobe parameters (ann_lsh_multiprobe_topk): T hash tables of P
+# random hyperplanes each, probing all buckets within Hamming distance
+# MP_PROBE_HAMMING of the query's bucket.  Candidates per table scale as
+# N * sum(C(P,h) for h<=probes) / 2^P — P grows with log N, so the
+# candidate fraction SHRINKS at scale; at the fixture's N=500 these values
+# give recall@10 ~0.94 at ~52% candidates (test_ann_multiprobe_recall).
+MP_TABLES = 12
+MP_PLANES = 10
+MP_PROBE_HAMMING = 2
+
 
 def _embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
@@ -162,6 +172,166 @@ WITH elems AS (
   JOIN elems ee ON ee.vec_id = e.vec_id AND ee.i = qe.i
   WHERE q.vec_id < {N_QUERIES}
   GROUP BY q.vec_id, e.vec_id
+), scored AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (nq.norm * ne.norm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms ne ON ne.vec_id = d.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def _mp_planes(dim: int):
+    """[T, P, dim] integer hyperplane weights, derived from
+    md5("{table}:{plane}:{i}") — the same formula the DuckDB oracle
+    computes in SQL, so both engines bucket identically."""
+    import hashlib
+
+    import numpy as np
+
+    planes = np.empty((MP_TABLES, MP_PLANES, dim), dtype=np.float64)
+    for t in range(MP_TABLES):
+        for p in range(MP_PLANES):
+            for i in range(1, dim + 1):
+                h = hashlib.md5(f"{t}:{p}:{i}".encode()).hexdigest()
+                planes[t, p, i - 1] = int(h[:6], 16) % 2001 - 1000
+    return planes
+
+
+def mp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, table_id, bucket) across MP_TABLES hash tables — one
+    vectorized Arrow pass (the per-batch numpy einsum replaces T*P nested
+    JVM aggregates, which would bloat codegen at these widths)."""
+    import numpy as np
+    import pandas as pd
+
+    emb = _embeddings(spark, sf_dir).select("vec_id", "embedding")
+    state = {}
+
+    def kernel(batches):
+        for pdf in batches:
+            mat = np.array(list(pdf["embedding"]), dtype=np.float64)
+            if "planes" not in state:
+                state["planes"] = _mp_planes(mat.shape[1])
+            sig = (np.einsum("tpd,nd->tnp", state["planes"], mat) > 0)
+            buckets = (sig.astype(np.int64)
+                       << np.arange(MP_PLANES)).sum(axis=2)   # [T, n]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)
+            n = len(ids)
+            yield pd.DataFrame({
+                "vec_id": np.tile(ids, MP_TABLES),
+                "table_id": np.repeat(np.arange(MP_TABLES, dtype=np.int64), n),
+                "bucket": buckets.reshape(-1),
+            })
+
+    return emb.mapInPandas(
+        kernel, "vec_id bigint, table_id bigint, bucket bigint")
+
+
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiprobe multi-table ANN: candidates are the union over MP_TABLES
+    hash tables of every bucket within Hamming distance MP_PROBE_HAMMING of
+    the query's bucket, then exact cosine rank within candidates.
+
+    The probe expansion is on the (tiny, broadcast) query side only; the
+    corpus is hashed once per table.  At 10^12 rows the bucket join stays
+    an equi-join on (table_id, bucket) with bounded per-bucket population.
+    """
+    from itertools import combinations
+
+    sig = mp_signatures(spark, sf_dir)
+    qsig = sig.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "table_id",
+        F.col("bucket").alias("q_bucket"))
+
+    # Hamming <= MP_PROBE_HAMMING probe masks (1 + P + C(P,2) buckets)
+    masks = [0]
+    masks += [1 << b for b in range(MP_PLANES)]
+    if MP_PROBE_HAMMING >= 2:
+        masks += [(1 << a) | (1 << b)
+                  for a, b in combinations(range(MP_PLANES), 2)]
+    mask_df = spark.createDataFrame([(m,) for m in masks], "mask bigint")
+    probes = (qsig.crossJoin(F.broadcast(mask_df))
+              .select("query_id", "table_id",
+                      F.col("q_bucket").bitwiseXOR(F.col("mask"))
+                      .alias("bucket")))
+
+    cand = (sig.join(F.broadcast(probes), ["table_id", "bucket"])
+            .filter(F.col("vec_id") != F.col("query_id"))
+            .select("query_id", "vec_id").distinct())
+
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    queries = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_emb"),
+        F.col("norm").alias("q_norm"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (cand.join(emb, "vec_id").join(F.broadcast(queries), "query_id")
+              .withColumn("cosine",
+                          F.round(dot / (F.col("norm") * F.col("q_norm")), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+ANN_MULTIPROBE_SQL = f"""
+WITH elems AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT e.vec_id, e.embedding,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e)
+), planes AS (
+  SELECT t.t AS table_id, p.plane, i.i,
+         (('0x' || substr(md5(t.t::VARCHAR || ':' || p.plane::VARCHAR || ':'
+                               || i.i::VARCHAR), 1, 6))::BIGINT
+          % 2001 - 1000)::DOUBLE AS r
+  FROM generate_series(0, {MP_TABLES - 1}) t(t),
+       generate_series(0, {MP_PLANES - 1}) p(plane),
+       generate_series(1, 64) i(i)
+), signs AS (
+  SELECT e.vec_id, p.table_id, p.plane,
+         CASE WHEN sum(e.x * p.r) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM elems e JOIN planes p ON p.i = e.i
+  GROUP BY e.vec_id, p.table_id, p.plane
+), sig AS (
+  SELECT vec_id, table_id,
+         CAST(sum(bit << plane) AS BIGINT) AS bucket
+  FROM signs GROUP BY vec_id, table_id
+), masks AS (
+  SELECT 0::BIGINT AS mask
+  UNION ALL
+  SELECT (1::BIGINT << b) FROM generate_series(0, {MP_PLANES - 1}) g(b)
+  UNION ALL
+  SELECT (1::BIGINT << a) | (1::BIGINT << b)
+  FROM generate_series(0, {MP_PLANES - 1}) ga(a),
+       generate_series(0, {MP_PLANES - 1}) gb(b)
+  WHERE a < b
+), probes AS (
+  SELECT q.vec_id AS query_id, q.table_id, xor(q.bucket, m.mask) AS bucket
+  FROM sig q, masks m WHERE q.vec_id < {N_QUERIES}
+), cand AS (
+  SELECT DISTINCT p.query_id, s.vec_id
+  FROM probes p JOIN sig s
+    ON s.table_id = p.table_id AND s.bucket = p.bucket
+  WHERE s.vec_id != p.query_id
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
+), dots AS (
+  SELECT c.query_id, c.vec_id, sum(qe.x * ee.x) AS dot
+  FROM cand c
+  JOIN elems qe ON qe.vec_id = c.query_id
+  JOIN elems ee ON ee.vec_id = c.vec_id AND ee.i = qe.i
+  GROUP BY c.query_id, c.vec_id
 ), scored AS (
   SELECT d.query_id, d.vec_id, round(d.dot / (nq.norm * ne.norm), 4) AS cosine
   FROM dots d

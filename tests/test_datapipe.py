@@ -119,3 +119,27 @@ def test_dedup_clusters_fixpoint_long_chain(spark):
     fixed_map = {r.doc_id: r.label for r in fixed.collect()}
     assert all(fixed_map[i] == 0 for i in range(10))
     assert fixed_map[100] == 100
+
+
+def test_ann_multiprobe_recall(spark):
+    """The multiprobe multi-table path must reach recall@10 >= 0.9 vs the
+    exact baseline while candidates stay bounded (< 75% of the corpus at
+    this N; the fraction shrinks with more planes at scale)."""
+    from pyspark.sql import functions as F
+
+    exact = {}
+    for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect():
+        exact.setdefault(r["query_id"], set()).add(r["vec_id"])
+    approx = {}
+    for r in similarity.ann_lsh_multiprobe_topk(spark, SF_DIR).collect():
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.9, recalls
+
+    # bounded buckets: no (table, bucket) holds a large corpus fraction
+    sig = similarity.mp_signatures(spark, SF_DIR)
+    n = sig.filter(F.col("table_id") == 0).count()
+    biggest = (sig.groupBy("table_id", "bucket").count()
+               .agg(F.max("count")).collect()[0][0])
+    assert biggest < 0.25 * n
