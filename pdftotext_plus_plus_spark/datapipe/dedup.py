@@ -265,20 +265,36 @@ FROM sums GROUP BY doc_id
 """
 
 
+SIMHASH_BANDS = 4  # 4 bands x 8 bits over the 32-bit simhash
+
+
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs with Hamming distance <= 3, banded by high 16 bits to
-    avoid the cross join (docs differing in the top half can still be close
-    — at 10^12 rows you run 2-4 rotated bandings; one banding here)."""
-    sig = simhash(spark, sf_dir).withColumn(
-        "bucket", F.shiftright("simhash", 16))
-    a, b = sig.alias("a"), sig.alias("b")
-    return (a.join(b, (F.col("a.bucket") == F.col("b.bucket"))
+    """EXACT near-dup pairs with Hamming distance <= 3 via pigeonhole
+    banding: the 32-bit simhash splits into 4 bands of 8 bits, and a pair
+    differing in <= 3 bits must agree EXACTLY on at least one band — so the
+    union of the 4 band-equi joins finds every qualifying pair without a
+    cross join (and without the old single-prefix banding's misses)."""
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    sig = simhash(spark, sf_dir)
+    bands = spark.range(SIMHASH_BANDS).select(
+        F.col("id").cast("int").alias("band"))
+    keyed = (sig.crossJoin(F.broadcast(bands))
+             .withColumn("band_key", F.expr(
+                 f"(simhash >> (band * {band_bits}))"
+                 f" & {(1 << band_bits) - 1}")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .withColumn("hamming", F.bit_count(
-                F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))))
-            .filter(F.col("hamming") <= 3)
             .select(F.col("a.doc_id").alias("id_a"),
-                    F.col("b.doc_id").alias("id_b"), "hamming"))
+                    F.col("b.doc_id").alias("id_b"),
+                    F.col("a.simhash").alias("sh_a"),
+                    F.col("b.simhash").alias("sh_b"))
+            .distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("sh_a").bitwiseXOR(F.col("sh_b"))))
+            .filter(F.col("hamming") <= 3)
+            .select("id_a", "id_b", "hamming"))
 
 
 SIMHASH_NEAR_PAIRS_SQL = f"""
@@ -297,11 +313,16 @@ WITH toks AS (
   SELECT doc_id,
          sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
   FROM sums GROUP BY doc_id
+), keyed AS (
+  SELECT s.doc_id, s.simhash, b.band,
+         (s.simhash >> (b.band * {SIMHASH_BITS // 4}))
+         & {(1 << (SIMHASH_BITS // 4)) - 1} AS band_key
+  FROM sig s, generate_series(0, 3) b(band)
 )
-SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
-FROM sig a JOIN sig b
-  ON (a.simhash >> 16) = (b.simhash >> 16) AND a.doc_id < b.doc_id
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
 """
 

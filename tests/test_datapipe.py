@@ -143,3 +143,20 @@ def test_ann_multiprobe_recall(spark):
     biggest = (sig.groupBy("table_id", "bucket").count()
                .agg(F.max("count")).collect()[0][0])
     assert biggest < 0.25 * n
+
+
+def test_simhash_banding_exact(spark):
+    """Pigeonhole banding (4x8 bits) is EXACT for Hamming <= 3: the banded
+    join finds precisely the brute-force pair set."""
+    from itertools import combinations
+
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    sig = {r["doc_id"]: r["simhash"]
+           for r in dedup.simhash(spark, SF_DIR).collect()}
+    brute = {(a, b) for a, b in combinations(sorted(sig), 2)
+             if bin(sig[a] ^ sig[b]).count("1") <= 3}
+    banded = {(r["id_a"], r["id_b"])
+              for r in dedup.simhash_near_pairs(spark, SF_DIR).collect()}
+    assert banded == brute
+    assert len(brute) > 0
