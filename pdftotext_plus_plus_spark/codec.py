@@ -248,12 +248,25 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                 texts = r.str_blob(n_chars)
                 unicodes = r.u32_blob(n_chars)
                 num_list = num.tolist()  # one C-level conversion to floats
+                font_names = [f.name for f in fonts]
                 rank = 0
                 append = page.characters.append
+                ws = WHITESPACE_TEXTS
                 for i in range(n_chars):
-                    text = _resolve_text(texts[i], names[i], unicodes[i])
+                    raw = texts[i]
+                    name = names[i]
+                    # fast path: ordinary char (no glyph name -> no charMap)
+                    if raw and not name:
+                        text = raw
+                    else:
+                        text = _resolve_text(raw, name, unicodes[i])
                     # whitespace suppression (PdfParsing.cpp:229-245)
-                    if not text or _is_whitespace_text(text):
+                    if not text:
+                        continue
+                    if len(text) == 1:
+                        if text in ws:
+                            continue
+                    elif all(ch in ws for ch in text):
                         continue
                     row = num_list[i]
                     if char_fields > 9 and row[9] >= 0:
@@ -273,20 +286,21 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     c.font_size = row[5]
                     c.rotation = int(row[6])
                     c.w_mode = int(row[7])
-                    c.font_name = fonts[int(row[8])].name
-                    c.name = names[i]
+                    c.font_name = font_names[int(row[8])]
+                    c.name = name
                     c.text = text
-                    c.unicodes = unicodes[i] if unicodes[i] else [ord(ch) for ch in text]
+                    u = unicodes[i]
+                    if u:
+                        c.unicodes = u
+                    elif len(text) == 1:
+                        c.unicodes = [ord(text)]
+                    else:
+                        c.unicodes = [ord(ch) for ch in text]
                     c.page_num = page_num
                     c.rank = rank
-                    c.color = (0.0, 0.0, 0.0)
-                    c.opacity = 1.0
                     c.word = None
-                    c.diacritic_mark_of_base_char = None
-                    c.base_char_of_diacritic_mark = None
-                    c.text_with_diacritic_mark = ""
-                    c.is_subscript = False
-                    c.is_superscript = False
+                    # color/opacity/diacritic links/script flags: class
+                    # defaults (model.Char), not per-char stores
                     rank += 1
                     append(c)
 

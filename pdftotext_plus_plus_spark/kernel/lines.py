@@ -139,10 +139,10 @@ def _compute_line_properties(line: Line) -> None:
         line.upper_y = min(line.upper_y, word_min_y)
         line.right_x = max(line.right_x, word_max_x)
         line.lower_y = max(line.lower_y, word_max_y)
-        for ch in word.characters:
-            font_names.append(ch.font_name)
-            font_sizes.append(ch.font_size)
-            bases.append(ch.base)
+        # per-char attributes cached at word creation (_create_word)
+        font_names.extend(word.char_font_names)
+        font_sizes.extend(word.char_font_sizes)
+        bases.extend(word.char_bases)
         parts.append(word.text)
         word.line = line
     line.text = " ".join(parts)

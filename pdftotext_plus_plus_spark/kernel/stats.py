@@ -47,29 +47,50 @@ def compute_word_statistics(doc: Doc, config: PipelineConfig) -> None:
     v_gap_counter = ModeCounter()
     height_counter = ModeCounter()
 
+    # hot loop: the comparators/gap/overlap helpers are inlined on plain
+    # floats (identical semantics, utils.mathutils TOL = 0.0001)
+    tol = 0.0001
+    fs_tol = config.fs_equal_tolerance
+    mf_fs = doc.most_freq_font_size
+    min_same = config.ws_min_y_overlap_ratio_same_line - tol
+    max_diff = config.ws_max_y_overlap_ratio_different_line + tol
     for page in doc.pages:
         # prev_word is always the list predecessor, independent of any filter
-        for i, word in enumerate(page.words):
-            prev_word = page.words[i - 1] if i > 0 else None
+        prev_word = None
+        for word in page.words:
+            p = prev_word
+            prev_word = word
             # only words in the most frequent font size participate
-            if smaller(word.font_size, doc.most_freq_font_size,
-                       config.fs_equal_tolerance):
+            if word.font_size < mf_fs - fs_tol:
                 continue
-            height_counter.inc(word.height)
-            if prev_word is None:
+            height_counter.inc(word.lower_y - word.upper_y)
+            if p is None:
                 continue
-            if prev_word.rotation != word.rotation:
+            if p.rotation != word.rotation:
                 continue
-            if prev_word.w_mode != word.w_mode:
+            if p.w_mode != word.w_mode:
                 continue
-            if not equal(prev_word.font_size, doc.most_freq_font_size,
-                         config.fs_equal_tolerance):
+            if abs(p.font_size - mf_fs) > fs_tol:
                 continue
-            ratio = max_y_overlap_ratio(prev_word, word)
-            if equal_or_larger(ratio, config.ws_min_y_overlap_ratio_same_line):
-                h_gap_counter.inc(horizontal_gap(prev_word, word))
-            if equal_or_smaller(ratio, config.ws_max_y_overlap_ratio_different_line):
-                v_gap_counter.inc(vertical_gap(prev_word, word))
+            # max y-overlap ratio (elements.overlap_ratios, normalized)
+            p_up, p_low = ((p.upper_y, p.lower_y)
+                           if p.upper_y <= p.lower_y else (p.lower_y, p.upper_y))
+            w_up, w_low = ((word.upper_y, word.lower_y)
+                           if word.upper_y <= word.lower_y
+                           else (word.lower_y, word.upper_y))
+            overlap = (p_low if p_low < w_low else w_low) - \
+                      (p_up if p_up > w_up else w_up)
+            if overlap < 0.0:
+                overlap = 0.0
+            len1 = p_low - p_up
+            len2 = w_low - w_up
+            r1 = overlap / len1 if len1 > 0 else 0.0
+            r2 = overlap / len2 if len2 > 0 else 0.0
+            ratio = r1 if r1 >= r2 else r2
+            if ratio >= min_same:
+                h_gap_counter.inc(horizontal_gap(p, word))
+            if ratio <= max_diff:
+                v_gap_counter.inc(vertical_gap(p, word))
 
     if height_counter.sum_counts() > 0:
         doc.most_freq_word_height = height_counter.most_freq()

@@ -132,6 +132,9 @@ def _create_word(characters: List[Char], config: PipelineConfig) -> Word:
     word = Word()
     word.page_num = characters[0].page_num
     text_parts: List[str] = []
+    font_names: List[str] = []
+    font_sizes: List[float] = []
+    bases: List[float] = []
     left = up = float("inf")
     right = low = float("-inf")
     for ch in characters:
@@ -147,11 +150,17 @@ def _create_word(characters: List[Char], config: PipelineConfig) -> Word:
             text_parts.append(ch.text_with_diacritic_mark)
         elif ch.diacritic_mark_of_base_char is None:
             text_parts.append(ch.text)
+        font_names.append(ch.font_name)
+        font_sizes.append(ch.font_size)
+        bases.append(ch.base)
         ch.word = word
     word.left_x, word.upper_y, word.right_x, word.lower_y = left, up, right, low
     word.text = "".join(text_parts)
-    word.font_name = most_freq([c.font_name for c in characters])
-    word.font_size = most_freq([c.font_size for c in characters])
+    word.font_name = most_freq(font_names)
+    word.font_size = most_freq(font_sizes)
+    word.char_font_names = font_names
+    word.char_font_sizes = font_sizes
+    word.char_bases = bases
     word.w_mode = characters[0].w_mode
     word.rotation = characters[0].rotation
     word.characters = characters

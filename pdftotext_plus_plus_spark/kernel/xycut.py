@@ -107,15 +107,34 @@ def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
     seq = 1
 
     candidates: List[Cut] = []
+    tol = 0.0001  # utils.mathutils.TOL, inlined in the hot loop
+    gap_floor = min_gap_width - tol  # equal_or_larger(gap, min_gap_width)
     for pos in range(1, len(s_elements)):
         element = s_elements[pos]
+        e_left = element.left_x
 
-        # queue contents in descending rightX order
-        by_right_x_desc = sorted(heap, key=lambda t: -t[0])
+        # queue contents in descending rightX order (stable for ties, like
+        # sorted(key=-right_x); the queue is tiny — qsize is 2 in practice)
+        n_heap = len(heap)
+        if n_heap == 1:
+            by_right_x_desc = heap
+        elif n_heap == 2:
+            by_right_x_desc = ([heap[1], heap[0]] if heap[1][0] > heap[0][0]
+                               else [heap[0], heap[1]])
+        else:
+            by_right_x_desc = sorted(heap, key=lambda t: -t[0])
         overlapping: List[object] = []
         for _, _, prev_element in by_right_x_desc:
-            gap_width = horizontal_gap(prev_element, element)
-            if equal_or_larger(gap_width, min_gap_width):
+            # horizontal_gap(prev_element, element), inlined
+            if prev_element.left_x < e_left - tol:
+                left_el, right_el = prev_element, element
+            else:
+                left_el, right_el = element, prev_element
+            if left_el.rotation in (2, 3):
+                gap_width = left_el.right_x - right_el.left_x
+            else:
+                gap_width = right_el.left_x - left_el.right_x
+            if gap_width >= gap_floor:
                 cut = Cut(X, pos)
                 cut.element_before = prev_element
                 cut.element_after = element
@@ -132,7 +151,7 @@ def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
             overlapping.append(prev_element)
 
         # push iff strictly larger rightX than the queue minimum (XYCut.cpp:187-189)
-        if larger(element.right_x, heap[0][0]):
+        if element.right_x > heap[0][0] + tol:
             if len(heap) == q_size:
                 heapq.heappop(heap)
             heapq.heappush(heap, (element.right_x, seq, element))

@@ -90,10 +90,21 @@ class Element:
 class Char(Element):
     """cf. PdfCharacter (Types.h:452-527)."""
 
+    # Constant-default / rarely-written fields live as CLASS attributes
+    # (color, opacity, the diacritic links, the script flags): the decode
+    # hot loop then skips 7 per-char stores, and the lazy ``__dict__`` slot
+    # only materializes for the few chars a later stage actually annotates.
     __slots__ = ("text", "name", "unicodes", "base", "font_name", "font_size",
-                 "color", "opacity", "word",
-                 "diacritic_mark_of_base_char", "base_char_of_diacritic_mark",
-                 "text_with_diacritic_mark", "is_subscript", "is_superscript")
+                 "word", "__dict__")
+
+    color = (0.0, 0.0, 0.0)
+    opacity = 1.0
+    # diacritic links (Types.h:502-510)
+    diacritic_mark_of_base_char: Optional["Char"] = None
+    base_char_of_diacritic_mark: Optional["Char"] = None
+    text_with_diacritic_mark = ""
+    is_subscript = False
+    is_superscript = False
 
     def __init__(self):
         super().__init__()
@@ -103,15 +114,7 @@ class Char(Element):
         self.base = 0.0
         self.font_name = ""
         self.font_size = 0.0
-        self.color = (0.0, 0.0, 0.0)
-        self.opacity = 1.0
         self.word: Optional["Word"] = None
-        # diacritic links (Types.h:502-510)
-        self.diacritic_mark_of_base_char: Optional["Char"] = None
-        self.base_char_of_diacritic_mark: Optional["Char"] = None
-        self.text_with_diacritic_mark = ""
-        self.is_subscript = False
-        self.is_superscript = False
 
     def effective_text(self) -> str:
         """Text as emitted by the serializers: merged-diacritic text for base
@@ -139,7 +142,11 @@ class Word(Element):
     __slots__ = ("characters", "text", "font_name", "font_size", "line",
                  "is_part_of_stacked_math_symbol", "is_base_of_stacked_math_symbol",
                  "is_first_part_of_hyphenated_word",
-                 "is_second_part_of_hyphenated_word")
+                 "is_second_part_of_hyphenated_word",
+                 # per-char attribute caches built once in _create_word and
+                 # reused by _compute_line_properties (chars are immutable
+                 # between word creation and line creation)
+                 "char_font_names", "char_font_sizes", "char_bases")
 
     def __init__(self):
         super().__init__()
@@ -153,6 +160,9 @@ class Word(Element):
         # hyphenation links carry the *merged* word (WordsDehyphenation.cpp:62-70)
         self.is_first_part_of_hyphenated_word: Optional["Word"] = None
         self.is_second_part_of_hyphenated_word: Optional["Word"] = None
+        self.char_font_names: List[str] = []
+        self.char_font_sizes: List[float] = []
+        self.char_bases: List[float] = []
 
 
 class Line(Element):
