@@ -197,6 +197,26 @@ def run_worker(cpus: int, replicate: int, passes: int = 2,
     raise RuntimeError(f"worker {cpus} failed: {proc.stderr[-2000:]}")
 
 
+def settle_machine(max_wait_s: int = 240) -> None:
+    """Kill leaked pyspark daemons and wait for system load to settle.
+
+    Prior Spark sessions (pytest, oracle checks) leak ``pyspark.daemon``
+    workers that silently poison throughput — a polluted box once measured
+    local[32] at 390 docs/s vs 1500 clean, with 72% system time.  The
+    bench owns the machine by protocol, so any daemon alive at start is a
+    leak."""
+    try:
+        subprocess.run(["pkill", "-f", "pyspark.daemon"], check=False)
+    except OSError:
+        pass
+    deadline = time.time() + max_wait_s
+    while time.time() < deadline:
+        load1 = float(open("/proc/loadavg").read().split()[0])
+        if load1 < 2.0:
+            return
+        time.sleep(10)
+
+
 def main() -> None:
     if len(sys.argv) > 1 and sys.argv[1] == "--worker":
         ensure_corpus()
@@ -206,6 +226,7 @@ def main() -> None:
         return
 
     ensure_corpus()
+    settle_machine()
     total_t0 = time.perf_counter()
 
     # N -> 4N pair inside the machine's linear region (see module docstring).
@@ -219,32 +240,43 @@ def main() -> None:
         return a if a["elapsed"] <= b["elapsed"] else b
 
     eq = n_high - n_low  # equal-machine-load spinners for the low level
-    # each Spark sample is paired with an mp-ceiling sample taken in the
-    # SAME time window, so co-tenant load affects both alike
+    # Three alternating (low, high) rounds.  The efficiency estimate is the
+    # MEDIAN of the per-round high/low ratios — each round's two samples
+    # are adjacent in time, so a co-tenant/turbo episode hits both sides of
+    # its OWN ratio alike instead of pairing a lucky low window with an
+    # unlucky high one (best-of-per-level systematically understates
+    # scaling on this shared box).  mp-ceiling samples sit in the same
+    # windows for the normalized form.
     base_low_samples, base_high_samples = [], []
-    res_low = run_worker(n_low, max(2, REPLICATE // 4), passes=1, spinners=eq)
-    base_low_samples.append(_mp_baseline(n_low, BENCH_DOCS, spinners=eq))
-    res_high = run_worker(n_high, REPLICATE, passes=1)
-    base_high_samples.append(_mp_baseline(n_high, BENCH_DOCS * 2))
-    res_low = best(res_low, run_worker(n_low, max(2, REPLICATE // 4),
-                                       passes=1, spinners=eq))
-    base_low_samples.append(_mp_baseline(n_low, BENCH_DOCS, spinners=eq))
-    res_high = best(res_high, run_worker(n_high, REPLICATE, passes=1))
-    base_high_samples.append(_mp_baseline(n_high, BENCH_DOCS * 2))
-    # headline level: one pass (informational; the scaling pair matters)
-    res_full = (run_worker(CPUS, REPLICATE, passes=1)
+    low_samples, high_samples, eff_rounds = [], [], []
+    res_low = res_high = None
+    for _ in range(3):
+        rl = run_worker(n_low, max(2, REPLICATE // 4), passes=1, spinners=eq)
+        base_low_samples.append(_mp_baseline(n_low, BENCH_DOCS, spinners=eq))
+        rh = run_worker(n_high, REPLICATE, passes=1)
+        base_high_samples.append(_mp_baseline(n_high, BENCH_DOCS * 2))
+        low_samples.append(rl)
+        high_samples.append(rh)
+        eff_rounds.append(((rh["docs"] / rh["elapsed"])
+                           / (rl["docs"] / rl["elapsed"])) / (n_high / n_low))
+        res_low = rl if res_low is None else best(res_low, rl)
+        res_high = rh if res_high is None else best(res_high, rh)
+    # headline level: one worker, best-of-2 passes (informational)
+    res_full = (run_worker(CPUS, REPLICATE, passes=2)
                 if CPUS > n_high else res_high)
     docs_sec_low = res_low["docs"] / res_low["elapsed"]
     docs_sec_high = res_high["docs"] / res_high["elapsed"]
     docs_sec_full = res_full["docs"] / res_full["elapsed"]
-    efficiency = (docs_sec_high / docs_sec_low) / (n_high / n_low)
+    efficiency = sorted(eff_rounds)[len(eff_rounds) // 2]
 
     # the machine's own scaling ceiling (bare kernel, no Spark), sampled
     # adjacent to each Spark sample above; normalized = spark efficiency /
     # machine ceiling isolates the Spark layer's contribution
     base_low = max(base_low_samples)
     base_high = max(base_high_samples)
-    base_efficiency = (base_high / base_low) / (n_high / n_low)
+    # a ceiling cannot exceed linear scaling; >1 samples are turbo/co-tenant
+    # artifacts and would spuriously deflate the normalized efficiency
+    base_efficiency = min(1.0, (base_high / base_low) / (n_high / n_low))
     normalized_efficiency = (efficiency / base_efficiency
                              if base_efficiency > 0 else 0.0)
 
@@ -281,6 +313,7 @@ def main() -> None:
             "docs_per_sec_local%d" % n_high: round(docs_sec_high, 2),
             "docs_per_sec_local%d" % CPUS: round(docs_sec_full, 2),
             "scaling_efficiency_%dto%d" % (n_low, n_high): round(efficiency, 3),
+            "efficiency_rounds": [round(e, 3) for e in eff_rounds],
             "machine_ceiling_efficiency_%dto%d" % (n_low, n_high):
                 round(base_efficiency, 3),
             "normalized_scaling_efficiency": round(normalized_efficiency, 3),

@@ -324,9 +324,8 @@ def extract_word_counts_oracle_sql() -> str:
 
 
 def extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-family aggregate over extraction outputs (counts only —
-    exercises spans/counters and is stable across engines via the golden
-    text lengths)."""
+    """Per-family aggregate over extraction outputs — byte-identity rate and
+    block/word totals, checked against intent-level golden aggregates."""
     from pyspark.sql import functions as F
 
     from .. import engine
@@ -337,9 +336,30 @@ def extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (joined.groupBy("family")
             .agg(F.count("*").alias("n_docs"),
                  F.sum((F.col("extracted_text") == F.col("golden_text"))
-                       .cast("int")).alias("n_byte_identical"),
-                 F.sum("n_blocks").alias("total_blocks"),
-                 F.sum("n_words").alias("total_words")))
+                       .cast("bigint")).alias("n_byte_identical"),
+                 F.sum("n_blocks").cast("bigint").alias("total_blocks"),
+                 F.sum("n_words").cast("bigint").alias("total_words")))
+
+
+def extract_stats_oracle_sql() -> str:
+    from collections import defaultdict
+
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+    agg = defaultdict(lambda: [0, 0, 0, 0])
+    for r in rows:
+        intent = r["golden_intent"]
+        a = agg[r["family"]]
+        a[0] += 1                                    # n_docs
+        a[1] += 1                                    # byte-identical (all)
+        a[2] += len(r["golden_blocks"])              # total_blocks
+        a[3] += sum(len(line) for block in intent for line in block)
+    values = ",\n".join(
+        "('%s', %d, %d, %d, %d)" % (fam, a[0], a[1], a[2], a[3])
+        for fam, a in agg.items())
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(family, n_docs, "
+            "n_byte_identical, total_blocks, total_words)" % values)
 
 
 # rows-only queries (no SQL-expressible oracle)
@@ -358,6 +378,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
     "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
+    "extract_stats": (extract_stats, None),    # oracle filled in lazily below
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
@@ -420,4 +441,5 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_roles_model"] = extract_roles_oracle_sql()
     oracles["extract_text_role_filtered"] = \
         extract_text_role_filtered_oracle_sql()
+    oracles["extract_stats"] = extract_stats_oracle_sql()
     return oracles
