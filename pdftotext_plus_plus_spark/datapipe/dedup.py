@@ -5,8 +5,9 @@ Scale notes (100 TB): every op here is shuffle-bounded by design —
 * MinHash-LSH: shingle explode -> per-(doc, band) min-agg -> bucket join;
   the bucket join replaces the quadratic all-pairs comparison, which is the
   whole point of LSH at 10^12 rows;
-* SimHash: narrow per-doc aggregation, then pairs only within identical
-  16-bit prefix buckets (banding) rather than a cross join;
+* SimHash: narrow per-doc aggregation, then EXACT pigeonhole banding
+  (4 bands x 8 bits — a Hamming<=3 pair must match on >= 1 band) rather
+  than a cross join;
 * n-gram Jaccard: exact PPJoin-style prefix filtering — candidates join
   only on each doc's rarest-first shingle prefix, so near-universal
   stop-grams never become join keys and the key distribution stays flat;

@@ -958,3 +958,46 @@ def build_article_roles(rng: random.Random):
 
 
 FAMILY_BUILDERS["article-roles"] = build_article_roles
+
+
+def build_paper_page(rng: random.Random):
+    """Composite (round 2): 14pt bold heading + two-column page 1 with the
+    column-final word hyphenated ACROSS the page boundary into a
+    single-column page 2 — T11 font-size splits x T5/T6 segmentation x T14
+    reading order x T16 cross-page dehyphenation in one document."""
+    heading = [["Model", "Details"]]
+    col_a = [make_lines(rng, rng.randint(4, 6)),
+             make_lines(rng, rng.randint(4, 6))]
+    col_b = [make_lines(rng, rng.randint(4, 6)),
+             make_lines(rng, rng.randint(4, 6))]
+    last_line = col_b[-1][-1]
+    last = last_line[-1]
+    shorter = next((w for w in WORD_POOL if len(w) == len(last) - 1),
+                   last[:-1])
+    last_line[-1] = shorter + "-"
+
+    page1 = _PageBuilder(1)
+    base = TOP_BASE
+    place_line(page1, heading[0], MARGIN_X, base, 14.0, BOLD_FONT)
+    base = R1(base + BLOCK_GAP + CHAR_H * FS_BODY)
+    step = R1(LINE_DIST + CHAR_H * FS_BODY)
+    block_step = R1(BLOCK_GAP + CHAR_H * FS_BODY)
+    for para in col_a:
+        for li, line in enumerate(para):
+            place_line(page1, line, MARGIN_X, base)
+            base = R1(base + (step if li < len(para) - 1 else 0))
+        base = R1(base + block_step)
+    col_b_x = R1(MARGIN_X + 230.0 + COL_GAP)
+    _layout_paragraphs(page1, col_b, col_b_x, TOP_BASE)
+
+    page2 = _PageBuilder(2)
+    p2 = [make_lines(rng, rng.randint(3, 4)),
+          make_lines(rng, rng.randint(2, 3))]
+    _layout_paragraphs(page2, p2, MARGIN_X, TOP_BASE)
+
+    payload = encode_payload(FONTS, [page1.to_dict(), page2.to_dict()])
+    return payload, [heading] + col_a + col_b + p2
+
+
+FAMILY_BUILDERS["paper-page"] = build_paper_page
+FAMILY_EXT_META["paper-page"] = (lambda nb, np: [nb - 2, 2], frozenset({0}))

@@ -99,3 +99,16 @@ def test_extended_mirror_full_corpus(seed):
         res = pipeline.extract(row["html"])
         assert res.extracted_text_extended == fixtures.golden_extended_for_row(row), \
             row["url"]
+
+
+@pytest.mark.parametrize("seed", [0, 7, 42, 123])
+def test_paper_page_composite(seed):
+    """Composite family: heading + two columns + cross-page dehyphenation;
+    TXT and TXT-EXTENDED byte-identical, block order = reading order."""
+    payload, intent = fixtures.build_paper_page(random.Random(seed))
+    res = pipeline.extract(payload, with_spans=True)
+    assert res.extracted_text == fixtures.golden_from_blocks(intent)
+    assert [b.text for b in res.blocks] == fixtures.golden_block_texts(intent)
+    row = {"golden_intent": intent, "n_pages": 2, "family": "paper-page"}
+    assert res.extracted_text_extended == fixtures.golden_extended_for_row(row)
+    assert res.n_pages == 2
