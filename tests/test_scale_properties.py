@@ -118,3 +118,26 @@ def test_ngram_jaccard_prefix_kills_hot_shingles(spark):
     filtered = (prefix.groupBy("sh").agg(F.count("*").alias("c"))
                 .agg(F.sum(F.col("c") * F.col("c"))).collect()[0][0])
     assert filtered < 0.1 * naive
+
+
+def test_multiprobe_plan_broadcasts_probe_side(spark):
+    """ann_lsh_multiprobe_topk must broadcast the (tiny) probe/query side
+    onto the corpus signatures — never shuffle the corpus against it."""
+    from pdftotext_plus_plus_spark.datapipe import similarity
+
+    df = similarity.ann_lsh_multiprobe_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    # the signature pass is one vectorized Arrow kernel, not T*P JVM aggs
+    assert "MapInPandas" in plan or "FlatMapGroupsInPandas" in plan
+
+
+def test_ngram_jaccard_no_cartesian(spark):
+    """The prefix-filtered Jaccard plan must stay equi-join-only (no
+    BroadcastNestedLoopJoin / CartesianProduct anywhere)."""
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    df = dedup.ngram_jaccard_pairs(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
