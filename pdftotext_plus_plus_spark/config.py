@@ -76,6 +76,9 @@ class PipelineConfig:
     special_footnote_labels_alphabet: str = "*∗†‡§‖¶?"  # Config.h:103
 
     # Stage skip flags (CLI --skip-* analogs; Config.h `disabled` fields)
+    skip_glyph_statistics: bool = False          # --skip-glyphs-statistics-calculation
+    skip_word_statistics: bool = False           # --skip-words-statistics-calculation
+    skip_line_statistics: bool = False           # --skip-text-lines-statistics-calculation
     skip_diacritics_merging: bool = False
     skip_words_detection: bool = False
     skip_page_segmentation: bool = False

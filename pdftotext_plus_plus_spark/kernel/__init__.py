@@ -19,17 +19,19 @@ from . import (blocks, dehyphenation, diacritics, lines, reading_order,
 # Stage labels mirror the reference's --print-running-times report
 # (/root/reference/src/PdfToTextPlusPlus.cpp:86-253).
 _STAGES = (
-    ("Calculate glyph statistics", None,
+    ("Calculate glyph statistics", "skip_glyph_statistics",
      lambda doc, cfg: stats.compute_glyph_statistics(doc)),
     ("Merge combining diacritics", "skip_diacritics_merging",
      diacritics.merge_diacritical_marks),
     ("Detect words", "skip_words_detection", words.detect_words),
-    ("Calculate words statistics", None, stats.compute_word_statistics),
+    ("Calculate words statistics", "skip_word_statistics",
+     stats.compute_word_statistics),
     ("Segment pages", "skip_page_segmentation", segmentation.segment_pages),
     ("Detect lines", "skip_lines_detection", lines.detect_lines),
     ("Detect sub/superscripts", "skip_sub_super_scripts",
      scripts.detect_sub_super_scripts),
-    ("Calculate text line statistics", None, stats.compute_line_statistics),
+    ("Calculate text line statistics", "skip_line_statistics",
+     stats.compute_line_statistics),
     ("Detect text blocks", "skip_blocks_detection", blocks.detect_blocks),
     ("Predict semantic roles", "skip_semantic_roles", roles.predict_roles),
     ("Detect reading order", "skip_reading_order",

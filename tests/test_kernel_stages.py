@@ -207,3 +207,26 @@ def test_overlap_cut_refused_below_500_elements():
     assert len(with_spanner) == 1
     # the spanner's segment still contains the overlapped right column
     assert len(with_spanner[0].elements) == 8 * 6 + 1
+
+
+def test_statistics_skip_flags():
+    """The reference exposes --skip-*-statistics-calculation for every
+    statistics stage; with a stage skipped the doc keeps default stats and
+    downstream stages still run without error."""
+    import random
+    from dataclasses import replace
+
+    from pdftotext_plus_plus_spark import fixtures, pipeline
+    from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG
+
+    payload, _ = fixtures.FAMILY_BUILDERS["plain-1col"](random.Random(3))
+    cfg = replace(DEFAULT_CONFIG, skip_word_statistics=True,
+                  skip_line_statistics=True)
+    res = pipeline.extract(payload, config=cfg, keep_doc=True)
+    assert res.parse_failure_code == 0
+    assert res.doc.most_freq_word_height == 0.0 or res.doc.most_freq_word_height is None \
+        or isinstance(res.doc.most_freq_word_height, float)
+    # glyph stats skipped as well -> still no crash (blocks fall back)
+    cfg2 = replace(DEFAULT_CONFIG, skip_glyph_statistics=True)
+    res2 = pipeline.extract(payload, config=cfg2)
+    assert res2.parse_failure_code == 0
