@@ -46,6 +46,9 @@ def main() -> None:
     parser.add_argument("--skip-dehyphenation", action="store_true")
     parser.add_argument("--skip-reading-order", action="store_true")
     parser.add_argument("--skip-diacritics-merging", action="store_true")
+    parser.add_argument("--skip-glyph-statistics", action="store_true")
+    parser.add_argument("--skip-word-statistics", action="store_true")
+    parser.add_argument("--skip-line-statistics", action="store_true")
     parser.add_argument("--predict-semantic-roles", action="store_true",
                         help="enable semantic-role prediction (default off, "
                              "like --skip-semantic-roles-prediction in the "
@@ -90,6 +93,9 @@ def main() -> None:
         skip_dehyphenation=args.skip_dehyphenation,
         skip_reading_order=args.skip_reading_order,
         skip_diacritics_merging=args.skip_diacritics_merging,
+        skip_glyph_statistics=args.skip_glyph_statistics,
+        skip_word_statistics=args.skip_word_statistics,
+        skip_line_statistics=args.skip_line_statistics,
         skip_semantic_roles=not args.predict_semantic_roles,
         role_head=args.role_head)
     summary = engine.run_job(
