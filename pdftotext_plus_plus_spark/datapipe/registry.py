@@ -406,6 +406,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # multimodal plumbing
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),
+    "image_resize_meta": (multimodal.image_resize_meta,
+                          multimodal.IMAGE_RESIZE_SQL),
+    "video_frame_sample": (multimodal.video_frame_sample,
+                           multimodal.VIDEO_FRAME_SAMPLE_SQL),
+    "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     # HTML boilerplate strip (north-rule raw-HTML surface)
     "boilerplate_strip": (
         lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
