@@ -183,6 +183,107 @@ def extract_jsonl_oracle_sql() -> str:
             "AS t(url, pos, block_id, page, block_text, role)" % values)
 
 
+# families whose per-page word creation order equals reading order AND
+# whose word stream is fully intent-derivable (no glyph-name/diacritic
+# rewrites): the JSONL words-unit oracle lists every word incl. the
+# second parts of hyphenated words (JsonlSerializer.cpp:204-238 emits the
+# raw word stream, no hyphen skip)
+JSONL_WORD_FAMILIES = ["plain-1col", "hyphenated", "enumerations",
+                       "hanging-indent", "multi-page", "headings"]
+N_JSONL_WORD_DOCS = 18
+
+
+def extract_jsonl_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 words unit — the JSONL word stream (raw words, hyphen halves
+    separate) parsed back: ids, page, text, block linkage."""
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_JSONL_WORD_DOCS, families=JSONL_WORD_FAMILIES))
+    out = engine.extract_pages(pages, num_partitions=8,
+                               jsonl_units=("words",))
+    lines = (out.select(
+        "url", F.posexplode(F.split(F.col("jsonl"), "\n")).alias("pos", "line"))
+        .filter(F.col("line") != ""))
+    return lines.select(
+        "url", "pos",
+        F.get_json_object("line", "$.id").alias("word_id"),
+        F.get_json_object("line", "$.page").cast("int").alias("page"),
+        F.get_json_object("line", "$.text").alias("word_text"),
+        F.get_json_object("line", "$.block").alias("block_id"))
+
+
+def extract_jsonl_words_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_JSONL_WORD_DOCS,
+                                 families=JSONL_WORD_FAMILIES)
+    values = []
+    for r in rows:
+        intent = r["golden_intent"]
+        n_pages = r["n_pages"]
+        out_blocks = fixtures.golden_dehyphenated_blocks(intent)
+        nb = len(out_blocks)
+        bpp_fn, _ = fixtures.FAMILY_EXT_META.get(r["family"], (None, None))
+        bpp = (bpp_fn(nb, n_pages) if bpp_fn
+               else [nb // n_pages] * n_pages)
+        pos = 0
+        block_idx = 0
+        # intent blocks with at least one nonempty line, in order (the same
+        # filter golden_block_texts applies)
+        blocks = [b for b in intent if any(line for line in b)]
+        for page_num, n in enumerate(bpp, start=1):
+            word_rank = 0
+            for block_rank in range(n):
+                for line in blocks[block_idx]:
+                    for tok in line:
+                        values.append(
+                            "('%s', %d, 'word-%d-%d', %d, '%s', 'block-%d-%d')"
+                            % (r["url"], pos, page_num, word_rank, page_num,
+                               tok.replace("'", "''"), page_num, block_rank))
+                        pos += 1
+                        word_rank += 1
+                block_idx += 1
+    return ("SELECT * FROM (VALUES\n%s\n) "
+            "AS t(url, pos, word_id, page, word_text, block_id)"
+            % ",\n".join(values))
+
+
+def extract_jsonl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 pages unit — page records with dimensions
+    (JsonlSerializer.cpp:84-97)."""
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_JSONL_DOCS, families=JSONL_FAMILIES))
+    out = engine.extract_pages(pages, num_partitions=8,
+                               jsonl_units=("pages",))
+    lines = (out.select(
+        "url", F.posexplode(F.split(F.col("jsonl"), "\n")).alias("pos", "line"))
+        .filter(F.col("line") != ""))
+    return lines.select(
+        "url",
+        F.get_json_object("line", "$.num").cast("int").alias("num"),
+        F.get_json_object("line", "$.width").cast("double").alias("width"),
+        F.get_json_object("line", "$.height").cast("double").alias("height"))
+
+
+def extract_jsonl_pages_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_JSONL_DOCS, families=JSONL_FAMILIES)
+    values = []
+    for r in rows:
+        for num in range(1, r["n_pages"] + 1):
+            values.append("('%s', %d, 612.0, 792.0)" % (r["url"], num))
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, num, width, height)"
+            % ",\n".join(values))
+
+
 N_ROLE_DOCS = 16
 
 
@@ -375,6 +476,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_word_counts": (extract_word_counts, None),  # oracle below
     "extract_text_extended": (extract_text_extended, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
+    "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
+    "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
     "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
@@ -442,6 +545,8 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_word_counts"] = extract_word_counts_oracle_sql()
     oracles["extract_text_extended"] = extract_text_extended_oracle_sql()
     oracles["extract_jsonl"] = extract_jsonl_oracle_sql()
+    oracles["extract_jsonl_words"] = extract_jsonl_words_oracle_sql()
+    oracles["extract_jsonl_pages"] = extract_jsonl_pages_oracle_sql()
     oracles["extract_roles"] = extract_roles_oracle_sql()
     oracles["extract_roles_model"] = extract_roles_oracle_sql()
     oracles["extract_text_role_filtered"] = \
