@@ -37,9 +37,13 @@ def duck():
 
 ORACLED = [name for name, (_, sql) in registry.QUERIES.items()
            if sql is not None and name != "extract_text"]
+# the extraction queries' oracles are built lazily (VALUES tables from the
+# intent-level goldens); include them so pytest mirrors the FULL driver gate
+LAZY_ORACLED = sorted(set(registry.oracle_sql())
+                      - set(ORACLED) - {"extract_text"})
 
 
-@pytest.mark.parametrize("name", ORACLED)
+@pytest.mark.parametrize("name", ORACLED + LAZY_ORACLED)
 def test_oracle_agreement(spark, duck, name):
     fn, _ = registry.QUERIES[name]
     sdf = fn(spark, SF_DIR)
