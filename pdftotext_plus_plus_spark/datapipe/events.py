@@ -81,3 +81,39 @@ SELECT CAST(floor(CAST(floor(epoch(ts)) AS BIGINT) / 3600) AS BIGINT) AS hour_bu
        event_type, count(*) AS n_events, round(sum(value), 4) AS value_sum
 FROM events GROUP BY 1, 2
 """
+
+
+HOP_DURATION_S = 3600
+HOP_SLIDE_S = 1800
+
+
+def hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) 1-hour windows every 30 minutes per event type —
+    the overlapping-window form of :func:`tumbling_counts` (each event
+    lands in duration/slide = 2 windows).  Uses Spark's native
+    ``F.window(ts, duration, slide)``; at scale this is one explode-free
+    windowed hash aggregation."""
+    ev = _events(spark, sf_dir)
+    win = F.window("ts", f"{HOP_DURATION_S} seconds",
+                   f"{HOP_SLIDE_S} seconds")
+    return (ev.groupBy(win.alias("win"), "event_type")
+            .agg(F.count("*").alias("n_events"),
+                 F.round(F.sum("value"), 4).alias("value_sum"))
+            .select(F.unix_timestamp("win.start").alias("window_start_s"),
+                    "event_type", "n_events", "value_sum"))
+
+
+HOPPING_COUNTS_SQL = f"""
+WITH ev AS (
+  SELECT CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, event_type, value
+  FROM events
+), hopped AS (
+  -- each event belongs to duration/slide = 2 hop-aligned windows
+  SELECT (ts_s // {HOP_SLIDE_S}) * {HOP_SLIDE_S} - h.off AS window_start_s,
+         event_type, value
+  FROM ev, (VALUES (0), ({HOP_SLIDE_S})) h(off)
+)
+SELECT window_start_s, event_type, count(*) AS n_events,
+       round(sum(value), 4) AS value_sum
+FROM hopped GROUP BY 1, 2
+"""

@@ -529,6 +529,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "event_tumbling_counts": (events.tumbling_counts,
                               events.TUMBLING_COUNTS_SQL),
+    "event_hopping_counts": (events.hopping_counts,
+                             events.HOPPING_COUNTS_SQL),
 }
 
 

@@ -141,3 +141,17 @@ def test_ngram_jaccard_no_cartesian(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_embedding_near_dup_tile_count_invariant(spark, monkeypatch):
+    """The tiled self-join's output must be EXACTLY invariant under the
+    tile count B (the scale knob): raising B changes task granularity,
+    never the pair set."""
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    base = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+            dedup.embedding_near_dup(spark, "/root/testdata/sf0.001").collect()}
+    monkeypatch.setattr(dedup, "EMB_TILES", 7)
+    alt = {(r["id_a"], r["id_b"], r["cosine"]) for r in
+           dedup.embedding_near_dup(spark, "/root/testdata/sf0.001").collect()}
+    assert base == alt and len(base) > 0
