@@ -13,7 +13,8 @@ from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import chunking, dedup, events, htmlstrip, multimodal, similarity, textstats
+from . import (chunking, dedup, events, htmlstrip, multimodal, relational,
+               similarity, textstats)
 
 N_EXTRACT_DOCS = 48
 
@@ -531,6 +532,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                               events.TUMBLING_COUNTS_SQL),
     "event_hopping_counts": (events.hopping_counts,
                              events.HOPPING_COUNTS_SQL),
+    # generic relational surface over the TPC-H-style driver tables
+    "pricing_summary": (relational.pricing_summary,
+                        relational.PRICING_SUMMARY_SQL),
 }
 
 
