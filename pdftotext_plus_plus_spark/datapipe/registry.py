@@ -252,6 +252,58 @@ def extract_jsonl_words_oracle_sql() -> str:
             % ",\n".join(values))
 
 
+N_JSONL_CHAR_DOCS = 6
+
+
+def extract_jsonl_chars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 characters unit — per-char records with word/block linkage
+    (JsonlSerializer.cpp:101-156), parsed back from the string surface.
+    plain-1col only: every char is intent-derivable (one char per letter,
+    decode order = reading order, no diacritic rewrites)."""
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_JSONL_CHAR_DOCS, families=["plain-1col"]))
+    out = engine.extract_pages(pages, num_partitions=8,
+                               jsonl_units=("characters",))
+    lines = (out.select(
+        "url", F.posexplode(F.split(F.col("jsonl"), "\n")).alias("pos", "line"))
+        .filter(F.col("line") != ""))
+    return lines.select(
+        "url", "pos",
+        F.get_json_object("line", "$.id").alias("char_id"),
+        F.get_json_object("line", "$.text").alias("char_text"),
+        F.get_json_object("line", "$.word").alias("word_id"),
+        F.get_json_object("line", "$.block").alias("block_id"))
+
+
+def extract_jsonl_chars_oracle_sql() -> str:
+    from .. import fixtures
+
+    rows = fixtures.build_corpus(N_JSONL_CHAR_DOCS, families=["plain-1col"])
+    values = []
+    for r in rows:
+        pos = char_rank = word_rank = 0
+        blocks = [b for b in r["golden_intent"] if any(line for line in b)]
+        for block_rank, block in enumerate(blocks):
+            for line in block:
+                for tok in line:
+                    for ch in tok:
+                        values.append(
+                            "('%s', %d, 'char-1-%d', '%s', 'word-1-%d', "
+                            "'block-1-%d')"
+                            % (r["url"], pos, char_rank,
+                               ch.replace("'", "''"), word_rank, block_rank))
+                        pos += 1
+                        char_rank += 1
+                    word_rank += 1
+    return ("SELECT * FROM (VALUES\n%s\n) "
+            "AS t(url, pos, char_id, char_text, word_id, block_id)"
+            % ",\n".join(values))
+
+
 def extract_jsonl_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S7 pages unit — page records with dimensions
     (JsonlSerializer.cpp:84-97)."""
@@ -479,6 +531,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
     "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
     "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
+    "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
     "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
@@ -553,6 +606,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_jsonl"] = extract_jsonl_oracle_sql()
     oracles["extract_jsonl_words"] = extract_jsonl_words_oracle_sql()
     oracles["extract_jsonl_pages"] = extract_jsonl_pages_oracle_sql()
+    oracles["extract_jsonl_chars"] = extract_jsonl_chars_oracle_sql()
     oracles["extract_roles"] = extract_roles_oracle_sql()
     oracles["extract_roles_model"] = extract_roles_oracle_sql()
     oracles["extract_text_role_filtered"] = \
