@@ -572,6 +572,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "boilerplate_strip": (
         lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
         None),  # oracle filled in lazily below
+    "main_content_blocks": (
+        lambda spark, sf_dir: htmlstrip.main_content_blocks(spark, sf_dir),
+        None),  # oracle filled in lazily below
     # chunking + dedup clusters
     "chunk_documents": (chunking.chunk_documents,
                         chunking.CHUNK_DOCUMENTS_SQL),
@@ -601,6 +604,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_text"] = extract_text_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
+    oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()
     oracles["extract_word_counts"] = extract_word_counts_oracle_sql()
     oracles["extract_text_extended"] = extract_text_extended_oracle_sql()
     oracles["extract_jsonl"] = extract_jsonl_oracle_sql()
