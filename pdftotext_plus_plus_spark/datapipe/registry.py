@@ -557,6 +557,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 similarity.ANN_MULTIPROBE_SQL),
     # text analysis
     "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
+    "lang_id_trigram": (textstats.lang_id_trigram,
+                        textstats.LANG_ID_TRIGRAM_SQL),
     "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
     "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),

@@ -177,3 +177,85 @@ FROM (SELECT d.doc_id, d.text,
       FROM documents d)
 GROUP BY doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# n-gram language ID (trigram profiles)
+# ---------------------------------------------------------------------------
+
+# tiny fixed trigram profiles (the classic n-gram-profile method, rank
+# profiles reduced to integer membership scoring so an ANSI-SQL oracle can
+# reproduce the computation exactly)
+TRIGRAM_PROFILES = {
+    "en": ["the", "and", "ing", "he ", " th", "er ", "hat", " an"],
+    "de": ["der", "sch", "ein", "ich", "und", "die", "en ", "cht"],
+    "fr": ["les", "des", "ent", "que", "ait", "ion", " le", "eur"],
+    "es": ["que", "los", "ado", "ión", "nte", " la", "del", "est"],
+}
+LANG_MIN_HITS = 3
+
+
+def _profile_rows():
+    return [(lang, tri) for lang, tris in TRIGRAM_PROFILES.items()
+            for tri in tris]
+
+
+def lang_id_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram-profile language ID: char trigrams joined against broadcast
+    integer profiles, argmax score per doc (ties: lexicographically first
+    language), 'unknown' below LANG_MIN_HITS.  One explode + broadcast-equi
+    join + two narrow aggs — no UDF, no skew (profile keys are bounded)."""
+    from pyspark.sql import Window
+
+    docs = _documents(spark, sf_dir)
+    tris = (docs.select(
+        "doc_id",
+        F.explode(F.expr(
+            "transform(sequence(1, greatest(1, length(text) - 2)),"
+            " i -> substr(text, i, 3))")).alias("tri")))
+    prof = spark.createDataFrame(_profile_rows(), "lang string, tri string")
+    scores = (tris.join(F.broadcast(prof), "tri")
+              .groupBy("doc_id", "lang")
+              .agg(F.count("*").alias("score")))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("lang"))
+    best = (scores.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("doc_id", "lang", "score"))
+    return (docs.select("doc_id").join(best, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.when(F.col("score") >= LANG_MIN_HITS, F.col("lang"))
+                .otherwise(F.lit("unknown")).alias("pred_lang"),
+                F.coalesce("score", F.lit(0)).alias("score")))
+
+
+def _profile_values_sql() -> str:
+    return ",\n".join("('%s', '%s')" % (lang, tri)
+                      for lang, tri in _profile_rows())
+
+
+LANG_ID_TRIGRAM_SQL = f"""
+WITH prof(lang, tri) AS (VALUES
+{_profile_values_sql()}
+), tris AS (
+  SELECT doc_id, substr(text, i, 3) AS tri
+  FROM (SELECT d.doc_id, d.text,
+               unnest(generate_series(1, greatest(1, length(d.text) - 2))) AS i
+        FROM documents d)
+), scores AS (
+  SELECT t.doc_id, p.lang, count(*) AS score
+  FROM tris t JOIN prof p ON p.tri = t.tri
+  GROUP BY t.doc_id, p.lang
+), best AS (
+  SELECT doc_id, lang, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, lang ASC) AS rn
+  FROM scores
+)
+SELECT d.doc_id,
+       CASE WHEN b.score >= {LANG_MIN_HITS} THEN b.lang
+            ELSE 'unknown' END AS pred_lang,
+       COALESCE(b.score, 0) AS score
+FROM documents d
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+"""
