@@ -295,7 +295,14 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     c.name = name
                     c.text = text
                     u = unicodes[i]
-                    if u:
+                    # when the charMap overrode the char (uLen == 1 && name
+                    # in map), the reference stores the MAP's codepoint, not
+                    # the provided unicode (PdfParsing.cpp:207) — unicodes[0]
+                    # drives diacritic merging, so this must match
+                    if name and name in CHAR_MAP and \
+                            (len(u) if u else len(raw)) == 1:
+                        c.unicodes = [CHAR_MAP[name][0]]
+                    elif u:
                         c.unicodes = u
                     elif len(text) == 1:
                         c.unicodes = [ord(text)]

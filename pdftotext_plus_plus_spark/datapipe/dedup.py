@@ -6,8 +6,10 @@ Scale notes (100 TB): every op here is shuffle-bounded by design —
   the bucket join replaces the quadratic all-pairs comparison, which is the
   whole point of LSH at 10^12 rows;
 * SimHash: narrow per-doc aggregation, then EXACT pigeonhole banding
-  (4 bands x 8 bits — a Hamming<=3 pair must match on >= 1 band) rather
-  than a cross join;
+  (4 bands x 16 bits over a 64-bit simhash — a Hamming<=3 pair must match
+  on >= 1 band) rather than a cross join; 16-bit band keys give 65,536
+  buckets per band, which keeps the band-equi self-join bounded at
+  10^12 rows (8-bit keys = 256 buckets would be near-quadratic);
 * n-gram Jaccard: exact PPJoin-style prefix filtering — candidates join
   only on each doc's rarest-first shingle prefix, so near-universal
   stop-grams never become join keys and the key distribution stays flat;
@@ -23,7 +25,7 @@ from pyspark.sql import functions as F
 N_BANDS = 8
 SHINGLE = 3
 JACCARD_THRESHOLD = 0.8
-SIMHASH_BITS = 32
+SIMHASH_BITS = 64
 COSINE_DUP_THRESHOLD = 0.38
 
 
@@ -222,23 +224,31 @@ FROM sig a JOIN sig b
 # ---------------------------------------------------------------------------
 
 def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """32-bit SimHash over whitespace tokens.
+    """64-bit SimHash over whitespace tokens.
 
-    Token hash = first 8 hex chars of md5 as an integer (cross-engine via
-    conv/hex-cast); per bit: +1 if set else -1, summed over tokens; simhash
-    bit i set iff the sum is > 0.
+    Token hash = first 16 hex chars of md5 as a 64-bit integer.  The Spark
+    side carries it as two 32-bit halves (``conv`` parses each half into a
+    BIGINT without unsigned overflow; DuckDB parses the full 16-hex string
+    as UBIGINT); per bit: +1 if set else -1, summed over tokens; simhash
+    bit i set iff the sum is > 0.  Bit 63 makes the signed simhash value
+    negative — both engines agree on two's-complement BIGINT.
     """
     docs = _documents(spark, sf_dir)
     tokens = (docs
               .select("doc_id",
                       F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
               .filter(F.length("tok") > 0)
-              .withColumn("h", F.conv(F.substring(F.md5("tok"), 1, 8), 16, 10)
+              .withColumn("md", F.md5("tok"))
+              .withColumn("h_hi", F.conv(F.substring("md", 1, 8), 16, 10)
+                          .cast("bigint"))
+              .withColumn("h_lo", F.conv(F.substring("md", 9, 8), 16, 10)
                           .cast("bigint")))
     bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
     contrib = (tokens.crossJoin(F.broadcast(bits))
                .withColumn("c", F.expr(
-                   "CASE WHEN (shiftright(h, bit) & 1) = 1 THEN 1 ELSE -1 END")))
+                   "CASE WHEN (CASE WHEN bit < 32 THEN shiftright(h_lo, bit)"
+                   " ELSE shiftright(h_hi, bit - 32) END & 1) = 1"
+                   " THEN 1 ELSE -1 END")))
     return (contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
             .withColumn("bitval", F.expr(
                 "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
@@ -246,9 +256,15 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
 
 
+# DuckDB: (1::BIGINT << 63) overflows, so bit 63 uses the explicit
+# min-BIGINT literal (the same two's-complement value Spark's shiftleft
+# produces); >> on BIGINT is arithmetic in both engines, masks fix it.
+_SQL_BITVAL = ("CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)"
+               " ELSE (1::BIGINT << bit) END")
+
 SIMHASH_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
   FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
@@ -260,21 +276,22 @@ WITH toks AS (
   SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
 )
 SELECT doc_id,
-       CAST(sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END)
+       CAST(sum(CASE WHEN s > 0 THEN {_SQL_BITVAL} ELSE 0 END)
             AS BIGINT) AS simhash
 FROM sums GROUP BY doc_id
 """
 
 
-SIMHASH_BANDS = 4  # 4 bands x 8 bits over the 32-bit simhash
+SIMHASH_BANDS = 4  # 4 bands x 16 bits over the 64-bit simhash
 
 
 def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT near-dup pairs with Hamming distance <= 3 via pigeonhole
-    banding: the 32-bit simhash splits into 4 bands of 8 bits, and a pair
+    banding: the 64-bit simhash splits into 4 bands of 16 bits, and a pair
     differing in <= 3 bits must agree EXACTLY on at least one band — so the
     union of the 4 band-equi joins finds every qualifying pair without a
-    cross join (and without the old single-prefix banding's misses)."""
+    cross join.  16-bit band keys (65,536 buckets per band) keep each
+    (band, key) bucket ~N/65,536 docs, bounding the self-join at scale."""
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     sig = simhash(spark, sf_dir)
     bands = spark.range(SIMHASH_BANDS).select(
@@ -300,7 +317,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 SIMHASH_NEAR_PAIRS_SQL = f"""
 WITH toks AS (
-  SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS h
+  SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
   FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
@@ -312,7 +329,8 @@ WITH toks AS (
   SELECT doc_id, bit, sum(c) AS s FROM contrib GROUP BY doc_id, bit
 ), sig AS (
   SELECT doc_id,
-         sum(CASE WHEN s > 0 THEN (1::BIGINT << bit) ELSE 0 END) AS simhash
+         CAST(sum(CASE WHEN s > 0 THEN {_SQL_BITVAL} ELSE 0 END)
+              AS BIGINT) AS simhash
   FROM sums GROUP BY doc_id
 ), keyed AS (
   SELECT s.doc_id, s.simhash, b.band,

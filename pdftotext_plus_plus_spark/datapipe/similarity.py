@@ -154,7 +154,7 @@ WITH elems AS (
          (('0x' || substr(md5(p.plane::VARCHAR || ':' || i.i::VARCHAR), 1, 6))::BIGINT
           % 2001 - 1000)::DOUBLE AS r
   FROM generate_series(0, {N_PLANES - 1}) p(plane),
-       generate_series(1, 64) i(i)
+       (SELECT DISTINCT i FROM elems) i(i)  -- dim derived from data
 ), signs AS (
   SELECT e.vec_id, p.plane,
          CASE WHEN sum(e.x * p.r) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit
@@ -216,6 +216,8 @@ def mp_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def kernel(batches):
         for pdf in batches:
+            if pdf.empty:  # zero-row Arrow batch: mat.shape has no axis 1
+                continue
             mat = np.array(list(pdf["embedding"]), dtype=np.float64)
             if "planes" not in state:
                 state["planes"] = _mp_planes(mat.shape[1])
@@ -297,7 +299,7 @@ WITH elems AS (
           % 2001 - 1000)::DOUBLE AS r
   FROM generate_series(0, {MP_TABLES - 1}) t(t),
        generate_series(0, {MP_PLANES - 1}) p(plane),
-       generate_series(1, 64) i(i)
+       (SELECT DISTINCT i FROM elems) i(i)  -- dim derived from data
 ), signs AS (
   SELECT e.vec_id, p.table_id, p.plane,
          CASE WHEN sum(e.x * p.r) > 0 THEN 1::BIGINT ELSE 0::BIGINT END AS bit

@@ -51,6 +51,28 @@ def test_charmap_fallback():
     assert doc.pages[0].characters[0].text == "fi"
 
 
+def test_charmap_override_sets_map_codepoint():
+    """When the map wins, unicodes[0] is the MAP's codepoint, not the
+    provided one (PdfParsing.cpp:207: unicodes.push_back(map.first)) —
+    unicodes[0] drives diacritic merging, so the stored value matters."""
+    doc, _ = decode_payload(_payload(
+        [_char("", 0.0, name="summationdisplay", unicodes=[0x3F])]))
+    assert doc.pages[0].characters[0].unicodes == [0x2211]
+    # single unicode arriving as explicit text: same override
+    doc, _ = decode_payload(_payload(
+        [_char("?", 0.0, name="epsilon1", unicodes=[])]))
+    assert doc.pages[0].characters[0].unicodes == [0x03B5]
+    # multi-char map text still stores the map's single codepoint
+    doc, _ = decode_payload(_payload(
+        [_char("", 0.0, name="thumbs_up", unicodes=[0x3F])]))
+    ch = doc.pages[0].characters[0]
+    assert ch.text == "ὄ" + "D" and ch.unicodes == [0x1F44D]
+    # unmapped name: provided unicodes pass through unchanged
+    doc, _ = decode_payload(_payload(
+        [_char("", 0.0, name="nosuchglyph", unicodes=[0x41])]))
+    assert doc.pages[0].characters[0].unicodes == [0x41]
+
+
 def test_charmap_full_table():
     """All 134 reference entries carried; multi-char thumbs text replicates
     the reference's 4-hex C++ literal ("\\u1F44" + 'E')."""

@@ -5,8 +5,8 @@ algorithms rely on (pure-Python mirrors of the Spark formulas):
   sets with Jaccard >= t share at least one shingle in their prefixes of
   length ``n - ceil(t*n) + 1`` — so prefix-join candidate generation
   misses no qualifying pair (datapipe/dedup.ngram_jaccard_pairs).
-* Pigeonhole simhash banding: a pair within Hamming distance 3 over 32
-  bits agrees exactly on >= 1 of the 4 8-bit bands
+* Pigeonhole simhash banding: a pair within Hamming distance 3 over 64
+  bits agrees exactly on >= 1 of the 4 16-bit bands
   (datapipe/dedup.simhash_near_pairs).
 """
 
@@ -40,16 +40,30 @@ def test_prefix_filter_complete(a, b, order):
 
 
 @settings(max_examples=300)
-@given(st.integers(0, 2**32 - 1),
-       st.sets(st.integers(0, 31), min_size=0, max_size=3))
+@given(st.integers(0, 2**64 - 1),
+       st.sets(st.integers(0, 63), min_size=0, max_size=3))
 def test_pigeonhole_banding_complete(sig, flip_bits):
-    """hamming(x, y) <= 3 over 32 bits => x and y share an 8-bit band."""
+    """hamming(x, y) <= 3 over 64 bits => x and y share a 16-bit band."""
     other = sig
     for b in flip_bits:
         other ^= 1 << b
-    shares = any(((sig >> (8 * band)) & 0xFF) == ((other >> (8 * band)) & 0xFF)
+    shares = any(((sig >> (16 * band)) & 0xFFFF)
+                 == ((other >> (16 * band)) & 0xFFFF)
                  for band in range(4))
     assert shares
+
+
+@settings(max_examples=100)
+@given(st.integers(-(2**63), 2**63 - 1))
+def test_band_keys_match_signed_arithmetic_shift(sig):
+    """The engines store the simhash as a SIGNED 64-bit value and extract
+    band keys with an arithmetic >> plus a 16-bit mask; the keys must equal
+    the unsigned-representation bands (so banding exactness carries over)."""
+    unsigned = sig & (2**64 - 1)
+    for band in range(4):
+        # arithmetic shift on the signed value, as Spark/DuckDB compute it
+        arith = (sig >> (16 * band)) & 0xFFFF
+        assert arith == ((unsigned >> (16 * band)) & 0xFFFF)
 
 
 @settings(max_examples=200)

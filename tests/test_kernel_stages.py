@@ -224,8 +224,12 @@ def test_statistics_skip_flags():
                   skip_line_statistics=True)
     res = pipeline.extract(payload, config=cfg, keep_doc=True)
     assert res.parse_failure_code == 0
-    assert res.doc.most_freq_word_height == 0.0 or res.doc.most_freq_word_height is None \
-        or isinstance(res.doc.most_freq_word_height, float)
+    # the skipped stats must KEEP their defaults...
+    assert res.doc.most_freq_word_height == 0.0
+    assert res.doc.most_freq_word_distance == 0.0
+    # ...and differ from the default-config run, which computes them
+    full = pipeline.extract(payload, config=DEFAULT_CONFIG, keep_doc=True)
+    assert full.doc.most_freq_word_height > 0.0
     # glyph stats skipped as well -> still no crash (blocks fall back)
     cfg2 = replace(DEFAULT_CONFIG, skip_glyph_statistics=True)
     res2 = pipeline.extract(payload, config=cfg2)
