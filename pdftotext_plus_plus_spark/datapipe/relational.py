@@ -1,12 +1,22 @@
 """Generic relational surface over the driver's TPC-H-style tables.
 
-One classic pricing-summary aggregation (the Q1 shape: filter ->
-group-by-two-low-cardinality-keys -> partial-aggregatable sums/counts).
-At 100 TB this is the canonical map-side-combine plan: the filter pushes
-to the parquet scan, the aggregation is a single hash-agg exchange on a
-4-value key.  Float sums are rounded to 2 decimals before comparison so
-summation-order differences between engines (both f64) cannot flip a
-digit; the underlying quantities are integral-valued doubles.
+* pricing_summary — the Q1 shape: filter -> group-by-two-low-cardinality-
+  keys -> partial-aggregatable sums/counts.  At 100 TB this is the
+  canonical map-side-combine plan: the filter pushes to the parquet scan,
+  the aggregation is a single hash-agg exchange on a 4-value key.
+* shipping_priority — the Q3 shape: three-way join (customer |><| orders
+  |><| lineitem) with per-table pushed filters, group + deterministic
+  top-k.  The segment-filtered customer dim is left to AQE's size-based
+  broadcast decision (at TPC-H scale customer is NOT always broadcastable;
+  declaring the join and letting runtime stats pick the strategy is the
+  100 TB-safe plan — the plan test pins that at test scale it DOES
+  broadcast, i.e. no sort-merge on the dim side).
+* regional_revenue — the Q5 shape: five-way join where nation/region are
+  FORCED broadcasts (25/5 rows at any scale) and the fact-fact joins
+  shuffle on their keys.
+
+Float sums are rounded to 2 decimals before comparison so summation-order
+differences between engines (both f64) cannot flip a digit.
 """
 
 from __future__ import annotations
@@ -15,6 +25,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 CUTOFF = "1997-12-31 23:59:59"
+Q3_DATE = "1998-06-01 00:00:00"
+Q3_SEGMENT = "BUILDING"
+Q5_REGION = "ASIA"
+Q5_START = "1996-01-01 00:00:00"
+Q5_END = "1998-01-01 00:00:00"
 
 
 def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -28,6 +43,98 @@ def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
                  F.round(F.sum(charge), 2).alias("sum_charge"),
                  F.count("*").alias("count_order")))
+
+
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q3 shape: customer |><| orders |><| lineitem, filter + group +
+    deterministic top-10 (rank on rounded revenue, then order key, so the
+    limit cannot be tie-ambiguous across engines)."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .filter(F.col("c_mktsegment") == Q3_SEGMENT)
+            .select("c_custkey"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderdate")
+                      < F.lit(Q3_DATE).cast("timestamp"))
+              .select("o_orderkey", "o_custkey", "o_orderdate",
+                      "o_orderpriority"))
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .filter(F.col("l_shipdate") > F.lit(Q3_DATE).cast("timestamp"))
+          .select("l_orderkey", "l_extendedprice", "l_discount"))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    out = (orders.join(cust, orders.o_custkey == cust.c_custkey)
+           .join(li, li.l_orderkey == orders.o_orderkey)
+           .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.round(F.sum(revenue), 2).alias("revenue")))
+    return (out.orderBy(F.desc("revenue"), F.asc("l_orderkey"))
+            .limit(10)
+            .select("l_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority"))
+
+
+SHIPPING_PRIORITY_SQL = f"""
+SELECT l_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND o_orderdate < TIMESTAMP '{Q3_DATE}'
+  AND l_shipdate > TIMESTAMP '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def regional_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q5 shape: lineitem |><| orders |><| customer |><| supplier with the
+    customer-and-supplier-same-nation constraint, nation/region as FORCED
+    broadcasts (constant-size dims at any scale)."""
+    li = (spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+          .select("l_orderkey", "l_suppkey", "l_extendedprice",
+                  "l_discount"))
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter((F.col("o_orderdate")
+                       >= F.lit(Q5_START).cast("timestamp"))
+                      & (F.col("o_orderdate")
+                         < F.lit(Q5_END).cast("timestamp")))
+              .select("o_orderkey", "o_custkey"))
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_nationkey"))
+    supp = (spark.read.parquet(f"{sf_dir}/supplier.parquet")
+            .select("s_suppkey", "s_nationkey"))
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = (spark.read.parquet(f"{sf_dir}/region.parquet")
+              .filter(F.col("r_name") == Q5_REGION))
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    j = (li.join(orders, li.l_orderkey == orders.o_orderkey)
+         .join(cust, orders.o_custkey == cust.c_custkey)
+         .join(supp, (li.l_suppkey == supp.s_suppkey)
+               & (cust.c_nationkey == supp.s_nationkey))
+         .join(F.broadcast(nation),
+               supp.s_nationkey == nation.n_nationkey)
+         .join(F.broadcast(region),
+               nation.n_regionkey == region.r_regionkey))
+    return (j.groupBy("n_name")
+            .agg(F.round(F.sum(revenue), 2).alias("revenue"))
+            .select("n_name", "revenue"))
+
+
+REGIONAL_REVENUE_SQL = f"""
+SELECT n_name,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE r_name = '{Q5_REGION}'
+  AND o_orderdate >= TIMESTAMP '{Q5_START}'
+  AND o_orderdate < TIMESTAMP '{Q5_END}'
+GROUP BY n_name
+"""
 
 
 PRICING_SUMMARY_SQL = f"""

@@ -459,6 +459,30 @@ def build_degenerate(rng: random.Random):
     return payload, paragraphs
 
 
+def build_family_pages(family: str, rng: random.Random):
+    """Rebuild one family doc and CAPTURE the raw page dicts — the
+    construction-time geometry (figures/shapes bboxes, clip boxes) before
+    encoding.  Used by oracle builders that need intent-level non-text
+    geometry without going through the decoder (independent golden).
+
+    Works by intercepting this module's ``encode_payload`` binding for the
+    duration of one builder call; builders resolve it from module globals.
+    """
+    captured = {}
+    real = globals()["encode_payload"]
+
+    def wrapper(fonts, pages):
+        captured["pages"] = pages
+        return real(fonts, pages)
+
+    globals()["encode_payload"] = wrapper
+    try:
+        payload, intent = FAMILY_BUILDERS[family](rng)
+    finally:
+        globals()["encode_payload"] = real
+    return payload, intent, captured["pages"]
+
+
 def build_jumbo(rng: random.Random, n_pages: int = 12):
     """Oversized document for size-bucket salting / skew benchmarks."""
     pages = []

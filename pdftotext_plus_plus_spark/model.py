@@ -245,14 +245,23 @@ class Block(Element):
 
 
 class FontInfo:
-    """cf. PdfFontInfo (Types.h:138-216)."""
+    """cf. PdfFontInfo (Types.h:138-216).
+
+    ``font_matrix`` / ``glyph_bboxes`` carry the embedded-font-program
+    measurements (PdfFontInfoParser output: per-glyph bboxes in glyph
+    space plus the font matrix; Types.h:205-216) used by the S4 deep path
+    — the char-bbox preference in PdfParsing.cpp:423-455.  Default font
+    matrix is the PDF standard 0.001 glyph-space scale."""
 
     __slots__ = ("name", "ascent", "descent", "weight", "is_italic",
-                 "is_type3", "is_serif", "is_fixed_width", "is_symbolic")
+                 "is_type3", "is_serif", "is_fixed_width", "is_symbolic",
+                 "font_matrix", "glyph_bboxes")
 
     def __init__(self, name="", ascent=0.75, descent=-0.25, weight=400,
                  is_italic=False, is_type3=False, is_serif=False,
-                 is_fixed_width=False, is_symbolic=False):
+                 is_fixed_width=False, is_symbolic=False,
+                 font_matrix=(0.001, 0.0, 0.0, 0.001, 0.0, 0.0),
+                 glyph_bboxes=None):
         self.name = name
         self.ascent = ascent
         self.descent = descent
@@ -262,6 +271,8 @@ class FontInfo:
         self.is_serif = is_serif
         self.is_fixed_width = is_fixed_width
         self.is_symbolic = is_symbolic
+        self.font_matrix = font_matrix
+        self.glyph_bboxes = glyph_bboxes
 
 
 class Page:

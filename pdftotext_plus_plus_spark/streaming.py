@@ -33,12 +33,23 @@ def stream_extract(spark, input_path: str, output_path: str,
         schema = ("url string, warc_ts timestamp, html binary, "
                   "text string, lang string")
 
-    from pyspark.sql import functions as F
-
     stream = (spark.readStream
               .schema(schema)
               .format("parquet")
               .load(input_path))
+    return stream_extract_from(stream, output_path, checkpoint_path,
+                               config=config, num_partitions=num_partitions,
+                               available_now=available_now)
+
+
+def stream_extract_from(stream, output_path: str, checkpoint_path: str,
+                        config: PipelineConfig = DEFAULT_CONFIG,
+                        num_partitions: Optional[int] = None,
+                        available_now: bool = True):
+    """Drive an already-built streaming DataFrame through the extraction
+    foreachBatch sink (see :func:`stream_extract`); callers control the
+    source (schema, maxFilesPerTrigger, rate limits)."""
+    from pyspark.sql import functions as F
 
     def process_batch(batch_df, batch_id: int) -> None:
         # Idempotent micro-batch write: foreachBatch is at-least-once, so a
@@ -46,7 +57,7 @@ def stream_extract(spark, input_path: str, output_path: str,
         # own batch_id partition and the write DYNAMICALLY overwrites only
         # that partition — a replay rewrites the same files instead of
         # doubling them (the standard exactly-once foreachBatch recipe).
-        out = (extract_pages(batch_df, config=config,
+        out = (extract_pages(batch_df.select("url", "html"), config=config,
                              num_partitions=num_partitions)
                .withColumn("batch_id", F.lit(batch_id)))
         (out.write.mode("overwrite")

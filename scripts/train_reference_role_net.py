@@ -33,24 +33,27 @@ from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG, SEMANTIC_ROLE_NAMES
 from pdftotext_plus_plus_spark.kernel import roles_net
 
 N_DOCS = 400
-EPOCHS = 2000
+EPOCHS = 4000
 LR = 1e-3
 SEED = 13
 
 
-def build_dataset():
-    cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False)
-    role_to_id = {r: i for i, r in enumerate(SEMANTIC_ROLE_NAMES)}
+# Every training seed is DISJOINT from every driver/oracle corpus seed:
+# the driver registry and all driver-query corpora use build_corpus's
+# default seed 42 (per-doc rng = seed*1000003 + i), and the held-out
+# evaluation below uses seed 101 — no training document is identical to
+# any document the driver oracles or the held-out gate ever see.
+TRAIN_SPECS = (("article-roles", 300, 7), ("figures", 150, 8),
+               ("subsuper", 80, 9), ("headings", 80, 10),
+               ("mixed-two-col", 60, 11), ("article-roles", 150, 23))
+BASE_SEED = 5
+HELDOUT_SEED = 101
+HELDOUT_DOCS = 200
+HELDOUT_MIN_ACC = 0.95
+
+
+def _rows_to_xy(rows, cfg, role_to_id):
     xs, ys = [], []
-    rows = fixtures.build_corpus(N_DOCS, jumbo_every=25)
-    # oversample the families carrying the rare classes (heading, caption,
-    # footnote, title, author-info) so they are not drowned by paragraphs
-    for fam, n, seed in (("article-roles", 150, 7), ("figures", 150, 8),
-                         ("subsuper", 80, 9), ("headings", 80, 10),
-                         ("mixed-two-col", 60, 11),
-                         # the driver-registry role corpus (default seed)
-                         ("article-roles", 32, 42)):
-        rows.extend(fixtures.build_corpus(n, families=[fam], seed=seed))
     for row in rows:
         res = pipeline.extract(row["html"], config=cfg, keep_doc=True)
         feats = roles_net.block_features(res.doc)
@@ -59,6 +62,28 @@ def build_dataset():
         xs.append(feats)
         ys.extend(role_to_id[r] for r in labels)
     return np.concatenate(xs, axis=0), np.asarray(ys, dtype=np.int64)
+
+
+def build_dataset():
+    cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False)
+    role_to_id = {r: i for i, r in enumerate(SEMANTIC_ROLE_NAMES)}
+    rows = fixtures.build_corpus(N_DOCS, seed=BASE_SEED, jumbo_every=25)
+    # oversample the families carrying the rare classes (heading, caption,
+    # footnote, title, author-info) so they are not drowned by paragraphs
+    for fam, n, seed in TRAIN_SPECS:
+        rows.extend(fixtures.build_corpus(n, families=[fam], seed=seed))
+    return _rows_to_xy(rows, cfg, role_to_id)
+
+
+def build_heldout():
+    """Unseen article-roles docs (seed disjoint from training AND from the
+    driver registry) labeled by the heuristic head — the generalization
+    gate demanded by the round-2 verdict."""
+    cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False)
+    role_to_id = {r: i for i, r in enumerate(SEMANTIC_ROLE_NAMES)}
+    rows = fixtures.build_corpus(HELDOUT_DOCS, families=["article-roles"],
+                                 seed=HELDOUT_SEED)
+    return _rows_to_xy(rows, cfg, role_to_id)
 
 
 def train(x: np.ndarray, y: np.ndarray):
@@ -116,6 +141,13 @@ def main():
     print("dataset:", x.shape, "labels:", np.bincount(y, minlength=14))
     (dense_w, dense_b, out_w, out_b), acc = train(x, y)
     assert acc > 0.97, acc
+    # held-out generalization gate: unseen article-roles docs
+    hx, hy = build_heldout()
+    hid = np.maximum(hx @ dense_w + dense_b, 0.0)
+    pred = (hid @ out_w + out_b).argmax(axis=1)
+    h_acc = (pred == hy).mean()
+    print(f"held-out acc (seed {HELDOUT_SEED}, {HELDOUT_DOCS} docs):", h_acc)
+    assert h_acc >= HELDOUT_MIN_ACC, h_acc
     out = os.path.join(os.path.dirname(os.path.dirname(
         os.path.abspath(__file__))),
         "pdftotext_plus_plus_spark/resources/role_net.npz")

@@ -197,7 +197,10 @@ def test_reference_net_words_input():
 
 def test_reference_net_registry_corpus_exact():
     """The net reproduces the expected roles on the driver-registry role
-    corpus exactly (the extract_roles_model oracle depends on this)."""
+    corpus exactly (the extract_roles_model oracle depends on this).
+    The shipped head is trained on seeds DISJOINT from this corpus
+    (scripts/train_reference_role_net.py TRAIN_SPECS/BASE_SEED), so this is
+    a generalization result, not memorization."""
     from pdftotext_plus_plus_spark.kernel import roles_net
 
     for row in fixtures.build_corpus(16, families=["article-roles"]):
@@ -205,3 +208,28 @@ def test_reference_net_registry_corpus_exact():
         roles_net.predict_roles_net(res.doc)
         preds = [b.role for p in res.doc.pages for b in p.blocks]
         assert preds == fixtures.ARTICLE_ROLES, row["url"]
+
+
+def test_reference_net_heldout_generalization():
+    """Round-2 verdict #3: the shipped model head must agree with the
+    heuristic head at >= 0.95 block accuracy on article-roles docs whose
+    seeds appear in NO training spec and NO driver corpus (seed 101 vs
+    training seeds {5,7,8,9,10,11,23} and driver seed 42)."""
+    from dataclasses import replace
+
+    from pdftotext_plus_plus_spark.config import DEFAULT_CONFIG
+    from pdftotext_plus_plus_spark.kernel import roles_net
+
+    cfg = replace(DEFAULT_CONFIG, skip_semantic_roles=False)
+    n_blocks = 0
+    n_agree = 0
+    for row in fixtures.build_corpus(200, families=["article-roles"],
+                                     seed=101):
+        res = pipeline.extract(row["html"], config=cfg, keep_doc=True)
+        heur = [b.role for p in res.doc.pages for b in p.blocks]
+        roles_net.predict_roles_net(res.doc)
+        model = [b.role for p in res.doc.pages for b in p.blocks]
+        n_blocks += len(heur)
+        n_agree += sum(h == m for h, m in zip(heur, model))
+    assert n_blocks >= 200
+    assert n_agree / n_blocks >= 0.95, (n_agree, n_blocks)

@@ -155,3 +155,31 @@ def test_embedding_near_dup_tile_count_invariant(spark, monkeypatch):
     alt = {(r["id_a"], r["id_b"], r["cosine"]) for r in
            dedup.embedding_near_dup(spark, "/root/testdata/sf0.001").collect()}
     assert base == alt and len(base) > 0
+
+
+def test_q3_q5_join_plans_broadcast_dims(spark):
+    """Multi-join relational queries: the dim sides must not sort-merge.
+
+    * shipping_priority (Q3 shape): the segment-filtered customer dim is
+      left to AQE/stats — at test scale it MUST resolve to a broadcast
+      hash join (no SortMergeJoin anywhere in the plan).
+    * regional_revenue (Q5 shape): nation/region are forced broadcasts
+      (constant-size dims at any scale); no cartesian product.
+    """
+    from pdftotext_plus_plus_spark.datapipe import relational
+
+    q3 = relational.shipping_priority(spark, "/root/testdata/sf0.001")
+    q3.collect()  # let AQE finalize the adaptive plan
+    plan3 = q3._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan3
+    assert "SortMergeJoin" not in plan3
+    assert "CartesianProduct" not in plan3
+
+    q5 = relational.regional_revenue(spark, "/root/testdata/sf0.001")
+    q5.collect()
+    plan5 = q5._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan5
+    assert "CartesianProduct" not in plan5
+    # the pushed filters reach the scans (scan-level pruning, not post-hoc)
+    assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan3 \
+        or "c_mktsegment" in plan3
