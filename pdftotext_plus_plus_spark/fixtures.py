@@ -95,6 +95,7 @@ def place_word(page: _PageBuilder, text: str, x: float, base: float,
             "right_x": R1(x + width), "lower_y": R1(base),
             "base": R1(base), "font_size": font_size, "rotation": rotation,
             "w_mode": 0, "font": font.name,
+            **({"trm": spec["trm"]} if "trm" in spec else {}),
         })
         x += width
     return R1(x)
@@ -515,12 +516,22 @@ FAMILY_BUILDERS: Dict[str, Callable[[random.Random], Tuple[bytes, list]]] = {
 def _count_pages(payload: bytes) -> int:
     """Page count straight from the payload header (codec layout)."""
     import struct
+    version = struct.unpack_from("<H", payload, 4)[0]
     pos = 4 + 2
     n_fonts = struct.unpack_from("<I", payload, pos)[0]
     pos += 4
     for _ in range(n_fonts):
         name_len = struct.unpack_from("<H", payload, pos)[0]
         pos += 2 + name_len + 21
+        if version >= 3:  # fontMatrix + glyph-bbox table (codec v3)
+            pos += 48
+            n_glyphs = struct.unpack_from("<I", payload, pos)[0]
+            pos += 4
+            if n_glyphs:
+                offsets_end = pos + 4 * (n_glyphs + 1)
+                blob_len = struct.unpack_from(
+                    "<I", payload, offsets_end - 4)[0]
+                pos = offsets_end + blob_len + 32 * n_glyphs
     return struct.unpack_from("<I", payload, pos)[0]
 
 
@@ -906,6 +917,48 @@ def build_clipped_figure(rng: random.Random):
 
 
 FAMILY_BUILDERS["clipped-figure"] = build_clipped_figure
+
+
+# S4 deep path: a font carrying embedded-font-program glyph bboxes.  The
+# glyph box is in glyph space (y-up, 1000 units/em); through the default
+# 0.001 fontMatrix and a y-flipping trm (fs, 0, 0, -fs, x, base) the tall
+# glyph measures (x, base-7.5, x+5, base) — vertically LARGER than the
+# position-derived (x, base-7.0, x+5, base), so the preference branch
+# (PdfParsing.cpp:423-455) replaces the bbox; the short glyph measures
+# base-6.5 and is NOT preferred.  Horizontal extent matches exactly
+# (500 glyph units * 0.001 * fs == CHAR_W * fs), and the preferred base
+# (= alt lowerY) equals the baseline, so words/lines/blocks are unchanged
+# and the family golden stays intent-derivable.
+GLYPH_FONT = FontInfo(
+    name="glyph-metrics", ascent=0.75, descent=-0.25, weight=400,
+    font_matrix=(0.001, 0.0, 0.0, 0.001, 0.0, 0.0),
+    glyph_bboxes={"g.tall": (0.0, 0.0, 500.0, 750.0),
+                  "g.short": (0.0, 0.0, 500.0, 650.0)})
+
+
+def build_font_glyph_bbox(rng: random.Random):
+    """S4 deep path family: first word of paragraph 1 is measured through
+    the glyph-bbox branch (taken), first word of paragraph 2 through the
+    negative control (not taken); the rest is plain body text."""
+    body = [make_lines(rng, 2), make_lines(rng, 2)]
+    page = _PageBuilder(1)
+    _layout_paragraphs(page, body, MARGIN_X, TOP_BASE)
+    w_tall = body[0][0][0]
+    w_short = body[1][0][0]
+    n_para1 = sum(len(w) for line in body[0] for w in line)
+    for start, word, glyph in ((0, w_tall, "g.tall"),
+                               (n_para1, w_short, "g.short")):
+        for k in range(len(word)):
+            c = page.chars[start + k]
+            c["name"] = glyph
+            c["font"] = GLYPH_FONT.name
+            c["trm"] = (FS_BODY, 0.0, 0.0, -FS_BODY,
+                        c["left_x"], c["base"])
+    payload = encode_payload(FONTS + [GLYPH_FONT], [page.to_dict()])
+    return payload, body
+
+
+FAMILY_BUILDERS["font-glyph-bbox"] = build_font_glyph_bbox
 
 
 def build_wmode(rng: random.Random):

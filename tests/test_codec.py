@@ -120,3 +120,51 @@ def test_non_text_elements():
     assert len(page.figures) == 1 and page.figures[0].kind == "figure"
     assert len(page.shapes) == 2
     assert page.figures[0].right_x == 100.0
+
+
+def test_glyph_bbox_preference_v3():
+    """S4 deep path (PdfParsing.cpp:423-455): a glyph bbox measured through
+    fontMatrix then the char's trm replaces the position-derived bbox when
+    vertically larger (base moves to the alt lowerY); otherwise the
+    provided bbox stands.  v3 payloads only; fonts without glyph tables
+    keep the v2 wire format."""
+    from pdftotext_plus_plus_spark.codec import VERSION_GLYPH_BBOX
+
+    gfont = FontInfo(name="g0", weight=400,
+                     font_matrix=(0.001, 0.0, 0.0, 0.001, 0.0, 0.0),
+                     glyph_bboxes={"tall": (0.0, 0.0, 500.0, 750.0),
+                                   "short": (0.0, 0.0, 500.0, 650.0)})
+
+    def gchar(name, x):
+        c = _char("a", x)
+        c["name"] = name
+        c["font"] = "g0"
+        c["trm"] = (10.0, 0.0, 0.0, -10.0, x, 100.0)
+        return c
+
+    payload = encode_payload([FONT, gfont], [{
+        "page_num": 1, "chars": [gchar("tall", 0.0), gchar("short", 20.0),
+                                 _char("b", 40.0)]}])
+    # v3 wire version on the payload
+    assert payload[4:6] == VERSION_GLYPH_BBOX.to_bytes(2, "little")
+    doc, code = decode_payload(payload)
+    assert code == codec.OK
+    tall, short, plain = doc.pages[0].characters
+    # branch TAKEN: alt = (0, 92.5, 5, 100), base -> alt lowerY
+    assert (tall.left_x, tall.upper_y, tall.right_x, tall.lower_y) \
+        == (0.0, 92.5, 5.0, 100.0)
+    assert tall.base == 100.0
+    # branch NOT taken (alt upper 93.5 is not smaller, lower not larger)
+    assert (short.left_x, short.upper_y, short.right_x, short.lower_y) \
+        == (20.0, 93.0, 25.0, 100.0)
+    # chars without a glyph-table font are untouched
+    assert (plain.left_x, plain.upper_y) == (40.0, 93.0)
+    # the glyph table round-trips on the decoded FontInfo
+    assert doc.font_infos["g0"].glyph_bboxes["tall"] == (0.0, 0.0, 500.0, 750.0)
+
+
+def test_v2_wire_format_unchanged_without_glyph_tables():
+    """Fonts without glyph bboxes must keep emitting VERSION 2 bytes —
+    every pre-v3 corpus and golden stays byte-identical."""
+    payload = _payload([_char("a", 0.0)])
+    assert payload[4:6] == (2).to_bytes(2, "little")
