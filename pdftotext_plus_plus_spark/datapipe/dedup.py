@@ -169,28 +169,44 @@ WHERE round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) >= {JACCARD_THRESH
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 
-def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-(doc, band) minhash = lexicographic min of md5(band || shingle).
+MINHASH_P = 2147483647  # Mersenne prime 2^31 - 1: products stay < 2^63
 
-    The md5-string min is a proper minwise hash family member and is
-    byte-identical across engines.
-    """
+
+def minhash_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-(doc, band) minhash via Kirsch–Mitzenmacher double hashing:
+    band_b(x) = (h1(x) + b * h2(x)) mod P, with h1/h2 the two 32-bit md5
+    halves mod P — ONE md5 per distinct shingle (the old per-band md5 was
+    8x the hash work), and the per-band minima aggregate in a SINGLE
+    groupBy pass (8 min-columns, then stack) instead of exploding every
+    shingle 8x through a band crossJoin.  Integer arithmetic end-to-end,
+    so the identical family is computable in the DuckDB oracle."""
     docs = _documents(spark, sf_dir)
     sh = _token_shingles(docs)
-    bands = spark.range(N_BANDS).select(F.col("id").cast("int").alias("band"))
-    return (sh.crossJoin(F.broadcast(bands))
-            .groupBy("doc_id", "band")
-            .agg(F.min(F.md5(F.concat(F.col("band").cast("string"),
-                                      F.lit(":"), F.col("sh"))))
-                 .alias("minhash")))
+    h = sh.select(
+        "doc_id",
+        F.expr(f"CAST(conv(substr(md5(sh), 1, 8), 16, 10) AS BIGINT)"
+               f" % {MINHASH_P}").alias("h1"),
+        F.expr(f"CAST(conv(substr(md5(sh), 9, 8), 16, 10) AS BIGINT)"
+               f" % {MINHASH_P}").alias("h2"))
+    mins = h.groupBy("doc_id").agg(*[
+        F.min((F.col("h1") + F.lit(b) * F.col("h2")) % MINHASH_P)
+        .alias(f"m{b}") for b in range(N_BANDS)])
+    stack_expr = "stack(%d, %s) AS (band, minhash)" % (
+        N_BANDS, ", ".join(f"{b}, m{b}" for b in range(N_BANDS)))
+    return mins.selectExpr("doc_id", stack_expr)
 
 
 MINHASH_SIGNATURES_SQL = f"""
-WITH sh AS ({TOKEN_SHINGLES_SQL_CTE})
-SELECT sh.doc_id, b.band::INT AS band,
-       min(md5(b.band::VARCHAR || ':' || sh.sh)) AS minhash
-FROM sh, generate_series(0, {N_BANDS - 1}) b(band)
-GROUP BY sh.doc_id, b.band
+WITH sh AS ({TOKEN_SHINGLES_SQL_CTE}), h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(sh), 1, 8))::BIGINT % {MINHASH_P}) AS h1,
+         (('0x' || substr(md5(sh), 9, 8))::BIGINT % {MINHASH_P}) AS h2
+  FROM sh
+)
+SELECT doc_id, b.band::INT AS band,
+       CAST(min((h1 + b.band * h2) % {MINHASH_P}) AS BIGINT) AS minhash
+FROM h, generate_series(0, {N_BANDS - 1}) b(band)
+GROUP BY doc_id, b.band
 """
 
 
@@ -207,11 +223,16 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MINHASH_LSH_PAIRS_SQL = f"""
-WITH sh AS ({TOKEN_SHINGLES_SQL_CTE}), sig AS (
-  SELECT sh.doc_id, b.band AS band,
-         min(md5(b.band::VARCHAR || ':' || sh.sh)) AS minhash
-  FROM sh, generate_series(0, {N_BANDS - 1}) b(band)
-  GROUP BY sh.doc_id, b.band
+WITH sh AS ({TOKEN_SHINGLES_SQL_CTE}), h AS (
+  SELECT doc_id,
+         (('0x' || substr(md5(sh), 1, 8))::BIGINT % {MINHASH_P}) AS h1,
+         (('0x' || substr(md5(sh), 9, 8))::BIGINT % {MINHASH_P}) AS h2
+  FROM sh
+), sig AS (
+  SELECT doc_id, b.band AS band,
+         min((h1 + b.band * h2) % {MINHASH_P}) AS minhash
+  FROM h, generate_series(0, {N_BANDS - 1}) b(band)
+  GROUP BY doc_id, b.band
 )
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sig a JOIN sig b
