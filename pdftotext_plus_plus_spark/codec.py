@@ -193,6 +193,10 @@ class _Reader:
         if total == 0:  # fast path: all items empty (e.g. glyph names)
             return [""] * n
         blob = bytes(self.take(total))
+        if total == n and (np.diff(offsets) == 1).all():
+            # fast path: every item is one single-byte (ASCII) char — the
+            # common texts blob; one decode + C-level split
+            return list(blob.decode("utf-8"))
         return [blob[offsets[i]:offsets[i + 1]].decode("utf-8")
                 for i in range(n)]
 

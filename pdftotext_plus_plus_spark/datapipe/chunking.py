@@ -68,18 +68,43 @@ def _propagate_round(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .select(F.col("src").alias("doc_id"), "label"))
 
 
+def _double_labels(labels: DataFrame) -> DataFrame:
+    """Pointer doubling: l(u) <- min(l(u), l(l(u))).
+
+    The label IS a doc id, so one self-join dereferences it; taking the min
+    keeps the update monotone (labels only ever decrease toward the
+    component minimum).  This is the Shiloach–Vishkin–style shortcut that
+    the large-star operation of the alternating algorithm (Kiveris et al.,
+    "Connected Components in MapReduce and Beyond") performs on the edge
+    set: it halves the pointer-path length every round."""
+    deref = labels.selectExpr("doc_id AS ref_id", "label AS ref_label")
+    return (labels.join(deref, labels.label == deref.ref_id, "left")
+            .select(F.col("doc_id"),
+                    F.least(F.col("label"), F.col("ref_label"))
+                    .alias("label")))
+
+
 def propagate_to_fixpoint(edges: DataFrame, labels: DataFrame,
-                          max_rounds: int = 50) -> DataFrame:
-    """Min-label propagation iterated until no label changes.
+                          max_rounds: int = 50,
+                          return_rounds: bool = False):
+    """Min-label propagation + pointer doubling, iterated to a fixpoint.
+
+    Plain propagation needs diameter(graph) rounds — a 10^12-row graph
+    with a long near-dup chain would iterate unboundedly.  Interleaving a
+    pointer-doubling step (see :func:`_double_labels`) after each
+    propagation halves the remaining path length per round, so convergence
+    is O(log diameter) — the round-count bound the large-star/small-star
+    alternating algorithm provides, expressed as two joins per round.
 
     Each round is localCheckpoint()ed: the labels materialize and the plan
     lineage truncates, so the iteration count cannot blow up the DAG at
-    10^12 rows (the VERDICT's checkpointing requirement).  Convergence
-    needs at most diameter(graph) rounds; near-dup graphs are shallow, and
-    ``max_rounds`` is a safety bound only."""
+    scale.  ``max_rounds`` is a safety bound only."""
     labels = labels.localCheckpoint()
+    rounds = 0
     for _ in range(max_rounds):
-        new_labels = _propagate_round(edges, labels).localCheckpoint()
+        new_labels = _double_labels(
+            _propagate_round(edges, labels)).localCheckpoint()
+        rounds += 1
         changed = (new_labels.alias("n")
                    .join(labels.alias("o"), "doc_id")
                    .filter(F.col("n.label") != F.col("o.label"))
@@ -87,6 +112,8 @@ def propagate_to_fixpoint(edges: DataFrame, labels: DataFrame,
         labels = new_labels
         if changed == 0:
             break
+    if return_rounds:
+        return labels, rounds
     return labels
 
 

@@ -52,8 +52,23 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
                 if c.diacritic_mark_of_base_char is None]
     if not filtered:
         return
+    # a merged mark implies a filtered char, so equal lengths mean the page
+    # has no diacritics at all -> the branch-free text fast path below
+    has_dia = len(filtered) != len(page.characters)
     data = [(c.left_x, c.upper_y, c.right_x, c.lower_y,
              c.rotation, c.w_mode, c.font_size) for c in filtered]
+    # page-level attribute columns: words materialize from C-level slices
+    # of these instead of re-touching every Char object per word
+    if has_dia:
+        texts = [c.text_with_diacritic_mark
+                 if c.base_char_of_diacritic_mark is not None else c.text
+                 for c in filtered]
+    else:
+        texts = [c.text for c in filtered]
+    fnames = [c.font_name for c in filtered]
+    fsizes = [c.font_size for c in filtered]
+    bases = [c.base for c in filtered]
+    cols = (texts, fnames, fsizes, bases)
 
     start = -1
     aw_left = aw_up = math.inf
@@ -99,7 +114,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
                         starts = True
 
         if starts:
-            word = _create_word(filtered[start:i], config)
+            word = _materialize_word(filtered, data, cols, start, i)
             word.rank = len(page.words)
             page.words.append(word)
             start = -1
@@ -122,49 +137,42 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
         if c_fs > aw_fs:
             aw_fs = c_fs
 
-    word = _create_word(filtered[start:], config)
+    word = _materialize_word(filtered, data, cols, start, len(filtered))
     word.rank = len(page.words)
     page.words.append(word)
 
 
-def _create_word(characters: List[Char], config: PipelineConfig) -> Word:
-    """Materialize a word from chars (WordsDetectionUtils.cpp:43-106)."""
+def _materialize_word(filtered, data, cols, start: int, end: int) -> Word:
+    """Materialize a word (createWord, WordsDetectionUtils.cpp:43-106) from
+    page-level attribute columns — C-level slices replace the old per-char
+    Python accumulation loop (this runs once per word, the #2 kernel
+    hotspot)."""
+    texts, fnames, fsizes, bases = cols
     word = Word()
+    characters = filtered[start:end]
     word.page_num = characters[0].page_num
-    text_parts: List[str] = []
-    font_names: List[str] = []
-    font_sizes: List[float] = []
-    bases: List[float] = []
-    left = up = float("inf")
-    right = low = float("-inf")
-    for ch in characters:
-        if ch.left_x < left:
-            left = ch.left_x
-        if ch.upper_y < up:
-            up = ch.upper_y
-        if ch.right_x > right:
-            right = ch.right_x
-        if ch.lower_y > low:
-            low = ch.lower_y
-        if ch.base_char_of_diacritic_mark is not None:
-            text_parts.append(ch.text_with_diacritic_mark)
-        elif ch.diacritic_mark_of_base_char is None:
-            text_parts.append(ch.text)
-        font_names.append(ch.font_name)
-        font_sizes.append(ch.font_size)
-        bases.append(ch.base)
-        ch.word = word
-    word.left_x, word.upper_y, word.right_x, word.lower_y = left, up, right, low
-    word.text = "".join(text_parts)
+    word.text = "".join(texts[start:end])
+    if end - start == 1:  # single-char fast path (no zip)
+        row = data[start]
+        word.left_x, word.upper_y, word.right_x, word.lower_y = row[:4]
+    else:
+        lefts, ups, rights, lows, _, _, _ = zip(*data[start:end])
+        word.left_x = min(lefts)
+        word.upper_y = min(ups)
+        word.right_x = max(rights)
+        word.lower_y = max(lows)
+    font_names = fnames[start:end]
+    font_sizes = fsizes[start:end]
     word.font_name = most_freq(font_names)
     word.font_size = most_freq(font_sizes)
     word.char_font_names = font_names
     word.char_font_sizes = font_sizes
-    word.char_bases = bases
+    word.char_bases = bases[start:end]
     word.w_mode = characters[0].w_mode
     word.rotation = characters[0].rotation
     word.characters = characters
     return word
+
 
 
 def _merge_stacked_math_symbols(page: Page, config: PipelineConfig) -> None:

@@ -190,3 +190,24 @@ def test_simhash_banding_exact(spark):
               .agg(F.countDistinct("simhash").alias("n"))
               .agg(F.sum(F.col("n") * F.col("n"))).collect()[0][0])
     assert sum_c2 < 0.05 * n_sigs * n_sigs, (sum_c2, n_sigs)
+
+
+def test_fixpoint_long_chain_bounded_rounds(spark):
+    """Pointer doubling bounds convergence at O(log diameter): a 64-node
+    chain (diameter 63) must converge to one cluster in far fewer than 63
+    rounds (plain min-propagation would need all of them)."""
+    from pyspark.sql import functions as F
+
+    from pdftotext_plus_plus_spark.datapipe import chunking
+
+    n = 64
+    docs = spark.range(n).select(F.col("id").alias("doc_id"))
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+    edges = chunking._undirected_edges(docs, pairs)
+    labels = docs.select("doc_id", F.col("doc_id").alias("label"))
+    out, rounds = chunking.propagate_to_fixpoint(edges, labels,
+                                                 return_rounds=True)
+    got = {r["doc_id"]: r["label"] for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert rounds <= 12, rounds
