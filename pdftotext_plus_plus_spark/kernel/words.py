@@ -11,16 +11,13 @@ from __future__ import annotations
 import math
 from typing import List
 
+import numpy as np
+
 from ..config import PipelineConfig
 from ..model import Char, Doc, Page, Word
 from ..utils.counter import most_freq
 from ..utils.elements import max_x_overlap_ratio
 from ..utils.mathutils import smaller
-
-
-class _ActiveWord(Word):
-    """Accumulator mirroring the reference's mutable `_activeWord`."""
-    __slots__ = ()
 
 
 def detect_words(doc: Doc, config: PipelineConfig) -> None:
@@ -75,6 +72,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
     aw_right = aw_low = -math.inf
     aw_rot = aw_wmode = 0
     aw_fs = 0.0
+    bounds = [0]  # word-start indices into `filtered` (words are contiguous)
 
     for i, row in enumerate(data):
         c_left, c_up, c_right, c_low, c_rot, c_wmode, c_fs = row
@@ -114,9 +112,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
                         starts = True
 
         if starts:
-            word = _materialize_word(filtered, data, cols, start, i)
-            word.rank = len(page.words)
-            page.words.append(word)
+            bounds.append(i)
             start = -1
             aw_left = aw_up = math.inf
             aw_right = aw_low = -math.inf
@@ -137,41 +133,62 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
         if c_fs > aw_fs:
             aw_fs = c_fs
 
-    word = _materialize_word(filtered, data, cols, start, len(filtered))
-    word.rank = len(page.words)
-    page.words.append(word)
+    _materialize_words(page, filtered, data, cols, bounds)
 
 
-def _materialize_word(filtered, data, cols, start: int, end: int) -> Word:
-    """Materialize a word (createWord, WordsDetectionUtils.cpp:43-106) from
-    page-level attribute columns — C-level slices replace the old per-char
-    Python accumulation loop (this runs once per word, the #2 kernel
-    hotspot)."""
+def _materialize_words(page, filtered, data, cols, bounds) -> None:
+    """Materialize all of a page's words (createWord,
+    WordsDetectionUtils.cpp:43-106) from page-level attribute columns.
+
+    Word bboxes are per-segment extrema computed in four ``np.*.reduceat``
+    calls over the whole page (words are contiguous runs over ``filtered``,
+    so the word-start index list IS the reduceat segment list); the per-word
+    Python work shrinks to the text join + mode picks + one slotted-object
+    fill (with the rare annotation fields as class defaults, model.Word)."""
     texts, fnames, fsizes, bases = cols
-    word = Word()
-    characters = filtered[start:end]
-    word.page_num = characters[0].page_num
-    word.text = "".join(texts[start:end])
-    if end - start == 1:  # single-char fast path (no zip)
-        row = data[start]
-        word.left_x, word.upper_y, word.right_x, word.lower_y = row[:4]
-    else:
-        lefts, ups, rights, lows, _, _, _ = zip(*data[start:end])
-        word.left_x = min(lefts)
-        word.upper_y = min(ups)
-        word.right_x = max(rights)
-        word.lower_y = max(lows)
-    font_names = fnames[start:end]
-    font_sizes = fsizes[start:end]
-    word.font_name = most_freq(font_names)
-    word.font_size = most_freq(font_sizes)
-    word.char_font_names = font_names
-    word.char_font_sizes = font_sizes
-    word.char_bases = bases[start:end]
-    word.w_mode = characters[0].w_mode
-    word.rotation = characters[0].rotation
-    word.characters = characters
-    return word
+    n = len(filtered)
+    arr = np.array(data, dtype=np.float64)
+    bidx = np.array(bounds, dtype=np.intp)
+    lefts = np.minimum.reduceat(arr[:, 0], bidx).tolist()
+    ups = np.minimum.reduceat(arr[:, 1], bidx).tolist()
+    rights = np.maximum.reduceat(arr[:, 2], bidx).tolist()
+    lows = np.maximum.reduceat(arr[:, 3], bidx).tolist()
+
+    page_num = filtered[0].page_num
+    words = page.words
+    n_words = len(bounds)
+    new = Word.__new__
+    for wi in range(n_words):
+        s = bounds[wi]
+        e = bounds[wi + 1] if wi + 1 < n_words else n
+        word = new(Word)
+        word.page_num = page_num
+        word.left_x = lefts[wi]
+        word.upper_y = ups[wi]
+        word.right_x = rights[wi]
+        word.lower_y = lows[wi]
+        if e - s == 1:  # single-char fast path (most words in math/sparse text)
+            word.text = texts[s]
+            font_names = fnames[s:e]
+            font_sizes = fsizes[s:e]
+            word.font_name = font_names[0]
+            word.font_size = font_sizes[0]
+        else:
+            word.text = "".join(texts[s:e])
+            font_names = fnames[s:e]
+            font_sizes = fsizes[s:e]
+            word.font_name = most_freq(font_names)
+            word.font_size = most_freq(font_sizes)
+        word.char_font_names = font_names
+        word.char_font_sizes = font_sizes
+        word.char_bases = bases[s:e]
+        row = data[s]
+        word.rotation = row[4]
+        word.w_mode = row[5]
+        word.characters = filtered[s:e]
+        word.line = None
+        word.rank = wi
+        words.append(word)
 
 
 
@@ -197,7 +214,11 @@ def _merge_stacked_math_symbols(page: Page, config: PipelineConfig) -> None:
             if not smaller(prev_word.font_size, word.font_size,
                            config.fs_equal_tolerance):
                 break
-            word.is_base_of_stacked_math_symbol.append(prev_word)
+            subs = word.is_base_of_stacked_math_symbol
+            if not subs:  # class-default () -> install this word's own list
+                subs = []
+                word.is_base_of_stacked_math_symbol = subs
+            subs.append(prev_word)
             prev_word.is_part_of_stacked_math_symbol = word
 
         # forward scan
@@ -208,5 +229,9 @@ def _merge_stacked_math_symbols(page: Page, config: PipelineConfig) -> None:
             if not smaller(next_word.font_size, word.font_size,
                            config.fs_equal_tolerance):
                 break
-            word.is_base_of_stacked_math_symbol.append(next_word)
+            subs = word.is_base_of_stacked_math_symbol
+            if not subs:
+                subs = []
+                word.is_base_of_stacked_math_symbol = subs
+            subs.append(next_word)
             next_word.is_part_of_stacked_math_symbol = word

@@ -140,13 +140,23 @@ class Word(Element):
     """cf. PdfWord (Types.h:535-614)."""
 
     __slots__ = ("characters", "text", "font_name", "font_size", "line",
-                 "is_part_of_stacked_math_symbol", "is_base_of_stacked_math_symbol",
-                 "is_first_part_of_hyphenated_word",
-                 "is_second_part_of_hyphenated_word",
                  # per-char attribute caches built once in _create_word and
                  # reused by _compute_line_properties (chars are immutable
                  # between word creation and line creation)
-                 "char_font_names", "char_font_sizes", "char_bases")
+                 "char_font_names", "char_font_sizes", "char_bases",
+                 "__dict__")
+
+    # Rarely-written annotation fields live as CLASS defaults (the Char
+    # trick): word materialization — the #2 kernel hotspot — skips 4 stores
+    # per word, and the lazy ``__dict__`` slot only materializes for the few
+    # words a later stage actually links.  ``is_base_of_stacked_math_symbol``
+    # defaults to an immutable empty tuple; writers install a fresh list
+    # before appending (kernel/words.py).
+    is_part_of_stacked_math_symbol: Optional["Word"] = None
+    is_base_of_stacked_math_symbol = ()
+    # hyphenation links carry the *merged* word (WordsDehyphenation.cpp:62-70)
+    is_first_part_of_hyphenated_word: Optional["Word"] = None
+    is_second_part_of_hyphenated_word: Optional["Word"] = None
 
     def __init__(self):
         super().__init__()
@@ -155,11 +165,6 @@ class Word(Element):
         self.font_name = ""
         self.font_size = 0.0
         self.line: Optional["Line"] = None
-        self.is_part_of_stacked_math_symbol: Optional["Word"] = None
-        self.is_base_of_stacked_math_symbol: List["Word"] = []
-        # hyphenation links carry the *merged* word (WordsDehyphenation.cpp:62-70)
-        self.is_first_part_of_hyphenated_word: Optional["Word"] = None
-        self.is_second_part_of_hyphenated_word: Optional["Word"] = None
         self.char_font_names: List[str] = []
         self.char_font_sizes: List[float] = []
         self.char_bases: List[float] = []
