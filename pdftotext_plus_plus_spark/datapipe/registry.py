@@ -658,6 +658,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
     "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
                                 similarity.ANN_MULTIPROBE_SQL),
+    "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
     # text analysis
     "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
     "lang_id_trigram": (textstats.lang_id_trigram,
@@ -665,6 +666,14 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
     "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
+    "repetition_stats": (textstats.repetition_stats,
+                         textstats.REPETITION_STATS_SQL),
+    "vocab_top_tokens": (textstats.vocab_top_tokens,
+                         textstats.VOCAB_TOP_TOKENS_SQL),
+    "tfidf_keywords": (textstats.tfidf_keywords,
+                       textstats.TFIDF_KEYWORDS_SQL),
+    "per_source_topk": (textstats.per_source_topk,
+                        textstats.PER_SOURCE_TOPK_SQL),
     # multimodal plumbing
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),

@@ -347,3 +347,120 @@ WITH elems AS (
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — the cluster-routed scale path
+# ---------------------------------------------------------------------------
+
+# Coarse quantizer: every IVF_SEED_EVERY-th vector is a centroid seed
+# (deterministic, data-derived — no iterative training, so the identical
+# quantizer is expressible in ANSI SQL).  Each vector joins the inverted
+# list of its nearest centroid; a query probes its IVF_NPROBE nearest
+# lists and ranks exactly within them.  Candidates per query ~=
+# IVF_NPROBE * N / K with K = N / IVF_SEED_EVERY lists, so the scan
+# fraction is IVF_NPROBE * IVF_SEED_EVERY / N -> shrinks as the corpus
+# grows (the IVF property that makes it the 10^12-row path).
+IVF_SEED_EVERY = 50
+IVF_NPROBE = 2
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN top-k: broadcast centroid assignment, bucket-equi candidate
+    join on the inverted-list id, exact rescoring within probed lists.
+
+    The centroid table is N / IVF_SEED_EVERY rows -> broadcast; the
+    assignment "matmul" is one narrow projection per (vector, centroid)
+    pair; the candidate join is equi on cent_id with list sizes bounded
+    by ~IVF_SEED_EVERY, so no stage is quadratic in N."""
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    cents = (emb.filter(F.col("vec_id") % IVF_SEED_EVERY == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("norm").alias("c_norm")))
+    cdot = F.aggregate(
+        F.zip_with("embedding", "c_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    csim = (emb.crossJoin(F.broadcast(cents))
+            .withColumn("sim", F.round(cdot / (F.col("norm") * F.col("c_norm")), 4))
+            .select("vec_id", "cent_id", "sim"))
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
+                                                   F.asc("cent_id"))
+    ranked_sim = csim.withColumn("rn", F.row_number().over(w_assign))
+    assigned = (ranked_sim.filter(F.col("rn") == 1)
+                .select("vec_id", "cent_id"))
+    probes = (ranked_sim.filter((F.col("vec_id") < N_QUERIES)
+                                & (F.col("rn") <= IVF_NPROBE))
+              .select(F.col("vec_id").alias("query_id"), "cent_id"))
+    cands = (probes.join(assigned, "cent_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id"))
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("norm").alias("q_norm")))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (cands.join(emb, "vec_id")
+              .join(F.broadcast(queries), "query_id")
+              .withColumn("cosine",
+                          F.round(dot / (F.col("norm") * F.col("q_norm")), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+ANN_IVF_SQL = f"""
+WITH elems AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT e.vec_id, e.embedding,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e)
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
+), cdots AS (
+  SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
+  FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id % {IVF_SEED_EVERY} = 0
+  GROUP BY v.vec_id, c.vec_id
+), csim AS (
+  SELECT d.vec_id, d.cent_id,
+         round(d.dot / (nv.norm * nc.norm), 4) AS sim,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY round(d.dot / (nv.norm * nc.norm), 4)
+                                     DESC, d.cent_id ASC) AS rn
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cent_id
+), assigned AS (
+  SELECT vec_id, cent_id FROM csim WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cent_id FROM csim
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+), cands AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+  WHERE a.vec_id != p.query_id
+), dots AS (
+  SELECT c.query_id, c.vec_id, sum(qe.x * ee.x) AS dot
+  FROM cands c
+  JOIN elems qe ON qe.vec_id = c.query_id
+  JOIN elems ee ON ee.vec_id = c.vec_id AND ee.i = qe.i
+  GROUP BY c.query_id, c.vec_id
+), scored AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (nq.norm * ne.norm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms ne ON ne.vec_id = d.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""

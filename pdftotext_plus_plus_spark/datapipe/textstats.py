@@ -5,7 +5,7 @@ with an exactly-equivalent DuckDB oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 # tiny n-gram-free heuristic: share of English stopword tokens
@@ -258,4 +258,210 @@ SELECT d.doc_id,
        COALESCE(b.score, 0) AS score
 FROM documents d
 LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON b.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# repetition statistics (Gopher-style repetition filter)
+# ---------------------------------------------------------------------------
+
+# Gopher's quality rules drop documents whose most frequent word 2-gram
+# covers too large a fraction of the text (Rae et al. 2021, "Scaling
+# Language Models", table A1 uses 0.20 for the top-2-gram share).
+REP_TOP_BIGRAM_SHARE = 0.20
+
+
+def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document word-bigram repetition metrics + a Gopher-style drop
+    flag.
+
+    Bigrams come from pure array expressions (``transform`` over the token
+    array — no window function, no shuffle before the per-(doc, gram)
+    partial agg); the per-doc top share is one ranking window bounded by
+    document length.  At 100 TB this is explode -> two narrow aggs."""
+    docs = _documents(spark, sf_dir)
+    grams = (docs
+             .withColumn("toks", F.expr(
+                 r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)"))
+             .withColumn("gram", F.explode(F.expr(
+                 "transform(sequence(0, greatest(size(toks) - 2, -1)),"
+                 " i -> concat(toks[i], ' ', toks[i + 1]))")))
+             .select("doc_id", "gram"))
+    counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("gram"))
+    per_doc = (counts
+               .withColumn("rn", F.row_number().over(w))
+               .groupBy("doc_id")
+               .agg(F.sum("n").alias("n_bigrams"),
+                    F.max(F.when(F.col("rn") == 1, F.col("gram")))
+                    .alias("top_bigram"),
+                    F.max(F.when(F.col("rn") == 1, F.col("n")))
+                    .alias("top_n")))
+    return (docs.select("doc_id").join(per_doc, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                F.coalesce("top_bigram", F.lit("")).alias("top_bigram"),
+                F.round(F.coalesce(F.col("top_n") / F.col("n_bigrams"),
+                                   F.lit(0.0)), 6).alias("top_share"),
+                (F.coalesce(F.col("top_n") / F.col("n_bigrams"), F.lit(0.0))
+                 > REP_TOP_BIGRAM_SHARE).cast("int").alias("repetitive")))
+
+
+REPETITION_STATS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, toks[i] || ' ' || toks[i + 1] AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, greatest(len(toks) - 1, 0))) AS i
+        FROM toked)
+), counts AS (
+  SELECT doc_id, gram, count(*) AS n FROM grams GROUP BY doc_id, gram
+), ranked AS (
+  SELECT doc_id, gram, n,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY n DESC, gram ASC) AS rn
+  FROM counts
+), per_doc AS (
+  SELECT doc_id, CAST(sum(n) AS BIGINT) AS n_bigrams,
+         max(CASE WHEN rn = 1 THEN gram END) AS top_bigram,
+         max(CASE WHEN rn = 1 THEN n END) AS top_n
+  FROM ranked GROUP BY doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_bigrams, 0) AS n_bigrams,
+       COALESCE(p.top_bigram, '') AS top_bigram,
+       round(COALESCE(p.top_n / p.n_bigrams, 0.0), 6) AS top_share,
+       CASE WHEN COALESCE(p.top_n / p.n_bigrams, 0.0)
+                 > {REP_TOP_BIGRAM_SHARE} THEN 1 ELSE 0 END AS repetitive
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# vocabulary building (tokenizer-training prep)
+# ---------------------------------------------------------------------------
+
+VOCAB_TOP_N = 256
+
+
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token vocabulary: the VOCAB_TOP_N most frequent tokens
+    with term and document frequencies — the counting pass a tokenizer
+    training run starts from.
+
+    ``orderBy().limit()`` compiles to TakeOrderedAndProject: each partition
+    keeps its local top-N and the driver merges N-sized heaps — no global
+    sort materialization at 100 TB."""
+    toks = _tokens(_documents(spark, sf_dir))
+    return (toks.groupBy("tok")
+            .agg(F.count("*").alias("tf"),
+                 F.countDistinct("doc_id").alias("df"))
+            .orderBy(F.desc("tf"), F.asc("tok"))
+            .limit(VOCAB_TOP_N))
+
+
+VOCAB_TOP_TOKENS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+        FROM documents d)
+  WHERE length(tok) > 0
+)
+SELECT tok, count(*) AS tf, count(DISTINCT doc_id) AS df
+FROM toks GROUP BY tok
+ORDER BY tf DESC, tok ASC
+LIMIT {VOCAB_TOP_N}
+"""
+
+
+# ---------------------------------------------------------------------------
+# tf-idf keyword extraction
+# ---------------------------------------------------------------------------
+
+TFIDF_TOP_K = 3
+
+
+def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-k keywords by tf-idf with a LINEAR idf
+    (tf * n_docs / df) so the score is a correctly-rounded IEEE expression
+    on both engines (ln() is not correctly rounded across libms and could
+    flip a rank at a rounding boundary).
+
+    Plan shape at scale: explode -> (doc, tok) partial agg; token df is a
+    second agg over that result; the df join back is N:1 per token (one df
+    row per token), so Zipf-skewed tokens fan out but never blow up; the
+    corpus doc count joins as a broadcast single-row frame (no driver
+    action)."""
+    docs = _documents(spark, sf_dir)
+    toks = _tokens(docs)
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    total = docs.agg(F.count("*").alias("n_docs"))
+    scored = (tf.join(df, "tok")
+              .crossJoin(F.broadcast(total))
+              .withColumn("score",
+                          F.round(F.col("tf") * F.col("n_docs") / F.col("df"),
+                                  6)))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("tok"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TFIDF_TOP_K)
+            .select("doc_id", "rank", "tok", "tf", "df", "score"))
+
+
+TFIDF_KEYWORDS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+        FROM documents d)
+  WHERE length(tok) > 0
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), df AS (
+  SELECT tok, count(*) AS df FROM tf GROUP BY tok
+), scored AS (
+  SELECT tf.doc_id, tf.tok, tf.tf, df.df,
+         round(tf.tf * (SELECT count(*) FROM documents) / df.df, 6) AS score
+  FROM tf JOIN df ON df.tok = tf.tok
+), ranked AS (
+  SELECT doc_id, tok, tf, df, score,
+         row_number() OVER (PARTITION BY doc_id
+                            ORDER BY score DESC, tok ASC) AS rank
+  FROM scored
+)
+SELECT doc_id, rank, tok, tf, df, score FROM ranked
+WHERE rank <= {TFIDF_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-source ranking (top-k documents per group)
+# ---------------------------------------------------------------------------
+
+SOURCE_TOP_K = 3
+
+
+def per_source_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents per source by size — the per-group ranking shape
+    (row_number over a partitioned window).  Group cardinality bounds the
+    window state; the shuffle is one hash exchange on source."""
+    docs = _documents(spark, sf_dir)
+    w = Window.partitionBy("source").orderBy(F.desc("n_chars"),
+                                             F.asc("doc_id"))
+    return (docs.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= SOURCE_TOP_K)
+            .select("source", "rank", "doc_id", "n_chars"))
+
+
+PER_SOURCE_TOPK_SQL = f"""
+SELECT source, rank, doc_id, n_chars
+FROM (SELECT source, doc_id, n_chars,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY n_chars DESC, doc_id ASC) AS rank
+      FROM documents)
+WHERE rank <= {SOURCE_TOP_K}
 """

@@ -211,3 +211,25 @@ def test_fixpoint_long_chain_bounded_rounds(spark):
     got = {r["doc_id"]: r["label"] for r in out.collect()}
     assert got == {i: 0 for i in range(n)}
     assert rounds <= 12, rounds
+
+
+def test_ann_ivf_exact_within_probed_lists(spark):
+    """IVF results are EXACT for the pairs they return (cosine identical to
+    the brute-force score for the same pair), and recall@10 vs brute force
+    clears the floor expected at probe fraction IVF_NPROBE*IVF_SEED_EVERY/N
+    (~20% at this N; shrinks as the corpus grows)."""
+    bf = {(r["query_id"], r["vec_id"]): r["cosine"]
+          for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()}
+    ivf_rows = similarity.ann_ivf_topk(spark, SF_DIR).collect()
+    for r in ivf_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf:  # overlapping pair -> identical exact cosine
+            assert bf[key] == r["cosine"], key
+    exact, approx = {}, {}
+    for (q, v) in bf:
+        exact.setdefault(q, set()).add(v)
+    for r in ivf_rows:
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.35, recalls

@@ -183,3 +183,35 @@ def test_q3_q5_join_plans_broadcast_dims(spark):
     # the pushed filters reach the scans (scan-level pruning, not post-hoc)
     assert "PushedFilters: [IsNotNull(c_mktsegment)" in plan3 \
         or "c_mktsegment" in plan3
+
+
+def test_ivf_plan_broadcasts_centroids_no_cartesian(spark):
+    """IVF assignment must broadcast the centroid table; the only
+    nested-loop joins in the plan are broadcast ones (the constant-size
+    centroid/query frames), never a shuffled cartesian."""
+    from pdftotext_plus_plus_spark.datapipe import similarity
+
+    df = similarity.ann_ivf_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_vocab_topk_is_take_ordered(spark):
+    """vocab_top_tokens must compile to TakeOrderedAndProject (per-partition
+    heaps merged on the driver), not a global Sort materialization."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    df = textstats.vocab_top_tokens(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_tfidf_no_cartesian(spark):
+    """The tf-idf corpus-count join is a broadcast of a single-row agg; no
+    shuffled cartesian may appear."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    df = textstats.tfidf_keywords(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
