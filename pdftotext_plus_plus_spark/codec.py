@@ -225,6 +225,13 @@ def _resolve_text(raw_text: str, name: str, unicodes: List[int]) -> str:
     return ""
 
 
+# Shared single-codepoint unicode lists: Char.unicodes is read-only after
+# decode (diacritics.py only reads it), so the ubiquitous [ord(text)] case
+# reuses one list per ASCII codepoint instead of allocating per char.
+_ORD1 = [[i] for i in range(128)]
+_CHAR_MAP_UNI = {name: [cp] for name, (cp, _) in CHAR_MAP.items()}
+
+
 def _is_whitespace_text(text: str) -> bool:
     if len(text) == 1:  # fast path: almost every char event is 1 char
         return text in WHITESPACE_TEXTS
@@ -376,11 +383,12 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     # drives diacritic merging, so this must match
                     if name and name in CHAR_MAP and \
                             (len(u) if u else len(raw)) == 1:
-                        c.unicodes = [CHAR_MAP[name][0]]
+                        c.unicodes = _CHAR_MAP_UNI[name]
                     elif u:
                         c.unicodes = u
                     elif len(text) == 1:
-                        c.unicodes = [ord(text)]
+                        o = ord(text)
+                        c.unicodes = _ORD1[o] if o < 128 else [o]
                     else:
                         c.unicodes = [ord(ch) for ch in text]
                     c.page_num = page_num

@@ -57,15 +57,17 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
     # page-level attribute columns: words materialize from C-level slices
     # of these instead of re-touching every Char object per word
     if has_dia:
+        raws = [c.text for c in filtered]
         texts = [c.text_with_diacritic_mark
                  if c.base_char_of_diacritic_mark is not None else c.text
                  for c in filtered]
     else:
-        texts = [c.text for c in filtered]
+        raws = texts = [c.text for c in filtered]
     fnames = [c.font_name for c in filtered]
     fsizes = [c.font_size for c in filtered]
     bases = [c.base for c in filtered]
-    cols = (texts, fnames, fsizes, bases)
+    names = [c.name for c in filtered]
+    cols = (texts, fnames, fsizes, bases, raws, names)
 
     start = -1
     aw_left = aw_up = math.inf
@@ -133,10 +135,11 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
         if c_fs > aw_fs:
             aw_fs = c_fs
 
-    _materialize_words(page, filtered, data, cols, bounds)
+    _materialize_words(page, filtered, data, cols, bounds, config)
 
 
-def _materialize_words(page, filtered, data, cols, bounds) -> None:
+def _materialize_words(page, filtered, data, cols, bounds,
+                       config: PipelineConfig) -> None:
     """Materialize all of a page's words (createWord,
     WordsDetectionUtils.cpp:43-106) from page-level attribute columns.
 
@@ -144,8 +147,14 @@ def _materialize_words(page, filtered, data, cols, bounds) -> None:
     calls over the whole page (words are contiguous runs over ``filtered``,
     so the word-start index list IS the reduceat segment list); the per-word
     Python work shrinks to the text join + mode picks + one slotted-object
-    fill (with the rare annotation fields as class defaults, model.Word)."""
-    texts, fnames, fsizes, bases = cols
+    fill (with the rare annotation fields as class defaults, model.Word).
+    The T4 stacked-math base flag (raw char text / glyph name in the config
+    sets, WordsDetection.cpp:272-283) is two C-level ``isdisjoint`` scans
+    over the raw-text and name column slices."""
+    texts, fnames, fsizes, bases, raws, names = cols
+    stm_texts = config.stacked_math_char_texts
+    stm_names = config.stacked_math_char_names
+    stm_words = config.stacked_math_words
     n = len(filtered)
     arr = np.array(data, dtype=np.float64)
     bidx = np.array(bounds, dtype=np.intp)
@@ -188,6 +197,10 @@ def _materialize_words(page, filtered, data, cols, bounds) -> None:
         word.characters = filtered[s:e]
         word.line = None
         word.rank = wi
+        if (word.text in stm_words
+                or not stm_texts.isdisjoint(raws[s:e])
+                or not stm_names.isdisjoint(names[s:e])):
+            word.is_stacked_math_base = True
         words.append(word)
 
 
@@ -198,12 +211,9 @@ def _merge_stacked_math_symbols(page: Page, config: PipelineConfig) -> None:
     threshold = config.stacked_math_min_x_overlap_ratio
     words = page.words
     for i, word in enumerate(words):
-        is_base = any(ch.text in config.stacked_math_char_texts
-                      or ch.name in config.stacked_math_char_names
-                      for ch in word.characters)
-        if word.text in config.stacked_math_words:
-            is_base = True
-        if not is_base:
+        # flag precomputed from the raw-text/name columns at
+        # materialization time (_materialize_words)
+        if not word.is_stacked_math_base:
             continue
 
         # backward scan

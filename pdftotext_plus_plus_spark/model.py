@@ -154,6 +154,9 @@ class Word(Element):
     # before appending (kernel/words.py).
     is_part_of_stacked_math_symbol: Optional["Word"] = None
     is_base_of_stacked_math_symbol = ()
+    # T4 base-candidate flag, precomputed from raw-text/name columns during
+    # word materialization (kernel/words.py)
+    is_stacked_math_base = False
     # hyphenation links carry the *merged* word (WordsDehyphenation.cpp:62-70)
     is_first_part_of_hyphenated_word: Optional["Word"] = None
     is_second_part_of_hyphenated_word: Optional["Word"] = None
