@@ -14,6 +14,8 @@ observable.
 
 from __future__ import annotations
 
+import math
+from operator import attrgetter
 from typing import Dict, List
 
 from ..config import PipelineConfig
@@ -97,6 +99,15 @@ def _detect_segment_lines(doc: Doc, segment: Segment, num_lines: int,
     return num_lines
 
 
+# rotation -> (sort key, reverse) for the line word sort: rot_left_x() is
+# left_x/upper_y/right_x/lower_y for rotation 0/1/2/3 (Types.cpp:45-128);
+# rotations 2/3 sort descending
+_ROT_SORT = {0: (attrgetter("left_x"), False),
+             1: (attrgetter("upper_y"), False),
+             2: (attrgetter("right_x"), True),
+             3: (attrgetter("lower_y"), True)}
+
+
 def _create_line(doc: Doc, segment: Segment, words: List[Word],
                  config: PipelineConfig) -> Line:
     line = Line()
@@ -115,36 +126,44 @@ def _compute_line_properties(line: Line) -> None:
     line.w_mode = line.words[0].w_mode
     line.page_num = line.words[0].page_num
 
-    if rotation in (0, 1):
-        line.words.sort(key=lambda w: w.rot_left_x())
-    else:
-        line.words.sort(key=lambda w: -w.rot_left_x())
+    # rot_left_x() resolved once per rotation value: C-level attrgetter
+    # keys; descending sort via reverse=True (same stable tie order as the
+    # old -rot_left_x() key)
+    key, reverse = _ROT_SORT[rotation]
+    line.words.sort(key=key, reverse=reverse)
 
-    import math
-    line.left_x = math.inf
-    line.upper_y = math.inf
-    line.right_x = -math.inf
-    line.lower_y = -math.inf
+    l_left = l_up = math.inf
+    l_right = l_low = -math.inf
 
     font_names: List[str] = []
     font_sizes: List[float] = []
     bases: List[float] = []
     parts: List[str] = []
     for word in line.words:
-        word_min_x = min(word.left_x, word.right_x)
-        word_min_y = min(word.lower_y, word.upper_y)
-        word_max_x = max(word.left_x, word.right_x)
-        word_max_y = max(word.lower_y, word.upper_y)
-        line.left_x = min(line.left_x, word_min_x)
-        line.upper_y = min(line.upper_y, word_min_y)
-        line.right_x = max(line.right_x, word_max_x)
-        line.lower_y = max(line.lower_y, word_max_y)
-        # per-char attributes cached at word creation (_create_word)
+        wl = word.left_x
+        wr = word.right_x
+        if wr < wl:
+            wl, wr = wr, wl
+        wu = word.upper_y
+        wo = word.lower_y
+        if wo < wu:
+            wu, wo = wo, wu
+        if wl < l_left:
+            l_left = wl
+        if wu < l_up:
+            l_up = wu
+        if wr > l_right:
+            l_right = wr
+        if wo > l_low:
+            l_low = wo
+        # per-char attributes cached at word creation (_materialize_words)
         font_names.extend(word.char_font_names)
         font_sizes.extend(word.char_font_sizes)
         bases.extend(word.char_bases)
         parts.append(word.text)
         word.line = line
+    line.left_x, line.upper_y = l_left, l_up
+    line.right_x, line.lower_y = l_right, l_low
     line.text = " ".join(parts)
 
     if font_names:
