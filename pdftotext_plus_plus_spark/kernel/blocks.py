@@ -629,27 +629,43 @@ class _BlocksDetector:
 
         font_name_counter = ModeCounter()
         font_size_counter = ModeCounter()
+        b_left, b_up = block.left_x, block.upper_y
+        b_right, b_low = block.right_x, block.lower_y
+        n_lines = len(block.lines)
         for i, curr_line in enumerate(block.lines):
-            prev_line = block.lines[i - 1] if i > 0 else None
-            next_line = block.lines[i + 1] if i < len(block.lines) - 1 else None
-            line_min_x = min(curr_line.left_x, curr_line.right_x)
-            line_min_y = min(curr_line.upper_y, curr_line.lower_y)
-            line_max_x = max(curr_line.left_x, curr_line.right_x)
-            line_max_y = max(curr_line.upper_y, curr_line.lower_y)
-            block.left_x = min(block.left_x, line_min_x)
-            block.upper_y = min(block.upper_y, line_min_y)
-            block.right_x = max(block.right_x, line_max_x)
-            block.lower_y = max(block.lower_y, line_max_y)
-            block.trim_left_x = max(block.left_x, block.segment.trim_left_x)
-            block.trim_upper_y = max(block.upper_y, block.segment.trim_upper_y)
-            block.trim_right_x = min(block.right_x, block.segment.trim_right_x)
-            block.trim_lower_y = min(block.lower_y, block.segment.trim_lower_y)
+            ll = curr_line.left_x
+            lr = curr_line.right_x
+            if lr < ll:
+                ll, lr = lr, ll
+            lu = curr_line.upper_y
+            lo = curr_line.lower_y
+            if lo < lu:
+                lu, lo = lo, lu
+            if ll < b_left:
+                b_left = ll
+            if lu < b_up:
+                b_up = lu
+            if lr > b_right:
+                b_right = lr
+            if lo > b_low:
+                b_low = lo
             font_name_counter.inc(curr_line.font_name)
             font_size_counter.inc(curr_line.font_size)
             # block-local prev/next rewiring (…Utils.cpp:734-736)
-            curr_line.prev_line = prev_line
-            curr_line.next_line = next_line
+            curr_line.prev_line = block.lines[i - 1] if i > 0 else None
+            curr_line.next_line = (block.lines[i + 1] if i < n_lines - 1
+                                   else None)
             curr_line.block = block
+        block.left_x, block.upper_y = b_left, b_up
+        block.right_x, block.lower_y = b_right, b_low
+        # the per-line trim updates only ever read the FINAL envelope values
+        # (segment trims are loop constants, the envelope is monotone), so
+        # one assignment after the loop is identical (…Utils.cpp:719-726)
+        segment_t = block.segment
+        block.trim_left_x = max(b_left, segment_t.trim_left_x)
+        block.trim_upper_y = max(b_up, segment_t.trim_upper_y)
+        block.trim_right_x = min(b_right, segment_t.trim_right_x)
+        block.trim_lower_y = min(b_low, segment_t.trim_lower_y)
 
         if font_name_counter.sum_counts() > 0:
             block.font_name = font_name_counter.most_freq()

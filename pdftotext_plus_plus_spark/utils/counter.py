@@ -60,12 +60,10 @@ def most_freq(values: Iterable[T], default: T = None) -> T:
     if isinstance(values, list):
         if not values:
             return default
-        # fast path: uniform lists (most words/lines are single-font)
+        # fast path: uniform lists (most words/lines are single-font);
+        # list.count is one C-level pass vs a Python comparison loop
         first = values[0]
-        for v in values:
-            if v != first:
-                break
-        else:
+        if values.count(first) == len(values):
             return first
     counts = _Counter(values)
     if not counts:
