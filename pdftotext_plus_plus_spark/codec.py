@@ -162,11 +162,13 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
 # ---------------------------------------------------------------------------
 
 class _Reader:
-    __slots__ = ("buf", "pos")
+    __slots__ = ("buf", "pos", "blob_all_empty", "blob_ascii1")
 
     def __init__(self, buf: bytes):
         self.buf = buf
         self.pos = 0
+        self.blob_all_empty = False
+        self.blob_ascii1 = None
 
     def take(self, n: int) -> memoryview:
         if self.pos + n > len(self.buf):
@@ -188,22 +190,30 @@ class _Reader:
         return np.frombuffer(self.take(8 * n), dtype="<f8")
 
     def str_blob(self, n: int) -> List[str]:
+        # regime flags for the caller: all-empty / all-single-ASCII blobs
+        # let decode_payload pick vectorized paths
+        self.blob_all_empty = False
+        self.blob_ascii1 = None
         offsets = np.frombuffer(self.take(4 * (n + 1)), dtype="<u4")
         total = int(offsets[-1])
         if total == 0:  # fast path: all items empty (e.g. glyph names)
+            self.blob_all_empty = True
             return [""] * n
         blob = bytes(self.take(total))
         if total == n and (np.diff(offsets) == 1).all():
             # fast path: every item is one single-byte (ASCII) char — the
             # common texts blob; one decode + C-level split
+            self.blob_ascii1 = blob
             return list(blob.decode("utf-8"))
         return [blob[offsets[i]:offsets[i + 1]].decode("utf-8")
                 for i in range(n)]
 
     def u32_blob(self, n: int) -> List[List[int]]:
+        self.blob_all_empty = False
         offsets = np.frombuffer(self.take(4 * (n + 1)), dtype="<u4")
         total = int(offsets[-1])
         if total == 0:  # fast path: unicodes omitted (derivable from text)
+            self.blob_all_empty = True
             return [[]] * n  # aliased empties are only ever read
         flat = np.frombuffer(self.take(4 * total), dtype="<u4")
         return [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(n)]
@@ -230,6 +240,10 @@ def _resolve_text(raw_text: str, name: str, unicodes: List[int]) -> str:
 # reuses one list per ASCII codepoint instead of allocating per char.
 _ORD1 = [[i] for i in range(128)]
 _CHAR_MAP_UNI = {name: [cp] for name, (cp, _) in CHAR_MAP.items()}
+# ASCII members of WHITESPACE_TEXTS (U+00A0 cannot occur in an all-ASCII
+# texts blob) for the vectorized whitespace-suppression mask
+_WS_ASCII_CODES = np.array(sorted(ord(c) for c in WHITESPACE_TEXTS
+                                  if ord(c) < 128), dtype=np.uint8)
 
 
 def _is_whitespace_text(text: str) -> bool:
@@ -297,8 +311,11 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
             if n_chars:
                 num = r.f64s(n_chars * char_fields).reshape(n_chars, char_fields)
                 names = r.str_blob(n_chars)
+                names_empty = r.blob_all_empty
                 texts = r.str_blob(n_chars)
+                texts_ascii1 = r.blob_ascii1
                 unicodes = r.u32_blob(n_chars)
+                uni_empty = r.blob_all_empty
                 num_list = num.tolist()  # one C-level conversion to floats
                 # int-typed columns converted once at C level (the per-row
                 # float->int casts were ~10% of decode)
@@ -314,6 +331,45 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                 rank = 0
                 append = page.characters.append
                 ws = WHITESPACE_TEXTS
+                if names_empty and uni_empty and texts_ascii1 is not None:
+                    # SIMPLE-PAGE vectorized path: every char text is one
+                    # ASCII codepoint, no glyph names (-> no charMap, no
+                    # glyph-bbox preference), no explicit unicodes.  The
+                    # whitespace/figure-diversion decisions collapse into
+                    # one numpy mask; the per-char branchwork disappears
+                    # and T1 can skip the page (no marks >= U+02B0 exist).
+                    page.ascii_only = True
+                    tb = np.frombuffer(texts_ascii1, dtype=np.uint8)
+                    keep = ~np.isin(tb, _WS_ASCII_CODES)
+                    if char_fields > 9:
+                        fig = num[:, 9] >= 0
+                        for i in np.flatnonzero(keep & fig).tolist():
+                            row = num_list[i]
+                            deferred.append((int(row[9]),
+                                             row[0], row[1], row[2], row[3]))
+                        keep &= ~fig
+                    ord1 = _ORD1
+                    for i in np.flatnonzero(keep).tolist():
+                        row = num_list[i]
+                        c = Char.__new__(Char)
+                        c.left_x = row[0]
+                        c.upper_y = row[1]
+                        c.right_x = row[2]
+                        c.lower_y = row[3]
+                        c.base = row[4]
+                        c.font_size = row[5]
+                        c.rotation = rot_col[i]
+                        c.w_mode = wm_col[i]
+                        c.font_name = font_names[font_col[i]]
+                        c.name = ""
+                        c.text = texts[i]
+                        c.unicodes = ord1[tb[i]]
+                        c.page_num = page_num
+                        c.rank = rank
+                        c.word = None
+                        rank += 1
+                        append(c)
+                    n_chars = 0  # general loop below skipped
                 for i in range(n_chars):
                     raw = texts[i]
                     name = names[i]

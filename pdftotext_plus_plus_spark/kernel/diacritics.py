@@ -16,6 +16,10 @@ from ..utils.mathutils import equal, larger
 
 def merge_diacritical_marks(doc: Doc, config: PipelineConfig) -> None:
     for page in doc.pages:
+        if page.ascii_only:
+            # decode-time fact: every codepoint < 128, so no combining or
+            # spacing marks (>= U+02B0) exist on the page
+            continue
         chars = page.characters
         for i, curr in enumerate(chars):
             # only single-codepoint chars are candidates (…cpp:96-99)

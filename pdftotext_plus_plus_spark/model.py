@@ -288,10 +288,13 @@ class Page:
 
     __slots__ = ("page_num", "clip_left_x", "clip_upper_y", "clip_right_x",
                  "clip_lower_y", "characters", "figures", "shapes", "graphics",
-                 "words", "segments", "blocks")
+                 "words", "segments", "blocks", "ascii_only")
 
     def __init__(self, page_num: int = 1):
         self.page_num = page_num
+        # decode-time fact: every char text is one ASCII codepoint, so no
+        # combining/spacing marks (>= U+02B0) can exist -> T1 skips the page
+        self.ascii_only = False
         self.clip_left_x = 0.0
         self.clip_upper_y = 0.0
         self.clip_right_x = 612.0
