@@ -24,6 +24,11 @@ Scaling protocol (hardened, round 3):
 * Levels run as PERSISTENT worker subprocesses executing timed sections on
   command, ALTERNATING low/high within each round — the two sides of a
   round's ratio are adjacent in time, so a co-tenant episode hits both.
+* EQUAL-LENGTH WINDOWS: the faster level repeats its identical job N times
+  back-to-back inside one timed section (N ~ the observed speedup), so
+  both sides of a ratio occupy comparable wall-clock windows and an
+  episode subtracts proportionally from both instead of owning one short
+  high-level sample.
 * Estimators reported with ALL samples: per-round ratios, their MEDIAN
   (the headline — robust to episode noise), and the best-per-level ratio
   (max observed docs/sec per level; co-tenant noise only ever subtracts
@@ -46,6 +51,7 @@ import statistics
 import subprocess
 import sys
 import time
+from typing import Optional
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
@@ -155,6 +161,14 @@ def serve(cpus: int) -> None:
         if not parts or parts[0] == "quit":
             break
         replicate, spinners = int(parts[1]), int(parts[2])
+        # `repeat`: run the identical job N times back-to-back inside ONE
+        # timed section.  The faster (high-parallelism) level repeats
+        # n_high/n_low times so both sides of a round's ratio occupy
+        # EQUAL-LENGTH time windows — a co-tenant episode then subtracts
+        # proportionally from both instead of owning one short sample.
+        # The job itself is unchanged (same docs, same partitions), so the
+        # per-task fixed-cost cancellation argument is unaffected.
+        repeat = int(parts[3]) if len(parts) > 3 else 1
         pages = pages_for(replicate)
         stop_flag = None
         spin_procs = []
@@ -166,9 +180,12 @@ def serve(cpus: int) -> None:
                 proc.start()
         try:
             t0 = time.perf_counter()
-            out = engine.extract_pages(pages, num_partitions=BENCH_PARTS)
-            n = out.agg(F.count("*"),
-                        F.sum(F.length("extracted_text"))).collect()
+            total_docs = 0
+            for _ in range(repeat):
+                out = engine.extract_pages(pages, num_partitions=BENCH_PARTS)
+                n = out.agg(F.count("*"),
+                            F.sum(F.length("extracted_text"))).collect()
+                total_docs += int(n[0][0])
             elapsed = time.perf_counter() - t0
         finally:
             if stop_flag is not None:
@@ -176,7 +193,7 @@ def serve(cpus: int) -> None:
                 for proc in spin_procs:
                     proc.join(timeout=5)
         print(json.dumps({"cpus": cpus, "elapsed": elapsed,
-                          "docs": int(n[0][0])}), flush=True)
+                          "docs": total_docs}), flush=True)
     spark.stop()
 
 
@@ -204,8 +221,8 @@ class Server:
         msg = self._read_json()
         assert msg.get("ready") == self.cpus, msg
 
-    def run(self, replicate: int, spinners: int = 0) -> dict:
-        self.proc.stdin.write(f"run {replicate} {spinners}\n")
+    def run(self, replicate: int, spinners: int = 0, repeat: int = 1) -> dict:
+        self.proc.stdin.write(f"run {replicate} {spinners} {repeat}\n")
         self.proc.stdin.flush()
         res = self._read_json()
         res["dps"] = res["docs"] / res["elapsed"]
@@ -281,12 +298,19 @@ def settle_machine(max_wait_s: int = 120) -> None:
 
 
 def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
-          mp_low_docs: int, mp_high_docs: int) -> dict:
+          mp_low_docs: int, mp_high_docs: int,
+          rep_high: Optional[int] = None) -> dict:
     """Measure one N -> 4N pair: `rounds` alternating (low, high) timed
     sections with equal-load spinners on the low side, mp-ceiling samples
     interleaved on alternate rounds."""
     n_low, n_high = low_srv.cpus, high_srv.cpus
     eq = n_high - n_low
+    # the high level repeats its (identical) job per timed section so both
+    # sides of a ratio occupy roughly equal-length windows (see `serve`);
+    # default = the ideal speedup, callers pass the observed one where the
+    # box saturates
+    if rep_high is None:
+        rep_high = max(1, n_high // n_low)
     # re-warm both servers right before the timed rounds: a server idle
     # through the previous pair loses JIT/worker warmth (observed as a
     # 529 -> 757 -> 1554 docs/s ramp in an unwarmed local[32])
@@ -296,7 +320,7 @@ def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
     mp_ratios = []
     for r in range(rounds):
         rl = low_srv.run(replicate, spinners=eq)
-        rh = high_srv.run(replicate, spinners=0)
+        rh = high_srv.run(replicate, spinners=0, repeat=rep_high)
         low.append(rl)
         high.append(rh)
         ratios.append((rh["dps"] / rl["dps"]) / (n_high / n_low))
@@ -313,11 +337,13 @@ def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
     ceiling = min(1.0, statistics.median(mp_ratios))
     return {
         "n_low": n_low, "n_high": n_high,
-        "docs": high[0]["docs"],
+        "docs": low[0]["docs"],
         "dps_low_samples": [round(r["dps"], 2) for r in low],
         "dps_high_samples": [round(r["dps"], 2) for r in high],
+        # per-job wall seconds (the high side's timed section holds
+        # rep_high identical jobs)
         "elapsed_low_best": min(r["elapsed"] for r in low),
-        "elapsed_high_best": min(r["elapsed"] for r in high),
+        "elapsed_high_best": min(r["elapsed"] for r in high) / rep_high,
         "dps_low_best": round(best_low, 2),
         "dps_high_best": round(best_high, 2),
         "round_ratios": [round(x, 3) for x in ratios],
@@ -346,12 +372,17 @@ def main() -> None:
     for cpus in (2, 8, CPUS):
         srv[cpus].wait_ready()
 
-    # pair A: local[2] -> local[8], 5 alternating rounds
+    # pair A: local[2] -> local[8], ROUNDS_A alternating rounds; the high
+    # side repeats 4x per section (the linear-region speedup) so both
+    # sides see equal-length windows
     pair_a = _pair(srv[2], srv[8], ROUNDS_A, REPLICATE_A,
                    mp_low_docs=BENCH_DOCS, mp_high_docs=BENCH_DOCS * 2)
-    # pair B: local[8] -> local[32] (the BASELINE.md-stated proxy pair)
+    # pair B: local[8] -> local[32] (the BASELINE.md-stated proxy pair);
+    # the box saturates above ~16 workers (observed 8->32 speedup ~1.6),
+    # so repeat 2x approximates equal windows
     pair_b = _pair(srv[8], srv[CPUS], ROUNDS_B, REPLICATE_B,
-                   mp_low_docs=BENCH_DOCS * 2, mp_high_docs=BENCH_DOCS * 4)
+                   mp_low_docs=BENCH_DOCS * 2, mp_high_docs=BENCH_DOCS * 4,
+                   rep_high=2)
     for s in srv.values():
         s.stop()
 
