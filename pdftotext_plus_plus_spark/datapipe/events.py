@@ -117,3 +117,41 @@ SELECT window_start_s, event_type, count(*) AS n_events,
        round(sum(value), 4) AS value_sum
 FROM hopped GROUP BY 1, 2
 """
+
+
+# ---------------------------------------------------------------------------
+# lag-window gap statistics
+# ---------------------------------------------------------------------------
+
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event gap statistics via a lag() window — the
+    window-frame surface (ordered partition, offset function) reduced to
+    one row per user.  One hash exchange on user_id; window state is
+    bounded by the per-user event count."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", F.unix_timestamp("ts").alias("ts_s"), "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts_s", "event_id")
+    gaps = (ev.withColumn("gap_s", F.col("ts_s") - F.lag("ts_s").over(w))
+            .filter(F.col("gap_s").isNotNull()))
+    return (gaps.groupBy("user_id")
+            .agg((F.count("*") + 1).alias("n_events"),
+                 F.round(F.avg("gap_s"), 6).alias("avg_gap_s"),
+                 F.max("gap_s").alias("max_gap_s")))
+
+
+EVENT_GAP_STATS_SQL = """
+WITH gaps AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+           - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT), event_id)
+           AS gap_s
+  FROM events
+)
+SELECT user_id, count(*) + 1 AS n_events,
+       round(avg(gap_s), 6) AS avg_gap_s,
+       max(gap_s) AS max_gap_s
+FROM gaps WHERE gap_s IS NOT NULL
+GROUP BY user_id
+"""

@@ -709,6 +709,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           relational.SHIPPING_PRIORITY_SQL),
     "regional_revenue": (relational.regional_revenue,
                          relational.REGIONAL_REVENUE_SQL),
+    "inactive_customers": (relational.inactive_customers,
+                           relational.INACTIVE_CUSTOMERS_SQL),
+    "big_orders": (relational.big_orders, relational.BIG_ORDERS_SQL),
+    "event_gap_stats": (events.event_gap_stats, events.EVENT_GAP_STATS_SQL),
 }
 
 

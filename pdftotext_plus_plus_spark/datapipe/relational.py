@@ -149,3 +149,66 @@ FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '{CUTOFF}'
 GROUP BY l_returnflag, l_linestatus
 """
+
+
+# ---------------------------------------------------------------------------
+# anti-join and HAVING shapes
+# ---------------------------------------------------------------------------
+
+INACTIVE_CUTOFF = "2000-01-01 00:00:00"
+Q18_MIN_QTY = 250
+
+
+def inactive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The anti-join shape (TPC-H Q22 flavor): customers with NO order on
+    or after the cutoff, via ``left_anti`` — Catalyst turns the NOT-EXISTS
+    into a broadcast/shuffled anti join with the filter pushed to the
+    orders scan.  At 100 TB the anti side is the filtered orders keys,
+    shuffled on custkey; no driver-side set materialization."""
+    cust = (spark.read.parquet(f"{sf_dir}/customer.parquet")
+            .select("c_custkey", "c_mktsegment", "c_acctbal"))
+    recent = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .filter(F.col("o_orderdate")
+                      >= F.lit(INACTIVE_CUTOFF).cast("timestamp"))
+              .select("o_custkey"))
+    return (cust.join(recent, cust.c_custkey == recent.o_custkey,
+                      "left_anti")
+            .select("c_custkey", "c_mktsegment",
+                    F.round("c_acctbal", 2).alias("acctbal")))
+
+
+INACTIVE_CUSTOMERS_SQL = f"""
+SELECT c_custkey, c_mktsegment, round(c_acctbal, 2) AS acctbal
+FROM customer c
+WHERE NOT EXISTS (
+  SELECT 1 FROM orders o
+  WHERE o.o_custkey = c.c_custkey
+    AND o.o_orderdate >= TIMESTAMP '{INACTIVE_CUTOFF}')
+"""
+
+
+def big_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Q18 shape: group lineitem by order, HAVING a quantity floor,
+    then semi-reduce orders to the qualifying keys.  The HAVING runs as a
+    post-aggregation filter on the partially-aggregated sum; the join back
+    to orders is an equi-join on the (now tiny) qualifying key set, which
+    AQE broadcast-promotes at runtime."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = (spark.read.parquet(f"{sf_dir}/orders.parquet")
+              .select("o_orderkey", "o_custkey", "o_orderdate"))
+    qual = (li.groupBy("l_orderkey")
+            .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+            .filter(F.col("total_qty") > Q18_MIN_QTY))
+    return (orders.join(qual, orders.o_orderkey == qual.l_orderkey)
+            .select("o_orderkey", "o_custkey", "o_orderdate", "total_qty"))
+
+
+BIG_ORDERS_SQL = f"""
+SELECT o_orderkey, o_custkey, o_orderdate,
+       round(total_qty, 2) AS total_qty
+FROM orders
+JOIN (SELECT l_orderkey, sum(l_quantity) AS total_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING round(sum(l_quantity), 2) > {Q18_MIN_QTY}) q
+  ON o_orderkey = q.l_orderkey
+"""

@@ -215,3 +215,16 @@ def test_tfidf_no_cartesian(spark):
     df = textstats.tfidf_keywords(spark, "/root/testdata/sf0.001")
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_inactive_customers_is_anti_join(spark):
+    """The NOT-EXISTS shape must compile to a hash anti join (broadcast or
+    shuffled), with the date filter pushed below it — not a distinct +
+    outer-join emulation."""
+    from pdftotext_plus_plus_spark.datapipe import relational
+
+    df = relational.inactive_customers(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan
+    assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or \
+        "GreaterThanOrEqual(o_orderdate" in plan
