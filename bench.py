@@ -85,7 +85,8 @@ CORPUS_PATH = _corpus_path()
 # vocabulary makes char-3-gram joins quadratic at sf0.1 — see datapipe notes)
 BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  "token_counts", "fingerprint", "ann_bruteforce_topk",
-                 "embedding_near_dup", "multimodal_meta"]
+                 "embedding_near_dup", "multimodal_meta", "ann_ivf_topk",
+                 "tfidf_keywords", "repetition_stats"]
 
 
 def ensure_corpus() -> int:
