@@ -385,13 +385,20 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     csim = (emb.crossJoin(F.broadcast(cents))
             .withColumn("sim", F.round(cdot / (F.col("norm") * F.col("c_norm")), 4))
             .select("vec_id", "cent_id", "sim"))
+    # assignment argmax as ONE hash agg (max over a (sim, -cent_id) struct
+    # = highest sim, ties to the smallest centroid id) — a partial-agg
+    # shuffle on vec_id instead of sorting all N*K rows through a window
+    assigned = (csim.groupBy("vec_id")
+                .agg(F.max(F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"))).alias("m"))
+                .select("vec_id", (-F.col("m.neg_cent")).alias("cent_id")))
+    # the rank<=NPROBE window only ever sees the tiny query slice
     w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
-                                                   F.asc("cent_id"))
-    ranked_sim = csim.withColumn("rn", F.row_number().over(w_assign))
-    assigned = (ranked_sim.filter(F.col("rn") == 1)
-                .select("vec_id", "cent_id"))
-    probes = (ranked_sim.filter((F.col("vec_id") < N_QUERIES)
-                                & (F.col("rn") <= IVF_NPROBE))
+                                                    F.asc("cent_id"))
+    probes = (csim.filter(F.col("vec_id") < N_QUERIES)
+              .withColumn("rn", F.row_number().over(w_assign))
+              .filter(F.col("rn") <= IVF_NPROBE)
               .select(F.col("vec_id").alias("query_id"), "cent_id"))
     cands = (probes.join(assigned, "cent_id")
              .filter(F.col("vec_id") != F.col("query_id"))
