@@ -60,10 +60,10 @@ BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
 # waves at each level (see module docstring)
 BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "128"))
 JUMBO_EVERY = 50
-ROUNDS_A = int(os.environ.get("BENCH_ROUNDS_A", "7"))   # 2 -> 8 pair
+ROUNDS_A = int(os.environ.get("BENCH_ROUNDS_A", "6"))   # 2 -> 8 pair
 ROUNDS_B = int(os.environ.get("BENCH_ROUNDS_B", "3"))   # 8 -> 32 pair
 REPLICATE_A = int(os.environ.get("BENCH_REPLICATE_A", "2"))   # 6000 docs
-REPLICATE_B = int(os.environ.get("BENCH_REPLICATE_B", "6"))   # 18000 docs
+REPLICATE_B = int(os.environ.get("BENCH_REPLICATE_B", "4"))   # 12000 docs
 
 
 def _corpus_path() -> str:
