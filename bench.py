@@ -325,10 +325,12 @@ def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
         low.append(rl)
         high.append(rh)
         ratios.append((rh["dps"] / rl["dps"]) / (n_high / n_low))
-        if r % 2 == 0:  # mp-ceiling sample in the same time window
-            b_lo = _mp_baseline(n_low, mp_low_docs, spinners=eq)
-            b_hi = _mp_baseline(n_high, mp_high_docs)
-            mp_ratios.append((b_hi / b_lo) / (n_high / n_low))
+        # mp-ceiling sample EVERY round: the ceiling median must track the
+        # same co-tenant episodes the Spark samples see, or normalization
+        # under-corrects on a bursty box
+        b_lo = _mp_baseline(n_low, mp_low_docs, spinners=eq)
+        b_hi = _mp_baseline(n_high, mp_high_docs)
+        mp_ratios.append((b_hi / b_lo) / (n_high / n_low))
     best_low = max(r["dps"] for r in low)
     best_high = max(r["dps"] for r in high)
     eff_median = statistics.median(ratios)
