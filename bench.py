@@ -415,6 +415,10 @@ def main() -> None:
                                  shuffle_partitions=CPUS, driver_memory="16g")
     spark.sparkContext.setLogLevel("ERROR")
     qs = registry.queries()
+    # warm the session (executor Python workers, codegen, parquet footers)
+    # so the FIRST timed query does not absorb the startup tax
+    for table in ("documents", "embeddings", "events"):
+        spark.read.parquet(f"{SF_DIR}/{table}.parquet").count()
     query_secs = {}
     for name in BENCH_QUERIES:
         t0 = time.perf_counter()
