@@ -9,12 +9,11 @@ References:
 from __future__ import annotations
 
 import math
-from typing import List
 
 import numpy as np
 
 from ..config import PipelineConfig
-from ..model import Char, Doc, Page, Word
+from ..model import Doc, Page, Word
 from ..utils.counter import most_freq
 from ..utils.elements import max_x_overlap_ratio
 from ..utils.mathutils import smaller
