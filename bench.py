@@ -60,7 +60,7 @@ BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
 # waves at each level (see module docstring)
 BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "128"))
 JUMBO_EVERY = 50
-ROUNDS_A = int(os.environ.get("BENCH_ROUNDS_A", "6"))   # 2 -> 8 pair
+ROUNDS_A = int(os.environ.get("BENCH_ROUNDS_A", "9"))   # 2 -> 8 pair
 ROUNDS_B = int(os.environ.get("BENCH_ROUNDS_B", "3"))   # 8 -> 32 pair
 REPLICATE_A = int(os.environ.get("BENCH_REPLICATE_A", "2"))   # 6000 docs
 REPLICATE_B = int(os.environ.get("BENCH_REPLICATE_B", "4"))   # 12000 docs
@@ -302,8 +302,8 @@ def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
           mp_low_docs: int, mp_high_docs: int,
           rep_high: Optional[int] = None) -> dict:
     """Measure one N -> 4N pair: `rounds` alternating (low, high) timed
-    sections with equal-load spinners on the low side, mp-ceiling samples
-    interleaved on alternate rounds."""
+    sections with equal-load spinners on the low side, an mp-ceiling sample
+    every round (so normalization tracks bursty co-tenant load)."""
     n_low, n_high = low_srv.cpus, high_srv.cpus
     eq = n_high - n_low
     # the high level repeats its (identical) job per timed section so both
@@ -432,6 +432,23 @@ def main() -> None:
 
     total = time.perf_counter() - total_t0
     sf = SF_DIR.rstrip("/").split("sf")[-1]
+
+    # full pair samples / curves go to BENCH_DETAIL_r{N}.json; stdout gets
+    # ONE compact headline line (the driver captures only a ~2 KB stdout
+    # tail — round 3's all-in-one line was truncated mid-JSON and the
+    # official record was lost)
+    detail_path = _detail_path()
+    with open(detail_path, "w") as f:
+        json.dump({
+            "sf": float(sf) if sf else None,
+            "bench_total_wall_sec": round(total, 3),
+            "queries": query_secs,
+            "saturation_curve_docs_per_sec": curve,
+            "mp_ceiling_curve_docs_per_sec": mp_curve,
+            "pair_2to8": pair_a,
+            "pair_8to%d" % CPUS: pair_b,
+        }, f, indent=1)
+
     print(json.dumps({
         "metric": "bench_total_wall",
         "value": round(total, 3),
@@ -446,8 +463,6 @@ def main() -> None:
             "docs_per_sec_local%d" % CPUS: pair_b["dps_high_best"],
             # headline: MEDIAN of per-round adjacent-in-time ratios
             "scaling_efficiency_2to8": pair_a["eff_median"],
-            "scaling_efficiency_2to8_best_per_level":
-                pair_a["eff_best_per_level"],
             "efficiency_rounds": pair_a["round_ratios"],
             "machine_ceiling_efficiency_2to8": pair_a["mp_ceiling"],
             "normalized_scaling_efficiency": pair_a["eff_median_normalized"],
@@ -456,12 +471,21 @@ def main() -> None:
             "machine_ceiling_efficiency_8to%d" % CPUS: pair_b["mp_ceiling"],
             "normalized_scaling_efficiency_8to%d" % CPUS:
                 pair_b["eff_median_normalized"],
-            "saturation_curve_docs_per_sec": curve,
-            "mp_ceiling_curve_docs_per_sec": mp_curve,
-            "pair_2to8": pair_a,
-            "pair_8to%d" % CPUS: pair_b,
+            "detail": os.path.basename(detail_path),
         },
-    }))
+    }, separators=(",", ":")))
+
+
+def _detail_path() -> str:
+    """BENCH_DETAIL_r{N}.json next to this file, N = 1 + the highest round
+    whose driver artifact (BENCH_r{N}.json) already exists."""
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = [int(m.group(1)) for name in os.listdir(here)
+              if (m := re.match(r"BENCH_r(\d+)\.json$", name))]
+    n = max(rounds, default=0) + 1
+    return os.path.join(here, "BENCH_DETAIL_r%02d.json" % n)
 
 
 if __name__ == "__main__":

@@ -46,7 +46,7 @@ import numpy as np
 
 from .charmap import CHAR_MAP
 from .config import WHITESPACE_TEXTS
-from .model import Char, Doc, FontInfo, NonTextElement, Page
+from .model import Char, CharCols, Doc, FontInfo, NonTextElement, Page
 from .utils.mathutils import larger, round_half_away, smaller
 
 MAGIC = b"PTX1"
@@ -332,12 +332,14 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                 append = page.characters.append
                 ws = WHITESPACE_TEXTS
                 if names_empty and uni_empty and texts_ascii1 is not None:
-                    # SIMPLE-PAGE vectorized path: every char text is one
+                    # SIMPLE-PAGE COLUMNAR path: every char text is one
                     # ASCII codepoint, no glyph names (-> no charMap, no
                     # glyph-bbox preference), no explicit unicodes.  The
                     # whitespace/figure-diversion decisions collapse into
-                    # one numpy mask; the per-char branchwork disappears
-                    # and T1 can skip the page (no marks >= U+02B0 exist).
+                    # one numpy mask; no Char objects are built at all —
+                    # the page carries a CharCols columnar store that the
+                    # words/statistics/scripts stages read directly, and
+                    # T1 can skip the page (no marks >= U+02B0 exist).
                     page.ascii_only = True
                     tb = np.frombuffer(texts_ascii1, dtype=np.uint8)
                     keep = ~np.isin(tb, _WS_ASCII_CODES)
@@ -348,27 +350,18 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                             deferred.append((int(row[9]),
                                              row[0], row[1], row[2], row[3]))
                         keep &= ~fig
-                    ord1 = _ORD1
-                    for i in np.flatnonzero(keep).tolist():
-                        row = num_list[i]
-                        c = Char.__new__(Char)
-                        c.left_x = row[0]
-                        c.upper_y = row[1]
-                        c.right_x = row[2]
-                        c.lower_y = row[3]
-                        c.base = row[4]
-                        c.font_size = row[5]
-                        c.rotation = rot_col[i]
-                        c.w_mode = wm_col[i]
-                        c.font_name = font_names[font_col[i]]
-                        c.name = ""
-                        c.text = texts[i]
-                        c.unicodes = ord1[tb[i]]
-                        c.page_num = page_num
-                        c.rank = rank
-                        c.word = None
-                        rank += 1
-                        append(c)
+                    kept = np.flatnonzero(keep)
+                    # rows: [left, up, right, low, rotation, w_mode,
+                    #        font_size, base] per kept char, decode order
+                    sub = num[kept]
+                    rows = sub[:, (0, 1, 2, 3, 6, 7, 5, 4)].tolist()
+                    ktexts = list(bytes(tb[kept]).decode("ascii"))
+                    fname_col = np.array(font_names, dtype=object)[
+                        sub[:, 8].astype(np.intp)].tolist()
+                    page.char_cols = CharCols(
+                        rows, ktexts, fname_col,
+                        sub[:, 5].tolist(), sub[:, 4].tolist(), page_num)
+                    page.characters = None  # lazy (CharCols.materialize)
                     n_chars = 0  # general loop below skipped
                 for i in range(n_chars):
                     raw = texts[i]

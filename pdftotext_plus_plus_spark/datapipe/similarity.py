@@ -353,28 +353,51 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 # IVF (inverted-file) ANN — the cluster-routed scale path
 # ---------------------------------------------------------------------------
 
-# Coarse quantizer: every IVF_SEED_EVERY-th vector is a centroid seed
-# (deterministic, data-derived — no iterative training, so the identical
-# quantizer is expressible in ANSI SQL).  Each vector joins the inverted
-# list of its nearest centroid; a query probes its IVF_NPROBE nearest
-# lists and ranks exactly within them.  Candidates per query ~=
-# IVF_NPROBE * N / K with K = N / IVF_SEED_EVERY lists, so the scan
-# fraction is IVF_NPROBE * IVF_SEED_EVERY / N -> shrinks as the corpus
-# grows (the IVF property that makes it the 10^12-row path).
-IVF_SEED_EVERY = 50
-IVF_NPROBE = 2
+# Coarse quantizer: K = min(IVF_K_CAP, ceil(sqrt(N))) centroid seeds taken
+# at a uniform stride ceil(N / K) over vec_id (deterministic, data-derived
+# — no iterative training, so the identical quantizer is expressible in
+# ANSI SQL).  K is DECOUPLED from N: with K ~ sqrt(N) the assignment stage
+# is O(N * sqrt(N)) similarity rows and the centroid broadcast is
+# sqrt(N)-sized (capped at IVF_K_CAP rows — at 10^12 vectors the broadcast
+# is IVF_K_CAP rows, a few MB, and assignment is N * IVF_K_CAP, i.e.
+# linear in N with a constant-bounded fan-out).  Each vector joins the
+# inverted list of its nearest centroid; a query probes its IVF_NPROBE
+# nearest lists and ranks exactly within them, scanning ~IVF_NPROBE/K of
+# the corpus.  Beyond the cap, the standard extension is a two-level
+# (hierarchical) quantizer: sqrt(K) super-lists routing to K lists, which
+# keeps every broadcast and fan-out at most IVF_K_CAP while K itself grows
+# — same bucket-equi plan shape, applied twice.
+IVF_K_CAP = 4096
+IVF_NPROBE = 3
+
+
+def ivf_stride(n: int) -> int:
+    """Centroid-seed stride for an n-vector corpus: vec_id % stride == 0
+    marks a seed.  K = min(IVF_K_CAP, ceil(sqrt(n))); stride = ceil(n / K).
+    Both ceils are IEEE-double computations so the DuckDB oracle's
+    ceil(sqrt(...)) arithmetic reproduces them bit-for-bit."""
+    import math
+
+    if n <= 1:
+        return 1
+    k = min(IVF_K_CAP, int(math.ceil(math.sqrt(float(n)))))
+    return max(1, int(math.ceil(n / float(k))))
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN top-k: broadcast centroid assignment, bucket-equi candidate
     join on the inverted-list id, exact rescoring within probed lists.
 
-    The centroid table is N / IVF_SEED_EVERY rows -> broadcast; the
-    assignment "matmul" is one narrow projection per (vector, centroid)
-    pair; the candidate join is equi on cent_id with list sizes bounded
-    by ~IVF_SEED_EVERY, so no stage is quadratic in N."""
+    The centroid table is K = min(IVF_K_CAP, ceil(sqrt(N))) rows ->
+    broadcast stays bounded at any corpus size; the assignment "matmul" is
+    one narrow projection per (vector, centroid) pair = O(N * K); the
+    candidate join is equi on cent_id with list sizes ~N / K.  The single
+    driver-side ``count()`` that sizes the quantizer is an O(1)-result
+    scalar job (at 10^12 rows it reads parquet/Iceberg row-count metadata,
+    not data)."""
     emb = _with_norm(_embeddings(spark, sf_dir))
-    cents = (emb.filter(F.col("vec_id") % IVF_SEED_EVERY == 0)
+    stride = ivf_stride(emb.count())
+    cents = (emb.filter(F.col("vec_id") % stride == 0)
              .select(F.col("vec_id").alias("cent_id"),
                      F.col("embedding").alias("c_emb"),
                      F.col("norm").alias("c_norm")))
@@ -430,9 +453,17 @@ WITH elems AS (
         FROM embeddings e)
 ), norms AS (
   SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
+), stride AS (
+  -- K = min(cap, ceil(sqrt(N))), stride = ceil(N / K): the same
+  -- IEEE-double arithmetic as similarity.ivf_stride
+  SELECT greatest(1, CAST(ceil(count(*) /
+           least({IVF_K_CAP}, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+                                   AS BIGINT))::DOUBLE) AS BIGINT)) AS s
+  FROM embeddings
 ), cdots AS (
   SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
-  FROM elems v JOIN elems c ON c.i = v.i AND c.vec_id % {IVF_SEED_EVERY} = 0
+  FROM elems v JOIN elems c ON c.i = v.i
+       AND c.vec_id % (SELECT s FROM stride) = 0
   GROUP BY v.vec_id, c.vec_id
 ), csim AS (
   SELECT d.vec_id, d.cent_id,

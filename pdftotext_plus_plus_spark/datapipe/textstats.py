@@ -283,9 +283,12 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = (docs
              .withColumn("toks", F.expr(
                  r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)"))
+             # Guard the sub-2-token case: sequence(0, -1) auto-reverses to
+             # [0, -1] and toks[i + 1] would throw under ANSI mode.
              .withColumn("gram", F.explode(F.expr(
-                 "transform(sequence(0, greatest(size(toks) - 2, -1)),"
-                 " i -> concat(toks[i], ' ', toks[i + 1]))")))
+                 "CASE WHEN size(toks) < 2 THEN array()"
+                 " ELSE transform(sequence(0, size(toks) - 2),"
+                 " i -> concat(toks[i], ' ', toks[i + 1])) END")))
              .select("doc_id", "gram"))
     counts = grams.groupBy("doc_id", "gram").agg(F.count("*").alias("n"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("n"), F.asc("gram"))

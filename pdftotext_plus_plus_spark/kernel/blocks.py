@@ -549,25 +549,29 @@ class _BlocksDetector:
                 or self._is_continuation_of_item(parent, labels))
 
     def _compute_potential_footnote_labels(self, line: Line) -> None:
-        """computePotentialFootnoteLabels (…Utils.cpp:521-582)."""
+        """computePotentialFootnoteLabels (…Utils.cpp:521-582) over the
+        per-word char columns (texts + script index sets)."""
         special = self.config.special_footnote_labels_alphabet
+        empty = frozenset()
         for word in line.words:
+            sup = word.char_sup or empty
+            sub = word.char_sub or empty
             label = ""
             non_script_seen = False
-            for ch in word.characters:
-                if not non_script_seen and not ch.is_subscript and not ch.is_superscript:
+            for k, text in enumerate(word.char_texts):
+                if not non_script_seen and k not in sub and k not in sup:
                     non_script_seen = True
                     continue
                 if not non_script_seen:
                     continue
-                if not ch.text:
+                if not text:
                     continue
-                first = ch.text[0]
+                first = text[0]
                 is_label = first in special
-                if ch.is_superscript and first.isascii() and first.isalnum():
+                if k in sup and first.isascii() and first.isalnum():
                     is_label = True
                 if is_label:
-                    label += ch.text
+                    label += text
                     continue
                 if label:
                     self.potential_fn_labels.add(label)
@@ -580,12 +584,12 @@ class _BlocksDetector:
         words = line.words
         if not words:
             return False
-        first_word_chars = words[0].characters
-        if not first_word_chars:
+        first_texts = words[0].char_texts
+        if not first_texts:
             return False
-        ch = first_word_chars[0]
-        if (ch.is_superscript and ch.text
-                and ch.text in self.config.super_item_label_alphabet):
+        sup = words[0].char_sup
+        if (sup is not None and 0 in sup and first_texts[0]
+                and first_texts[0] in self.config.super_item_label_alphabet):
             return True
         return any(rx.search(line.text) for rx in ITEM_LABEL_REGEXES)
 
@@ -595,11 +599,13 @@ class _BlocksDetector:
         words = line.words
         if not words:
             return False
+        sup = words[0].char_sup
         prefix = ""
-        for ch in words[0].characters:
-            if not ch.is_superscript:
-                break
-            prefix += ch.text
+        if sup is not None:
+            for k, text in enumerate(words[0].char_texts):
+                if k not in sup:
+                    break
+                prefix += text
         if labels is not None:
             return prefix in labels
         return bool(prefix)

@@ -1,6 +1,12 @@
 """T10 — sub/superscript detection + line base-bbox accumulation.
 
 Reference: /root/reference/src/SubSuperScriptsDetection.cpp:48-104.
+
+Operates on the per-word char geometry columns (``Word.char_rows``, built
+once at word materialization) instead of Char objects — on simple pages no
+Char objects exist at all.  Flags are per-word index sets
+(``Word.char_sup`` / ``char_sub``; None = no script chars, the common
+case), read by the block label rules (kernel/blocks.py).
 """
 
 from __future__ import annotations
@@ -25,24 +31,35 @@ def detect_sub_super_scripts(doc: Doc, config: PipelineConfig) -> None:
                 bb_r = line.base_bbox_right_x
                 bb_o = line.base_bbox_lower_y
                 for word in line.words:
-                    for ch in word.characters:
+                    sup = sub = None
+                    for k, row in enumerate(word.char_rows):
+                        # row = [l, u, r, low, rot, wmode, fs, base]
                         # inlined tolerance comparators (MathUtils.cpp:25-32)
-                        if ch.font_size < fs_cutoff:
-                            if ch.base < sup_cut:
-                                ch.is_superscript = True
+                        if row[6] < fs_cutoff:
+                            b = row[7]
+                            if b < sup_cut:
+                                if sup is None:
+                                    sup = set()
+                                sup.add(k)
                                 continue
-                            if ch.base > sub_cut:
-                                ch.is_subscript = True
+                            if b > sub_cut:
+                                if sub is None:
+                                    sub = set()
+                                sub.add(k)
                                 continue
                         # non-script chars accumulate the line's base bbox
-                        if ch.left_x < bb_l:
-                            bb_l = ch.left_x
-                        if ch.upper_y < bb_u:
-                            bb_u = ch.upper_y
-                        if ch.right_x > bb_r:
-                            bb_r = ch.right_x
-                        if ch.lower_y > bb_o:
-                            bb_o = ch.lower_y
+                        if row[0] < bb_l:
+                            bb_l = row[0]
+                        if row[1] < bb_u:
+                            bb_u = row[1]
+                        if row[2] > bb_r:
+                            bb_r = row[2]
+                        if row[3] > bb_o:
+                            bb_o = row[3]
+                    if sup is not None:
+                        word.char_sup = sup
+                    if sub is not None:
+                        word.char_sub = sub
                 line.base_bbox_left_x = bb_l
                 line.base_bbox_upper_y = bb_u
                 line.base_bbox_right_x = bb_r

@@ -20,17 +20,30 @@ from ..utils.mathutils import (equal, equal_or_larger, equal_or_smaller,
 
 
 def compute_glyph_statistics(doc: Doc) -> None:
-    """A1: mostFreqFontSize/Name (mode over chars), avgCharWidth/Height."""
+    """A1: mostFreqFontSize/Name (mode over chars), avgCharWidth/Height.
+
+    Columnar pages (Page.char_cols) contribute via per-column C-level
+    passes; sums stay sequential left-to-right (``math.fsum``-free plain
+    adds in both paths) so mixed-page documents accumulate identically to
+    the all-object path."""
     font_sizes = []
     font_names = []
     sum_widths = 0.0
     sum_heights = 0.0
     for page in doc.pages:
-        for ch in page.characters:
-            font_sizes.append(ch.font_size)
-            font_names.append(ch.font_name)
-            sum_widths += ch.right_x - ch.left_x
-            sum_heights += ch.lower_y - ch.upper_y
+        cols = page.char_cols
+        if cols is not None:
+            font_sizes.extend(cols.fsizes)
+            font_names.extend(cols.font_names)
+            for row in cols.rows:
+                sum_widths += row[2] - row[0]
+                sum_heights += row[3] - row[1]
+        else:
+            for ch in page.characters:
+                font_sizes.append(ch.font_size)
+                font_names.append(ch.font_name)
+                sum_widths += ch.right_x - ch.left_x
+                sum_heights += ch.lower_y - ch.upper_y
     n = len(font_sizes)
     if n == 0:
         return

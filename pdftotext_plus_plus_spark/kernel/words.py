@@ -35,37 +35,50 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
     semantics (tolerance comparators, asymmetric leftmost selection in the
     horizontal gap, rotation sign flips) are byte-for-byte those of
     utils.elements/utils.mathutils."""
-    if not page.characters:
-        return
-
     min_y_ratio = config.words_min_y_overlap_ratio
     gap_factor = config.word_gap_threshold_factor
 
-    # merged diacritic marks never start/join words (…cpp:117-121); words are
-    # contiguous runs over the filtered sequence, so the active word is just
-    # a start index plus the accumulated bbox state
-    filtered = [c for c in page.characters
-                if c.diacritic_mark_of_base_char is None]
-    if not filtered:
-        return
-    # a merged mark implies a filtered char, so equal lengths mean the page
-    # has no diacritics at all -> the branch-free text fast path below
-    has_dia = len(filtered) != len(page.characters)
-    data = [(c.left_x, c.upper_y, c.right_x, c.lower_y,
-             c.rotation, c.w_mode, c.font_size) for c in filtered]
-    # page-level attribute columns: words materialize from C-level slices
-    # of these instead of re-touching every Char object per word
-    if has_dia:
-        raws = [c.text for c in filtered]
-        texts = [c.text_with_diacritic_mark
-                 if c.base_char_of_diacritic_mark is not None else c.text
-                 for c in filtered]
+    ccols = page.char_cols
+    if ccols is not None:
+        # COLUMNAR path (simple pages): the decode columns ARE the word
+        # detector's input — no Char objects exist, no attribute reads
+        if not ccols.rows:
+            return
+        filtered = None
+        data = ccols.rows
+        raws = texts = ccols.texts
+        fnames = ccols.font_names
+        fsizes = ccols.fsizes
+        bases = ccols.bases
+        names = None
     else:
-        raws = texts = [c.text for c in filtered]
-    fnames = [c.font_name for c in filtered]
-    fsizes = [c.font_size for c in filtered]
-    bases = [c.base for c in filtered]
-    names = [c.name for c in filtered]
+        if not page.characters:
+            return
+        # merged diacritic marks never start/join words (…cpp:117-121);
+        # words are contiguous runs over the filtered sequence, so the
+        # active word is just a start index plus the accumulated bbox state
+        filtered = [c for c in page.characters
+                    if c.diacritic_mark_of_base_char is None]
+        if not filtered:
+            return
+        # a merged mark implies a filtered char, so equal lengths mean the
+        # page has no diacritics at all -> the branch-free text fast path
+        has_dia = len(filtered) != len(page.characters)
+        data = [(c.left_x, c.upper_y, c.right_x, c.lower_y,
+                 c.rotation, c.w_mode, c.font_size, c.base) for c in filtered]
+        # page-level attribute columns: words materialize from C-level
+        # slices of these instead of re-touching every Char object per word
+        if has_dia:
+            raws = [c.text for c in filtered]
+            texts = [c.text_with_diacritic_mark
+                     if c.base_char_of_diacritic_mark is not None else c.text
+                     for c in filtered]
+        else:
+            raws = texts = [c.text for c in filtered]
+        fnames = [c.font_name for c in filtered]
+        fsizes = [c.font_size for c in filtered]
+        bases = [c.base for c in filtered]
+        names = [c.name for c in filtered]
     cols = (texts, fnames, fsizes, bases, raws, names)
 
     start = -1
@@ -76,7 +89,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
     bounds = [0]  # word-start indices into `filtered` (words are contiguous)
 
     for i, row in enumerate(data):
-        c_left, c_up, c_right, c_low, c_rot, c_wmode, c_fs = row
+        c_left, c_up, c_right, c_low, c_rot, c_wmode, c_fs, _ = row
 
         starts = False
         if start >= 0:
@@ -154,7 +167,7 @@ def _materialize_words(page, filtered, data, cols, bounds,
     stm_texts = config.stacked_math_char_texts
     stm_names = config.stacked_math_char_names
     stm_words = config.stacked_math_words
-    n = len(filtered)
+    n = len(data)
     arr = np.array(data, dtype=np.float64)
     bidx = np.array(bounds, dtype=np.intp)
     lefts = np.minimum.reduceat(arr[:, 0], bidx).tolist()
@@ -162,7 +175,8 @@ def _materialize_words(page, filtered, data, cols, bounds,
     rights = np.maximum.reduceat(arr[:, 2], bidx).tolist()
     lows = np.maximum.reduceat(arr[:, 3], bidx).tolist()
 
-    page_num = filtered[0].page_num
+    ccols = page.char_cols if filtered is None else None
+    page_num = page.page_num
     words = page.words
     n_words = len(bounds)
     new = Word.__new__
@@ -175,6 +189,7 @@ def _materialize_words(page, filtered, data, cols, bounds,
         word.upper_y = ups[wi]
         word.right_x = rights[wi]
         word.lower_y = lows[wi]
+        raw_slice = raws[s:e]
         if e - s == 1:  # single-char fast path (most words in math/sparse text)
             word.text = texts[s]
             font_names = fnames[s:e]
@@ -182,23 +197,31 @@ def _materialize_words(page, filtered, data, cols, bounds,
             word.font_name = font_names[0]
             word.font_size = font_sizes[0]
         else:
-            word.text = "".join(texts[s:e])
+            word.text = "".join(raw_slice if raws is texts else texts[s:e])
             font_names = fnames[s:e]
             font_sizes = fsizes[s:e]
             word.font_name = most_freq(font_names)
             word.font_size = most_freq(font_sizes)
+        word.char_rows = data[s:e]
+        word.char_texts = raw_slice
         word.char_font_names = font_names
         word.char_font_sizes = font_sizes
         word.char_bases = bases[s:e]
         row = data[s]
-        word.rotation = row[4]
-        word.w_mode = row[5]
-        word.characters = filtered[s:e]
+        word.rotation = int(row[4])
+        word.w_mode = int(row[5])
+        if ccols is None:
+            word.characters = filtered[s:e]
+            word.char_src = None
+        else:
+            word._chars = None  # lazy: CharCols.materialize(s, e)
+            word.char_src = (ccols, s, e)
         word.line = None
         word.rank = wi
         if (word.text in stm_words
-                or not stm_texts.isdisjoint(raws[s:e])
-                or not stm_names.isdisjoint(names[s:e])):
+                or not stm_texts.isdisjoint(raw_slice)
+                or (names is not None
+                    and not stm_names.isdisjoint(names[s:e]))):
             word.is_stacked_math_base = True
         words.append(word)
 

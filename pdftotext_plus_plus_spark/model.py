@@ -126,6 +126,61 @@ class Char(Element):
         return self.text
 
 
+class CharCols:
+    """Columnar character store for simple (all-ASCII, no-glyph-name) pages.
+
+    The decode fast path fills these columns instead of one ``Char`` object
+    per character; the word detector, statistics, sub/superscript and block
+    label stages read the columns directly.  ``rows`` holds one
+    ``[left_x, upper_y, right_x, lower_y, rotation, w_mode, font_size,
+    base]`` list per kept char (post whitespace suppression / figure
+    diversion, in decode order — so the list index IS the char rank).
+    ``Char`` objects are materialized lazily (``Page.characters`` /
+    ``Word.characters``) only for the rare consumers that need them
+    (the JSONL characters unit)."""
+
+    __slots__ = ("rows", "texts", "font_names", "fsizes", "bases",
+                 "page_num")
+
+    def __init__(self, rows, texts, font_names, fsizes, bases, page_num):
+        self.rows = rows
+        self.texts = texts
+        self.font_names = font_names
+        self.fsizes = fsizes
+        self.bases = bases
+        self.page_num = page_num
+
+    def __len__(self):
+        return len(self.rows)
+
+    def materialize(self, start: int, end: int) -> List["Char"]:
+        """Build Char objects for rows [start, end) — rank = row index."""
+        out = []
+        rows, texts, fnames = self.rows, self.texts, self.font_names
+        page_num = self.page_num
+        for i in range(start, end):
+            row = rows[i]
+            c = Char.__new__(Char)
+            c.left_x = row[0]
+            c.upper_y = row[1]
+            c.right_x = row[2]
+            c.lower_y = row[3]
+            c.rotation = int(row[4])
+            c.w_mode = int(row[5])
+            c.font_size = row[6]
+            c.base = row[7]
+            c.font_name = fnames[i]
+            c.name = ""
+            c.text = texts[i]
+            o = ord(texts[i])
+            c.unicodes = [o]
+            c.page_num = page_num
+            c.rank = i
+            c.word = None
+            out.append(c)
+        return out
+
+
 class NonTextElement(Element):
     """Figures / shapes / graphics (cf. PdfNonTextElement, Types.h:817-940)."""
 
@@ -139,10 +194,13 @@ class NonTextElement(Element):
 class Word(Element):
     """cf. PdfWord (Types.h:535-614)."""
 
-    __slots__ = ("characters", "text", "font_name", "font_size", "line",
+    __slots__ = ("_chars", "char_src", "text", "font_name", "font_size",
+                 "line",
                  # per-char attribute caches built once in _create_word and
-                 # reused by _compute_line_properties (chars are immutable
-                 # between word creation and line creation)
+                 # reused by _compute_line_properties / scripts / block label
+                 # rules (chars are immutable between word creation and line
+                 # creation): geometry rows, raw texts, fonts, bases
+                 "char_rows", "char_texts",
                  "char_font_names", "char_font_sizes", "char_bases",
                  "__dict__")
 
@@ -160,17 +218,37 @@ class Word(Element):
     # hyphenation links carry the *merged* word (WordsDehyphenation.cpp:62-70)
     is_first_part_of_hyphenated_word: Optional["Word"] = None
     is_second_part_of_hyphenated_word: Optional["Word"] = None
+    # T10 flags, set per WORD as index sets by kernel/scripts.py (None =
+    # no sub/superscript chars — the overwhelming case)
+    char_sup = None
+    char_sub = None
 
     def __init__(self):
         super().__init__()
-        self.characters: List[Char] = []
+        self._chars: Optional[List[Char]] = []
+        self.char_src = None
         self.text = ""
         self.font_name = ""
         self.font_size = 0.0
         self.line: Optional["Line"] = None
+        self.char_rows: list = []
+        self.char_texts: List[str] = []
         self.char_font_names: List[str] = []
         self.char_font_sizes: List[float] = []
         self.char_bases: List[float] = []
+
+    @property
+    def characters(self) -> List[Char]:
+        """Char objects — materialized lazily from the page's columnar
+        store for simple-page words (``char_src = (cols, start, end)``)."""
+        if self._chars is None:
+            cols, s, e = self.char_src
+            self._chars = cols.materialize(s, e)
+        return self._chars
+
+    @characters.setter
+    def characters(self, value) -> None:
+        self._chars = value
 
 
 class Line(Element):
@@ -287,8 +365,9 @@ class Page:
     """cf. PdfPage (Types.h:1005-1069)."""
 
     __slots__ = ("page_num", "clip_left_x", "clip_upper_y", "clip_right_x",
-                 "clip_lower_y", "characters", "figures", "shapes", "graphics",
-                 "words", "segments", "blocks", "ascii_only")
+                 "clip_lower_y", "_characters", "char_cols", "figures",
+                 "shapes", "graphics", "words", "segments", "blocks",
+                 "ascii_only")
 
     def __init__(self, page_num: int = 1):
         self.page_num = page_num
@@ -299,13 +378,35 @@ class Page:
         self.clip_upper_y = 0.0
         self.clip_right_x = 612.0
         self.clip_lower_y = 792.0
-        self.characters: List[Char] = []
+        self._characters: Optional[List[Char]] = []
+        # columnar char store (CharCols) for simple pages; None on the
+        # general (object) decode path
+        self.char_cols: Optional[CharCols] = None
         self.figures: List[NonTextElement] = []
         self.shapes: List[NonTextElement] = []
         self.graphics: List[NonTextElement] = []
         self.words: List[Word] = []
         self.segments: List[Segment] = []
         self.blocks: List[Block] = []
+
+    @property
+    def characters(self) -> List[Char]:
+        """Char objects; materialized lazily from ``char_cols`` on simple
+        pages (only the rare object consumers pay the cost)."""
+        if self._characters is None:
+            self._characters = self.char_cols.materialize(
+                0, len(self.char_cols))
+        return self._characters
+
+    @characters.setter
+    def characters(self, value) -> None:
+        self._characters = value
+
+    @property
+    def n_chars(self) -> int:
+        if self.char_cols is not None:
+            return len(self.char_cols)
+        return len(self._characters)
 
     @property
     def width(self) -> float:

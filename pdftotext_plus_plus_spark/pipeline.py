@@ -91,7 +91,7 @@ def extract(payload: Optional[bytes],
 
     result.n_pages = len(doc.pages)
     for page in doc.pages:
-        result.n_chars += len(page.characters)
+        result.n_chars += page.n_chars
         result.n_words += len(page.words)
         result.n_blocks += len(page.blocks)
         for block in page.blocks:

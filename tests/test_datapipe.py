@@ -213,11 +213,66 @@ def test_fixpoint_long_chain_bounded_rounds(spark):
     assert rounds <= 12, rounds
 
 
+def test_repetition_stats_sub2_token_docs(spark, tmp_path):
+    """Documents with 0 or 1 tokens must yield zero bigrams, not an ANSI
+    ArrayIndexOutOfBounds: sequence(0, -1) auto-reverses to [0, -1], so the
+    bigram transform needs a size guard.  Spark and the DuckDB oracle must
+    agree on the degenerate rows."""
+    import pandas as pd
+
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    pdf = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4],
+        "text": ["", "single", "  spaced-one  ", "two words two words"],
+        "source": ["t"] * 4,
+    })
+    root = tmp_path / "sub2"
+    root.mkdir()
+    pdf.to_parquet(root / "documents.parquet")
+
+    sdf = textstats.repetition_stats(spark, str(root))
+    srows = _normalize([tuple(r) for r in sdf.collect()], sdf.columns)
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{root}/documents.parquet'")
+    rel = con.sql(textstats.REPETITION_STATS_SQL)
+    drows = _normalize(rel.fetchall(), [d[0] for d in rel.description])
+    assert srows == drows
+    by_id = {r[0]: r for r in
+             ((row["doc_id"], row["n_bigrams"], row["top_bigram"])
+              for row in sdf.collect())}
+    assert by_id[1][1] == 0 and by_id[2][1] == 0 and by_id[3][1] == 0
+    assert by_id[4][1] == 3
+
+
+def test_ivf_stride_decoupled_from_corpus_size():
+    """The quantizer's centroid count K = min(IVF_K_CAP, ceil(sqrt(N))) is
+    DECOUPLED from N: assignment is O(N*K) <= O(N^1.5) and the broadcast
+    centroid table never exceeds IVF_K_CAP rows, at any corpus size."""
+    import math
+
+    assert similarity.ivf_stride(1) == 1
+    assert similarity.ivf_stride(500) == 22          # K = ceil(sqrt(500)) = 23
+    assert similarity.ivf_stride(5000) == 71         # K = 71
+    for n in (1, 2, 500, 5000, 10**6, 10**9, 10**12):
+        stride = similarity.ivf_stride(n)
+        n_cents = (n - 1) // stride + 1              # vec_id % stride == 0
+        assert n_cents <= similarity.IVF_K_CAP + 1, (n, n_cents)
+        if n > similarity.IVF_K_CAP ** 2:
+            # beyond the cap the broadcast stays flat at ~IVF_K_CAP rows
+            assert abs(n_cents - similarity.IVF_K_CAP) <= 1, (n, n_cents)
+        else:
+            k = min(similarity.IVF_K_CAP, math.ceil(math.sqrt(n)))
+            assert abs(n_cents - k) <= 1, (n, n_cents, k)
+
+
 def test_ann_ivf_exact_within_probed_lists(spark):
     """IVF results are EXACT for the pairs they return (cosine identical to
     the brute-force score for the same pair), and recall@10 vs brute force
-    clears the floor expected at probe fraction IVF_NPROBE*IVF_SEED_EVERY/N
-    (~20% at this N; shrinks as the corpus grows)."""
+    clears the floor expected at probe fraction IVF_NPROBE/K ~
+    IVF_NPROBE/sqrt(N) (~13% at this N; shrinks as the corpus grows)."""
     bf = {(r["query_id"], r["vec_id"]): r["cosine"]
           for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()}
     ivf_rows = similarity.ann_ivf_topk(spark, SF_DIR).collect()

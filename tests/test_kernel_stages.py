@@ -70,8 +70,10 @@ def test_sub_superscript_detection():
     # more body words so 10pt stays the most frequent font size
     place_line(page, ["other", "words", "here"], 50.0, 109.0)
     doc = run([page.to_dict()])
-    sup = [c for p in doc.pages for c in p.characters if c.is_superscript]
-    assert len(sup) == 1 and sup[0].text == "2"
+    # flags live per word as index sets (Word.char_sup / char_sub)
+    sup = [w.char_texts[k] for p in doc.pages for w in p.words
+           for k in (w.char_sup or ())]
+    assert sup == ["2"]
 
 
 def test_dehyphenation_merged_text():
