@@ -189,7 +189,7 @@ class _Reader:
     def f64s(self, n: int) -> np.ndarray:
         return np.frombuffer(self.take(8 * n), dtype="<f8")
 
-    def str_blob(self, n: int) -> List[str]:
+    def str_blob(self, n: int, lazy_ascii: bool = False) -> Optional[List[str]]:
         # regime flags for the caller: all-empty / all-single-ASCII blobs
         # let decode_payload pick vectorized paths
         self.blob_all_empty = False
@@ -202,8 +202,12 @@ class _Reader:
         blob = bytes(self.take(total))
         if total == n and (np.diff(offsets) == 1).all():
             # fast path: every item is one single-byte (ASCII) char — the
-            # common texts blob; one decode + C-level split
+            # common texts blob; one decode + C-level split.  With
+            # lazy_ascii the caller reads ``blob_ascii1`` directly (the
+            # columnar page path never touches the per-item list).
             self.blob_ascii1 = blob
+            if lazy_ascii:
+                return None
             return list(blob.decode("utf-8"))
         return [blob[offsets[i]:offsets[i + 1]].decode("utf-8")
                 for i in range(n)]
@@ -312,24 +316,11 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                 num = r.f64s(n_chars * char_fields).reshape(n_chars, char_fields)
                 names = r.str_blob(n_chars)
                 names_empty = r.blob_all_empty
-                texts = r.str_blob(n_chars)
+                texts = r.str_blob(n_chars, lazy_ascii=True)
                 texts_ascii1 = r.blob_ascii1
                 unicodes = r.u32_blob(n_chars)
                 uni_empty = r.blob_all_empty
-                num_list = num.tolist()  # one C-level conversion to floats
-                # int-typed columns converted once at C level (the per-row
-                # float->int casts were ~10% of decode)
-                rot_col = num[:, 6].astype(np.int64).tolist()
-                wm_col = num[:, 7].astype(np.int64).tolist()
-                font_col = num[:, 8].astype(np.int64).tolist()
                 font_names = [f.name for f in fonts]
-                # S4 deep path (v3 payloads only): per-font glyph-bbox
-                # tables + font matrices for the char-bbox preference
-                glyph_tables = ([f.glyph_bboxes for f in fonts]
-                                if version >= VERSION_GLYPH_BBOX else None)
-                matrices = [f.font_matrix for f in fonts]
-                rank = 0
-                append = page.characters.append
                 ws = WHITESPACE_TEXTS
                 if names_empty and uni_empty and texts_ascii1 is not None:
                     # SIMPLE-PAGE COLUMNAR path: every char text is one
@@ -345,24 +336,47 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     keep = ~np.isin(tb, _WS_ASCII_CODES)
                     if char_fields > 9:
                         fig = num[:, 9] >= 0
-                        for i in np.flatnonzero(keep & fig).tolist():
-                            row = num_list[i]
-                            deferred.append((int(row[9]),
-                                             row[0], row[1], row[2], row[3]))
+                        divert = keep & fig
+                        if divert.any():
+                            for row in num[divert][:, (9, 0, 1, 2, 3)].tolist():
+                                deferred.append((int(row[0]), row[1], row[2],
+                                                 row[3], row[4]))
                         keep &= ~fig
                     kept = np.flatnonzero(keep)
                     # rows: [left, up, right, low, rotation, w_mode,
                     #        font_size, base] per kept char, decode order
                     sub = num[kept]
-                    rows = sub[:, (0, 1, 2, 3, 6, 7, 5, 4)].tolist()
+                    karr = np.ascontiguousarray(
+                        sub[:, (0, 1, 2, 3, 6, 7, 5, 4)])
+                    rows = karr.tolist()
                     ktexts = list(bytes(tb[kept]).decode("ascii"))
                     fname_col = np.array(font_names, dtype=object)[
                         sub[:, 8].astype(np.intp)].tolist()
                     page.char_cols = CharCols(
                         rows, ktexts, fname_col,
-                        sub[:, 5].tolist(), sub[:, 4].tolist(), page_num)
+                        sub[:, 5].tolist(), sub[:, 4].tolist(), page_num,
+                        all_upright=not (bool(sub[:, 6].any())
+                                         or bool(sub[:, 7].any())),
+                        arr=karr)
                     page.characters = None  # lazy (CharCols.materialize)
                     n_chars = 0  # general loop below skipped
+                if n_chars:
+                    # GENERAL (object) path prep: per-char lists converted
+                    # once at C level (the per-row float->int casts were
+                    # ~10% of decode)
+                    if texts is None:
+                        texts = list(texts_ascii1.decode("utf-8"))
+                    num_list = num.tolist()
+                    rot_col = num[:, 6].astype(np.int64).tolist()
+                    wm_col = num[:, 7].astype(np.int64).tolist()
+                    font_col = num[:, 8].astype(np.int64).tolist()
+                    # S4 deep path (v3 payloads only): per-font glyph-bbox
+                    # tables + font matrices for the char-bbox preference
+                    glyph_tables = ([f.glyph_bboxes for f in fonts]
+                                    if version >= VERSION_GLYPH_BBOX else None)
+                    matrices = [f.font_matrix for f in fonts]
+                    rank = 0
+                    append = page.characters.append
                 for i in range(n_chars):
                     raw = texts[i]
                     name = names[i]

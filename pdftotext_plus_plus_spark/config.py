@@ -60,6 +60,14 @@ ITEM_LABEL_REGEXES: List[re.Pattern] = [
     re.compile(r"^PACS\s+", re.IGNORECASE),
 ]
 
+# single alternation equivalent to any(rx.search(text)) over the list —
+# one C-level scan per line instead of up to 9 (each pattern is wrapped
+# verbatim in a scoped (?i:)/(?:) group, so per-pattern case flags and the
+# ^ anchors are preserved)
+ITEM_LABEL_COMBINED: re.Pattern = re.compile("|".join(
+    ("(?i:%s)" if p.flags & re.IGNORECASE else "(?:%s)") % p.pattern
+    for p in ITEM_LABEL_REGEXES))
+
 
 @dataclass(frozen=True)
 class PipelineConfig:

@@ -13,7 +13,8 @@ from __future__ import annotations
 
 from typing import List, Optional, Set
 
-from ..config import ITEM_LABEL_REGEXES, PipelineConfig
+from ..config import (ITEM_LABEL_COMBINED, ITEM_LABEL_REGEXES,
+                      PipelineConfig)
 from ..model import Block, Doc, Line, NonTextElement
 from ..utils.counter import ModeCounter
 from ..utils.elements import (has_equal_font, has_equal_font_size,
@@ -47,6 +48,7 @@ class _BlocksDetector:
         # potential footnote labels accumulate across the whole document
         # (member set in the reference, TextBlocksDetection.h)
         self.potential_fn_labels: Set[str] = set()
+        self._special_fs = frozenset(config.special_footnote_labels_alphabet)
 
     # ------------------------------------------------------------------
     def process(self) -> None:
@@ -552,8 +554,18 @@ class _BlocksDetector:
         """computePotentialFootnoteLabels (…Utils.cpp:521-582) over the
         per-word char columns (texts + script index sets)."""
         special = self.config.special_footnote_labels_alphabet
+        special_fs = self._special_fs
         empty = frozenset()
         for word in line.words:
+            # fast path (columnar words only — every char text is a single
+            # ASCII char there): a word with no script chars and no
+            # special-alphabet chars can never yield a label (every
+            # is_label test fails).  Object-path words keep the per-char
+            # loop because a multi-char text's FIRST char drives is_label.
+            if (word.char_sup is None and word.char_sub is None
+                    and word.char_src is not None
+                    and special_fs.isdisjoint(word.char_texts)):
+                continue
             sup = word.char_sup or empty
             sub = word.char_sub or empty
             label = ""
@@ -591,7 +603,7 @@ class _BlocksDetector:
         if (sup is not None and 0 in sup and first_texts[0]
                 and first_texts[0] in self.config.super_item_label_alphabet):
             return True
-        return any(rx.search(line.text) for rx in ITEM_LABEL_REGEXES)
+        return ITEM_LABEL_COMBINED.search(line.text) is not None
 
     def _is_prefixed_by_footnote_label(self, line: Line,
                                        labels: Optional[Set[str]]) -> bool:

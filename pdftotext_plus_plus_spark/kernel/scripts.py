@@ -31,6 +31,20 @@ def detect_sub_super_scripts(doc: Doc, config: PipelineConfig) -> None:
                 bb_r = line.base_bbox_right_x
                 bb_o = line.base_bbox_lower_y
                 for word in line.words:
+                    # fast path: no char is smaller than the cutoff -> no
+                    # script candidates, and accumulating every char's bbox
+                    # equals accumulating the word bbox (word bboxes ARE
+                    # the per-char extrema, computed by reduceat)
+                    if min(word.char_font_sizes) >= fs_cutoff:
+                        if word.left_x < bb_l:
+                            bb_l = word.left_x
+                        if word.upper_y < bb_u:
+                            bb_u = word.upper_y
+                        if word.right_x > bb_r:
+                            bb_r = word.right_x
+                        if word.lower_y > bb_o:
+                            bb_o = word.lower_y
+                        continue
                     sup = sub = None
                     for k, row in enumerate(word.char_rows):
                         # row = [l, u, r, low, rot, wmode, fs, base]

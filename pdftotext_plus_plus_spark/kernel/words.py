@@ -88,6 +88,57 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
     aw_fs = 0.0
     bounds = [0]  # word-start indices into `filtered` (words are contiguous)
 
+    if ccols is not None and ccols.all_upright:
+        # UPRIGHT specialization (rotation == w_mode == 0 for every char,
+        # a decode-time page fact): the rotation/w_mode break test and the
+        # rotation sign flips in horizontal_gap vanish; identical
+        # semantics for rot=0 (WordsDetection.cpp:77-258)
+        for i, row in enumerate(data):
+            c_left, c_up, c_right, c_low, _, _, c_fs, _ = row
+
+            starts = False
+            if start >= 0:
+                overlap = (c_low if c_low < aw_low else aw_low) - \
+                          (c_up if c_up > aw_up else aw_up)
+                if overlap < 0.0:
+                    overlap = 0.0
+                len1 = c_low - c_up
+                len2 = aw_low - aw_up
+                r1 = overlap / len1 if len1 > 0 else 0.0
+                r2 = overlap / len2 if len2 > 0 else 0.0
+                if (r1 if r1 >= r2 else r2) < min_y_ratio - _TOL:
+                    starts = True
+                else:
+                    threshold = gap_factor * aw_fs + _TOL
+                    # rot 0: gap = right element's left - left element's
+                    # right, with the leftmost-by-smaller() selection
+                    gap1 = (aw_left - c_right if c_left < aw_left - _TOL
+                            else c_left - aw_right)
+                    gap2 = (c_left - aw_right if aw_left < c_left - _TOL
+                            else aw_left - c_right)
+                    if gap1 > threshold or gap2 > threshold:
+                        starts = True
+
+            if starts:
+                bounds.append(i)
+                aw_left = aw_up = math.inf
+                aw_right = aw_low = -math.inf
+                aw_fs = 0.0
+
+            start = i
+            if c_left < aw_left:
+                aw_left = c_left
+            if c_up < aw_up:
+                aw_up = c_up
+            if c_right > aw_right:
+                aw_right = c_right
+            if c_low > aw_low:
+                aw_low = c_low
+            if c_fs > aw_fs:
+                aw_fs = c_fs
+        _materialize_words(page, filtered, data, cols, bounds, config)
+        return
+
     for i, row in enumerate(data):
         c_left, c_up, c_right, c_low, c_rot, c_wmode, c_fs, _ = row
 
@@ -168,14 +219,16 @@ def _materialize_words(page, filtered, data, cols, bounds,
     stm_names = config.stacked_math_char_names
     stm_words = config.stacked_math_words
     n = len(data)
-    arr = np.array(data, dtype=np.float64)
+    ccols = page.char_cols if filtered is None else None
+    # the columnar page already carries the (n x 8) ndarray; the object
+    # path builds it from the per-char tuples
+    arr = ccols.arr if ccols is not None else np.array(data,
+                                                      dtype=np.float64)
     bidx = np.array(bounds, dtype=np.intp)
     lefts = np.minimum.reduceat(arr[:, 0], bidx).tolist()
     ups = np.minimum.reduceat(arr[:, 1], bidx).tolist()
     rights = np.maximum.reduceat(arr[:, 2], bidx).tolist()
     lows = np.maximum.reduceat(arr[:, 3], bidx).tolist()
-
-    ccols = page.char_cols if filtered is None else None
     page_num = page.page_num
     words = page.words
     n_words = len(bounds)

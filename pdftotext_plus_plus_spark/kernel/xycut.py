@@ -12,10 +12,11 @@ separated by more than the tolerance.
 from __future__ import annotations
 
 import heapq
+from operator import attrgetter
 from typing import Callable, List, Optional
 
-from ..utils.elements import horizontal_gap, vertical_gap
-from ..utils.mathutils import equal_or_larger, larger
+_by_left_x = attrgetter("left_x")
+_by_upper_y = attrgetter("upper_y")
 
 X = "x"
 Y = "y"
@@ -96,67 +97,141 @@ def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
     if not elements:
         return False
 
-    s_elements = sorted(elements, key=lambda e: e.left_x)
+    s_elements = sorted(elements, key=_by_left_x)
 
-    elements_min_y = min(e.upper_y for e in s_elements)
-    elements_max_y = max(e.lower_y for e in s_elements)
+    # extents are only needed when a candidate exists — most calls on deep
+    # recursion levels produce none, so compute them lazily
+    elements_min_y = elements_max_y = None
 
     # min-heap keyed by rightX; entry = (right_x, seq, element)
     q_size = max_num_overlapping_elements + 1
-    heap = [(s_elements[0].right_x, 0, s_elements[0])]
-    seq = 1
 
     candidates: List[Cut] = []
     tol = 0.0001  # utils.mathutils.TOL, inlined in the hot loop
     gap_floor = min_gap_width - tol  # equal_or_larger(gap, min_gap_width)
-    for pos in range(1, len(s_elements)):
-        element = s_elements[pos]
-        e_left = element.left_x
+    if q_size == 2:
+        # two-slot specialization of the bounded queue (the production
+        # config: maxOverlap = 1).  (rx_a, el_a) is the lexicographic
+        # (rightX, seq) minimum of the two live entries, (rx_b, el_b) the
+        # maximum — exactly the heap's ordering, including the stable
+        # older-first iteration on rightX ties.
+        el_a = s_elements[0]
+        rx_a = el_a.right_x
+        el_b = None
+        rx_b = 0.0
+        for pos in range(1, len(s_elements)):
+            element = s_elements[pos]
+            e_left = element.left_x
 
-        # queue contents in descending rightX order (stable for ties, like
-        # sorted(key=-right_x); the queue is tiny — qsize is 2 in practice)
-        n_heap = len(heap)
-        if n_heap == 1:
-            by_right_x_desc = heap
-        elif n_heap == 2:
-            by_right_x_desc = ([heap[1], heap[0]] if heap[1][0] > heap[0][0]
-                               else [heap[0], heap[1]])
-        else:
-            by_right_x_desc = sorted(heap, key=lambda t: -t[0])
-        overlapping: List[object] = []
-        for _, _, prev_element in by_right_x_desc:
-            # horizontal_gap(prev_element, element), inlined
-            if prev_element.left_x < e_left - tol:
-                left_el, right_el = prev_element, element
+            overlapping: List[object] = []
+            # probe order: descending rightX, older-first on ties
+            if el_b is None:
+                probes = (el_a,)
+            elif rx_b > rx_a:
+                probes = (el_b, el_a)
             else:
-                left_el, right_el = element, prev_element
-            if left_el.rotation in (2, 3):
-                gap_width = left_el.right_x - right_el.left_x
+                probes = (el_a, el_b)
+            for prev_element in probes:
+                # horizontal_gap(prev_element, element), inlined
+                if prev_element.left_x < e_left - tol:
+                    left_el, right_el = prev_element, element
+                else:
+                    left_el, right_el = element, prev_element
+                if left_el.rotation in (2, 3):
+                    gap_width = left_el.right_x - right_el.left_x
+                else:
+                    gap_width = right_el.left_x - left_el.right_x
+                if gap_width >= gap_floor:
+                    if elements_min_y is None:
+                        elements_min_y = min(e.upper_y for e in s_elements)
+                        elements_max_y = max(e.lower_y for e in s_elements)
+                    cut = Cut(X, pos)
+                    cut.element_before = prev_element
+                    cut.element_after = element
+                    cut.page_num = element.page_num
+                    gap_x = prev_element.right_x + gap_width / 2.0
+                    cut.x1 = cut.x2 = gap_x
+                    cut.y1 = elements_min_y
+                    cut.y2 = elements_max_y
+                    cut.gap_width = gap_width
+                    cut.gap_height = elements_max_y - elements_min_y
+                    cut.overlapping_elements = overlapping
+                    candidates.append(cut)
+                    break
+                overlapping.append(prev_element)
+
+            # push iff strictly larger rightX than the queue minimum
+            # (XYCut.cpp:187-189); the evicted entry is the minimum
+            e_right = element.right_x
+            if e_right > rx_a + tol:
+                if el_b is None:
+                    rx_b, el_b = e_right, element
+                elif e_right >= rx_b:
+                    # new entry has the larger (rx, seq): b -> a, new -> b
+                    rx_a, el_a = rx_b, el_b
+                    rx_b, el_b = e_right, element
+                else:
+                    rx_a, el_a = e_right, element
+    else:
+        heap = [(s_elements[0].right_x, 0, s_elements[0])]
+        seq = 1
+        for pos in range(1, len(s_elements)):
+            element = s_elements[pos]
+            e_left = element.left_x
+
+            # queue contents in descending rightX order (stable for ties,
+            # like sorted(key=-right_x))
+            n_heap = len(heap)
+            if n_heap == 1:
+                by_right_x_desc = heap
+            elif n_heap == 2:
+                by_right_x_desc = ([heap[1], heap[0]]
+                                   if heap[1][0] > heap[0][0]
+                                   else [heap[0], heap[1]])
             else:
-                gap_width = right_el.left_x - left_el.right_x
-            if gap_width >= gap_floor:
-                cut = Cut(X, pos)
-                cut.element_before = prev_element
-                cut.element_after = element
-                cut.page_num = element.page_num
-                gap_x = prev_element.right_x + gap_width / 2.0
-                cut.x1 = cut.x2 = gap_x
-                cut.y1 = elements_min_y
-                cut.y2 = elements_max_y
-                cut.gap_width = gap_width
-                cut.gap_height = elements_max_y - elements_min_y
-                cut.overlapping_elements = overlapping
-                candidates.append(cut)
-                break
-            overlapping.append(prev_element)
+                by_right_x_desc = sorted(heap, key=lambda t: -t[0])
+            overlapping = []
+            for _, _, prev_element in by_right_x_desc:
+                # horizontal_gap(prev_element, element), inlined
+                if prev_element.left_x < e_left - tol:
+                    left_el, right_el = prev_element, element
+                else:
+                    left_el, right_el = element, prev_element
+                if left_el.rotation in (2, 3):
+                    gap_width = left_el.right_x - right_el.left_x
+                else:
+                    gap_width = right_el.left_x - left_el.right_x
+                if gap_width >= gap_floor:
+                    if elements_min_y is None:
+                        elements_min_y = min(e.upper_y for e in s_elements)
+                        elements_max_y = max(e.lower_y for e in s_elements)
+                    cut = Cut(X, pos)
+                    cut.element_before = prev_element
+                    cut.element_after = element
+                    cut.page_num = element.page_num
+                    gap_x = prev_element.right_x + gap_width / 2.0
+                    cut.x1 = cut.x2 = gap_x
+                    cut.y1 = elements_min_y
+                    cut.y2 = elements_max_y
+                    cut.gap_width = gap_width
+                    cut.gap_height = elements_max_y - elements_min_y
+                    cut.overlapping_elements = overlapping
+                    candidates.append(cut)
+                    break
+                overlapping.append(prev_element)
 
-        # push iff strictly larger rightX than the queue minimum (XYCut.cpp:187-189)
-        if element.right_x > heap[0][0] + tol:
-            if len(heap) == q_size:
-                heapq.heappop(heap)
-            heapq.heappush(heap, (element.right_x, seq, element))
-            seq += 1
+            # push iff strictly larger rightX than the queue minimum
+            # (XYCut.cpp:187-189)
+            if element.right_x > heap[0][0] + tol:
+                if len(heap) == q_size:
+                    heapq.heappop(heap)
+                heapq.heappush(heap, (element.right_x, seq, element))
+                seq += 1
 
+    if not candidates:
+        if result_groups is not None:
+            result_groups.append(s_elements)
+        return False
     choose_cuts(candidates, s_elements, silent)
 
     prev_cut_pos = 0
@@ -182,32 +257,55 @@ def y_cut(elements, min_gap_height: float, choose_cuts: ChooseCutsFunc,
     if not elements:
         return False
 
-    s_elements = sorted(elements, key=lambda e: e.upper_y)
+    s_elements = sorted(elements, key=_by_upper_y)
 
-    elements_min_x = min(e.left_x for e in s_elements)
-    elements_max_x = max(e.right_x for e in s_elements)
+    elements_min_x = elements_max_x = None  # lazy, like x_cut
 
     element_largest_lower_y = s_elements[0]
+    ell_upper = element_largest_lower_y.upper_y
+    ell_lower = element_largest_lower_y.lower_y
 
     candidates: List[Cut] = []
+    tol = 0.0001  # utils.mathutils.TOL, comparators inlined
+    gap_floor = min_gap_height - tol
     for pos in range(1, len(s_elements)):
         element = s_elements[pos]
-        gap_height = vertical_gap(element_largest_lower_y, element)
-        if equal_or_larger(gap_height, min_gap_height):
+        # vertical_gap(element_largest_lower_y, element), inlined: the
+        # sweep is sorted by upper_y, so ell is the upper element unless
+        # the uppers tie within TOL
+        if ell_upper < element.upper_y - tol:
+            upper, lower = element_largest_lower_y, element
+        else:
+            upper, lower = element, element_largest_lower_y
+        if upper.rotation in (2, 3):
+            gap_height = upper.lower_y - lower.upper_y
+        else:
+            gap_height = lower.upper_y - upper.lower_y
+        if gap_height >= gap_floor:
+            if elements_min_x is None:
+                elements_min_x = min(e.left_x for e in s_elements)
+                elements_max_x = max(e.right_x for e in s_elements)
             cut = Cut(Y, pos)
             cut.element_before = element_largest_lower_y
             cut.element_after = element
             cut.page_num = element.page_num
-            gap_y = element_largest_lower_y.lower_y + gap_height / 2.0
+            gap_y = ell_lower + gap_height / 2.0
             cut.x1 = elements_min_x
             cut.x2 = elements_max_x
             cut.y1 = cut.y2 = gap_y
             cut.gap_width = elements_max_x - elements_min_x
             cut.gap_height = gap_height
             candidates.append(cut)
-        if larger(element.lower_y, element_largest_lower_y.lower_y):
+        e_lower = element.lower_y
+        if e_lower > ell_lower + tol:
             element_largest_lower_y = element
+            ell_upper = element.upper_y
+            ell_lower = e_lower
 
+    if not candidates:
+        if result_groups is not None:
+            result_groups.append(s_elements)
+        return False
     choose_cuts(candidates, s_elements, silent)
 
     prev_cut_pos = 0

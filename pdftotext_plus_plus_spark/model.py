@@ -139,16 +139,23 @@ class CharCols:
     ``Word.characters``) only for the rare consumers that need them
     (the JSONL characters unit)."""
 
-    __slots__ = ("rows", "texts", "font_names", "fsizes", "bases",
-                 "page_num")
+    __slots__ = ("rows", "arr", "texts", "font_names", "fsizes", "bases",
+                 "page_num", "all_upright")
 
-    def __init__(self, rows, texts, font_names, fsizes, bases, page_num):
+    def __init__(self, rows, texts, font_names, fsizes, bases, page_num,
+                 all_upright=False, arr=None):
         self.rows = rows
+        # the same (n x 8) data as a float64 ndarray — word materialization
+        # runs its reduceat bbox pass on it without rebuilding the array
+        self.arr = arr
         self.texts = texts
         self.font_names = font_names
         self.fsizes = fsizes
         self.bases = bases
         self.page_num = page_num
+        # every char has rotation == 0 and w_mode == 0: the word scanner
+        # drops the rotation branches entirely
+        self.all_upright = all_upright
 
     def __len__(self):
         return len(self.rows)
