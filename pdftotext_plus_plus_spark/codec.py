@@ -219,8 +219,12 @@ class _Reader:
         if total == 0:  # fast path: unicodes omitted (derivable from text)
             self.blob_all_empty = True
             return [[]] * n  # aliased empties are only ever read
-        flat = np.frombuffer(self.take(4 * total), dtype="<u4")
-        return [flat[offsets[i]:offsets[i + 1]].tolist() for i in range(n)]
+        # one C-level conversion, then plain list slices (a per-item
+        # ndarray.tolist() was the single largest decode cost on
+        # non-ASCII pages)
+        flat = np.frombuffer(self.take(4 * total), dtype="<u4").tolist()
+        offs = offsets.tolist()
+        return [flat[offs[i]:offs[i + 1]] for i in range(n)]
 
 
 def _resolve_text(raw_text: str, name: str, unicodes: List[int]) -> str:

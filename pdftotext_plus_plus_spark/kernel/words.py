@@ -224,6 +224,16 @@ def _materialize_words(page, filtered, data, cols, bounds,
     # path builds it from the per-char tuples
     arr = ccols.arr if ccols is not None else np.array(data,
                                                       dtype=np.float64)
+    # page-uniform font fast path: with one font name AND one font size on
+    # the page, every word's mode is that value — the two per-word
+    # most_freq passes collapse to constants
+    uni_fname = uni_fsize = None
+    if len(fnames) > 1:
+        f0 = fnames[0]
+        if fnames.count(f0) == len(fnames):
+            s0 = fsizes[0]
+            if fsizes.count(s0) == len(fsizes):
+                uni_fname, uni_fsize = f0, s0
     bidx = np.array(bounds, dtype=np.intp)
     lefts = np.minimum.reduceat(arr[:, 0], bidx).tolist()
     ups = np.minimum.reduceat(arr[:, 1], bidx).tolist()
@@ -253,8 +263,12 @@ def _materialize_words(page, filtered, data, cols, bounds,
             word.text = "".join(raw_slice if raws is texts else texts[s:e])
             font_names = fnames[s:e]
             font_sizes = fsizes[s:e]
-            word.font_name = most_freq(font_names)
-            word.font_size = most_freq(font_sizes)
+            if uni_fname is not None:
+                word.font_name = uni_fname
+                word.font_size = uni_fsize
+            else:
+                word.font_name = most_freq(font_names)
+                word.font_size = most_freq(font_sizes)
         word.char_rows = data[s:e]
         word.char_texts = raw_slice
         word.char_font_names = font_names
