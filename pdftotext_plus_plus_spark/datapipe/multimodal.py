@@ -2,56 +2,132 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.  The
 Spark-side plumbing — schema, Arrow batching, partitioning, UDF signatures —
-is real and tested; the actual pixel/sample decode is STUBBED (the image and
-audio libraries are not available in this environment): `decode_image`
-raises NotImplementedError unless `fake=True`, in which case a deterministic
-fake decoder parses the 8-byte header we synthesize.
+is real and tested, and the blobs now carry REAL container headers:
 
-Synthesized blob layout: ``u32 width, u32 height`` (little-endian) header +
-the UTF-8 document text as the fake pixel payload, with
-``width = (doc_id * 37) % 1024 + 1`` and ``height = (doc_id * 73) % 768 + 1``
-— arithmetic an ANSI-SQL oracle can reproduce.
+* images: a valid PNG signature + IHDR chunk (even doc_ids) or a valid
+  JPEG SOI/APP0/SOF0 marker stream (odd doc_ids); the decoder parses the
+  actual format bytes (big-endian IHDR dims / SOF0 dims) with stdlib
+  ``struct`` only,
+* audio: a valid RIFF/WAVE header (fmt + data chunks, little-endian); the
+  decoder walks the chunk list like a real WAV reader.
+
+Only the pixel/sample DECODE is stubbed (`decode_image(..., fake=False)`
+raises NotImplementedError — no image/audio codec libraries exist in this
+environment); header parsing is real.  Dimensions remain deterministic
+functions of doc_id (``width = (doc_id * 37) % 1024 + 1``,
+``height = (doc_id * 73) % 768 + 1``), so the ANSI-SQL oracle reproduces
+the parsed metadata without reading the bytes.
+
+Video blobs keep a synthetic ``u32 n_frames, u32 fps`` framing (no real
+container format is parseable without a demuxer library).
 """
 
 from __future__ import annotations
 
 import struct
-from typing import Iterator
+from typing import Iterator, Tuple
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# IHDR tail after width/height: bit depth 8, color type 6 (RGBA),
+# compression 0, filter 0, interlace 0 — then a placeholder CRC (header
+# readers parse fields; CRC verification needs the zlib table pass a real
+# reader would do on trusted-length chunks only)
+PNG_IHDR_TAIL = b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"
+JPEG_SOI_APP0 = (b"\xff\xd8"                      # SOI
+                 b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
+                 b"\x00\x01\x00\x01\x00\x00")     # APP0, length 16
+# SOF0 tail after height/width: 3 components (YCbCr), id/sampling/quant
+JPEG_SOF0_TAIL = b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
+
+
+def _be4(col):
+    """Big-endian u32 bytes of an int column (hex() is big-endian)."""
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
+
+
+def _be2(col):
+    return F.unhex(F.lpad(F.hex(col.cast("long")), 4, "0"))
+
+
+def _le4(col):
+    parts = [F.unhex(F.lpad(F.hex(
+        F.shiftright(col.cast("long"), 8 * i).bitwiseAND(255)), 2, "0"))
+        for i in range(4)]
+    return F.concat(*parts)
+
 
 def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, blob binary) with the fake image header."""
+    """documents -> (doc_id, blob binary): a real PNG (even doc_ids) or a
+    real JPEG marker stream (odd doc_ids) whose header encodes the
+    deterministic dims; the UTF-8 document text rides along as the fake
+    pixel payload (IDAT-/entropy-segment stand-in)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     width = (F.col("doc_id") * 37) % 1024 + 1
     height = (F.col("doc_id") * 73) % 768 + 1
 
-    def le_bytes(col):
-        # 4-byte little-endian: bytes are value, value>>8, value>>16, value>>24
-        parts = [F.unhex(F.lpad(F.hex(
-            F.shiftright(col.cast("long"), 8 * i).bitwiseAND(255)), 2, "0"))
-            for i in range(4)]
-        return F.concat(*parts)
-
+    png = F.concat(
+        F.lit(PNG_SIG),
+        F.lit(b"\x00\x00\x00\x0dIHDR"),        # chunk length 13 + type
+        _be4(width), _be4(height),
+        F.lit(PNG_IHDR_TAIL),
+        F.encode("text", "utf-8"))
+    jpeg = F.concat(
+        F.lit(JPEG_SOI_APP0),
+        F.lit(b"\xff\xc0\x00\x11\x08"),        # SOF0, length 17, precision 8
+        _be2(height), _be2(width),             # JPEG: height FIRST
+        F.lit(JPEG_SOF0_TAIL),
+        F.encode("text", "utf-8"))
     return docs.select(
         "doc_id",
-        F.concat(le_bytes(width), le_bytes(height),
-                 F.encode("text", "utf-8")).alias("blob"))
+        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("blob"))
+
+
+def parse_image_header(blob: bytes) -> Tuple[int, int, int]:
+    """REAL header parse: (width, height, payload_bytes) from actual PNG
+    or JPEG bytes, stdlib-only.
+
+    PNG: signature + IHDR (always the first chunk per the spec) — dims are
+    big-endian u32 at offsets 16/20.  JPEG: walk the marker segments until
+    a SOF0-SOF15 frame header; dims are big-endian u16 (height first).
+    payload_bytes counts everything after the parsed header segments (the
+    stand-in for the IDAT/entropy data a pixel decoder would consume)."""
+    if blob[:8] == PNG_SIG:
+        length, ctype = struct.unpack(">I4s", blob[8:16])
+        if ctype != b"IHDR":
+            raise ValueError("PNG: first chunk is not IHDR")
+        width, height = struct.unpack(">II", blob[16:24])
+        header_end = 16 + length + 4  # chunk data + CRC
+        return width, height, len(blob) - header_end
+    if blob[:2] == b"\xff\xd8":  # JPEG SOI
+        pos = 2
+        while pos + 4 <= len(blob):
+            if blob[pos] != 0xFF:
+                raise ValueError("JPEG: bad marker alignment")
+            marker = blob[pos + 1]
+            seg_len = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
+            if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+                # SOFn: precision u8, height u16, width u16 (big-endian)
+                height, width = struct.unpack(">HH", blob[pos + 5:pos + 9])
+                return width, height, len(blob) - (pos + 2 + seg_len)
+            pos += 2 + seg_len
+        raise ValueError("JPEG: no SOF marker found")
+    raise ValueError("unknown image container")
 
 
 def decode_image(blob: bytes, fake: bool = True):
-    """Decode an image blob.  Real decode requires an image library that is
-    not present in this environment — STUB."""
+    """Image decode.  The header parse is real (PNG IHDR / JPEG SOF);
+    the pixel decode requires a codec library that is not present in this
+    environment — STUB behind fake=True, which returns the parsed
+    (width, height, payload_bytes) metadata."""
     if not fake:
         raise NotImplementedError(
-            "real image decode requires an image library (PIL/opencv); "
+            "real pixel decode requires an image codec (PIL/opencv); "
             "not available in this environment")
-    width, height = struct.unpack("<II", blob[:8])
-    payload = blob[8:]
-    return width, height, len(payload)
+    return parse_image_header(blob)
 
 
 def decode_meta(spark_df: DataFrame) -> DataFrame:
@@ -78,7 +154,8 @@ def decode_meta(spark_df: DataFrame) -> DataFrame:
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end: synthesize blobs -> Arrow-batched decode -> typed meta."""
+    """End-to-end: real-container blobs -> Arrow-batched header parse ->
+    typed meta."""
     return decode_meta(synthesize_blobs(spark, sf_dir))
 
 
@@ -102,9 +179,8 @@ VIDEO_FPS = 24
 def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-fit planning over the binary column: target box
     RESIZE_MAX_DIM, aspect preserved, integer math (floor) so the SQL
-    oracle reproduces it exactly.  The pixel resample itself is the stubbed
-    step; the Arrow batching, header decode, and output schema are the real
-    scale path."""
+    oracle reproduces it exactly.  Dims come from the REAL PNG/JPEG header
+    parse; the pixel resample itself is the stubbed step."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -155,20 +231,15 @@ FROM dims
 
 
 def synthesize_video_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, blob) with a fake video header:
-    u32 n_frames (doc_id % 240 + 1), u32 fps (24)."""
+    """documents -> (doc_id, blob) with a synthetic video header:
+    u32 n_frames (doc_id % 240 + 1), u32 fps (24).  No real container here
+    — MP4/webm demuxing needs a codec library (the one remaining fake
+    framing, documented in the module docstring)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_frames = F.col("doc_id") % 240 + 1
-
-    def le_bytes(col):
-        parts = [F.unhex(F.lpad(F.hex(
-            F.shiftright(col.cast("long"), 8 * i).bitwiseAND(255)), 2, "0"))
-            for i in range(4)]
-        return F.concat(*parts)
-
     return docs.select(
         "doc_id",
-        F.concat(le_bytes(n_frames), le_bytes(F.lit(VIDEO_FPS)),
+        F.concat(_le4(n_frames), _le4(F.lit(VIDEO_FPS)),
                  F.encode("text", "utf-8")).alias("blob"))
 
 
@@ -213,32 +284,61 @@ FROM vids
 
 
 AUDIO_SAMPLE_RATE = 16000
+WAV_BLOCK_ALIGN = 2  # mono, 16-bit PCM
+
+
+def synthesize_audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> (doc_id, blob) with a REAL RIFF/WAVE header: canonical
+    44-byte layout (fmt chunk: PCM, mono, 16-bit at AUDIO_SAMPLE_RATE;
+    data chunk sized n_samples * block_align, body elided — the sample
+    decode is the stubbed step)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n_samples = (F.col("doc_id") * 997) % 480000 + AUDIO_SAMPLE_RATE
+    data_size = n_samples * WAV_BLOCK_ALIGN
+    byte_rate = AUDIO_SAMPLE_RATE * WAV_BLOCK_ALIGN
+    fmt_chunk = (b"fmt " + struct.pack("<IHH", 16, 1, 1)
+                 + struct.pack("<II", AUDIO_SAMPLE_RATE, byte_rate)
+                 + struct.pack("<HH", WAV_BLOCK_ALIGN, 16))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit(b"RIFF"), _le4(data_size + 36), F.lit(b"WAVE"),
+            F.lit(fmt_chunk),
+            F.lit(b"data"), _le4(data_size)).alias("blob"))
+
+
+def parse_wav_header(blob: bytes) -> Tuple[int, int]:
+    """REAL RIFF/WAVE chunk walk: returns (sample_rate, n_samples) from
+    the fmt and data chunks, stdlib-only."""
+    if blob[:4] != b"RIFF" or blob[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE stream")
+    pos = 12
+    sample_rate = block_align = data_size = None
+    while pos + 8 <= len(blob):
+        cid, size = struct.unpack("<4sI", blob[pos:pos + 8])
+        if cid == b"fmt ":
+            (_fmt, _ch, sample_rate, _brate,
+             block_align, _bits) = struct.unpack(
+                "<HHIIHH", blob[pos + 8:pos + 24])
+        elif cid == b"data":
+            data_size = size
+            break  # sample payload elided; size field carries the count
+        pos += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if sample_rate is None or data_size is None:
+        raise ValueError("missing fmt/data chunk")
+    return sample_rate, data_size // block_align
 
 
 def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio metadata over fake blobs (u32 sample_rate, u32 n_samples):
-    duration in integer milliseconds.  Sample decode stubbed; plumbing
-    real."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_samples = (F.col("doc_id") * 997) % 480000 + AUDIO_SAMPLE_RATE
-
-    def le_bytes(col):
-        parts = [F.unhex(F.lpad(F.hex(
-            F.shiftright(col.cast("long"), 8 * i).bitwiseAND(255)), 2, "0"))
-            for i in range(4)]
-        return F.concat(*parts)
-
-    blobs = docs.select(
-        "doc_id",
-        F.concat(le_bytes(F.lit(AUDIO_SAMPLE_RATE)), le_bytes(n_samples))
-        .alias("blob"))
+    """Audio metadata over real WAV headers: duration in integer
+    milliseconds from the parsed fmt/data chunks.  Sample decode stubbed;
+    header parse + Arrow plumbing real."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
         for pdf in batches:
             ids, rates, counts, durs = [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                rate, n = _struct.unpack("<II", bytes(blob)[:8])
+                rate, n = parse_wav_header(bytes(blob))
                 ids.append(doc_id)
                 rates.append(rate)
                 counts.append(n)
@@ -250,7 +350,7 @@ def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "duration_ms": pd.Series(durs, dtype="int64"),
             })
 
-    return blobs.mapInPandas(
+    return synthesize_audio_blobs(spark, sf_dir).mapInPandas(
         kernel, "doc_id bigint, sample_rate bigint, n_samples bigint, "
                 "duration_ms bigint")
 

@@ -77,14 +77,37 @@ def test_ann_lsh_recall(spark):
     assert hits >= 1
 
 
-def test_multimodal_decode_stub():
-    from pdftotext_plus_plus_spark.datapipe.multimodal import decode_image
-
+def test_multimodal_real_headers():
+    """The image/audio blobs carry REAL container headers: PNG IHDR and
+    JPEG SOF0 parse with the stdlib-only parser; the WAV header satisfies
+    Python's own `wave` reader; only pixel decode stays stubbed."""
+    import io
     import struct
-    blob = struct.pack("<II", 64, 48) + b"payload"
-    assert decode_image(blob, fake=True) == (64, 48, 7)
+    import wave
+
+    from pdftotext_plus_plus_spark.datapipe import multimodal as mm
+
+    png = (mm.PNG_SIG + b"\x00\x00\x00\x0dIHDR"
+           + struct.pack(">II", 64, 48) + mm.PNG_IHDR_TAIL + b"payload")
+    assert mm.decode_image(png, fake=True) == (64, 48, 7)
+    jpeg = (mm.JPEG_SOI_APP0 + b"\xff\xc0\x00\x11\x08"
+            + struct.pack(">HH", 48, 64) + mm.JPEG_SOF0_TAIL + b"payload")
+    assert mm.decode_image(jpeg, fake=True) == (64, 48, 7)
     with pytest.raises(NotImplementedError):
-        decode_image(blob, fake=False)
+        mm.decode_image(png, fake=False)
+    with pytest.raises(ValueError):
+        mm.parse_image_header(b"GIF89a not supported")
+
+    # WAV: canonical 44-byte header our parser AND the stdlib agree on
+    n_samples = 16123
+    data = struct.pack("<H", 0) * n_samples
+    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
+           + b"data" + struct.pack("<I", len(data)) + data)
+    assert mm.parse_wav_header(wav) == (16000, n_samples)
+    with wave.open(io.BytesIO(wav)) as w:
+        assert w.getframerate() == 16000
+        assert w.getnframes() == n_samples
 
 
 def test_boilerplate_strip_matches_python_mirror(spark):

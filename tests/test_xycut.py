@@ -88,3 +88,62 @@ def test_choose_none_keeps_group():
     xycut.xy_cut(elems, 5.0, 5.0, 0, choose_none, choose_none, True, groups)
     assert len(groups) == 1
     assert len(groups[0]) == 2
+
+
+def test_x_cut_two_slot_matches_heap_reference():
+    """The q_size==2 two-slot specialization must reproduce the bounded
+    min-heap semantics exactly — candidate positions, element_before
+    identity, and overlapping lists — on random element soups (including
+    rightX ties, which exercise the stable older-first probe order)."""
+    import heapq
+    import random
+
+    def reference_candidates(s_elements, min_gap_width):
+        # the original heap-based sweep, maxOverlap == 1 (q_size 2)
+        tol = 0.0001
+        gap_floor = min_gap_width - tol
+        heap = [(s_elements[0].right_x, 0, s_elements[0])]
+        seq = 1
+        out = []
+        for pos in range(1, len(s_elements)):
+            element = s_elements[pos]
+            if len(heap) == 1:
+                order = heap
+            else:
+                order = ([heap[1], heap[0]] if heap[1][0] > heap[0][0]
+                         else [heap[0], heap[1]])
+            overlapping = []
+            for _, _, prev in order:
+                if prev.left_x < element.left_x - tol:
+                    le, re_ = prev, element
+                else:
+                    le, re_ = element, prev
+                gap = (le.right_x - re_.left_x if le.rotation in (2, 3)
+                       else re_.left_x - le.right_x)
+                if gap >= gap_floor:
+                    out.append((pos, id(prev), tuple(id(o) for o in overlapping)))
+                    break
+                overlapping.append(prev)
+            if element.right_x > heap[0][0] + tol:
+                if len(heap) == 2:
+                    heapq.heappop(heap)
+                heapq.heappush(heap, (element.right_x, seq, element))
+                seq += 1
+        return out
+
+    rng = random.Random(7)
+    for trial in range(200):
+        n = rng.randint(2, 12)
+        elems = []
+        for _ in range(n):
+            lx = rng.choice([0, 5, 10, 15, 20, 25])
+            w = rng.choice([3, 5, 8, 10])
+            elems.append(el(lx, rng.randint(0, 20), lx + w,
+                            rng.randint(21, 40)))
+        s_elems = sorted(elems, key=lambda e: e.left_x)
+        expected = reference_candidates(s_elems, 4.0)
+        cuts = []
+        xycut.x_cut(list(elems), 4.0, 1, choose_none, True, None, cuts)
+        got = [(c.pos_in_elements, id(c.element_before),
+                tuple(id(o) for o in c.overlapping_elements)) for c in cuts]
+        assert got == expected, trial
