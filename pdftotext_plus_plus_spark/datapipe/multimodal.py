@@ -230,17 +230,68 @@ FROM dims
 """
 
 
+MP4_TIMESCALE = VIDEO_FPS  # 1 movie-timescale unit == 1 frame at 24 fps
+# ftyp box (isom major brand) + moov header + mvhd prefix: version 0,
+# flags 0, creation/modification time 0 — duration (u32 frames at the
+# frame-rate timescale) is spliced in per row
+MP4_FTYP = struct.pack(">I4s4sI4s", 20, b"ftyp", b"isom", 0x200, b"isom")
+MP4_MVHD_PRE = (struct.pack(">I4s", 8 + 108, b"moov")
+                + struct.pack(">I4s", 108, b"mvhd")
+                + b"\x00\x00\x00\x00"            # version + flags
+                + struct.pack(">II", 0, 0))      # creation/modification
+# mvhd tail after duration: rate 1.0, volume 1.0, reserved, identity
+# matrix, predefined, next_track_id
+MP4_MVHD_TAIL = (struct.pack(">IHH", 0x00010000, 0x0100, 0)
+                 + b"\x00" * 8
+                 + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0, 0,
+                               0x40000000)
+                 + b"\x00" * 24 + struct.pack(">I", 2))
+
+
 def synthesize_video_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, blob) with a synthetic video header:
-    u32 n_frames (doc_id % 240 + 1), u32 fps (24).  No real container here
-    — MP4/webm demuxing needs a codec library (the one remaining fake
-    framing, documented in the module docstring)."""
+    """documents -> (doc_id, blob) with a REAL MP4 header: ftyp box +
+    moov/mvhd carrying timescale = 24 (1 unit per frame) and duration =
+    n_frames (doc_id % 240 + 1) — the fields a real demuxer reads for
+    clip length.  Track/sample tables (and frame decode) stay out of
+    scope: those need a codec library."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     n_frames = F.col("doc_id") % 240 + 1
+    payload = F.encode("text", "utf-8")
     return docs.select(
         "doc_id",
-        F.concat(_le4(n_frames), _le4(F.lit(VIDEO_FPS)),
-                 F.encode("text", "utf-8")).alias("blob"))
+        F.concat(F.lit(MP4_FTYP + MP4_MVHD_PRE),
+                 _be4(F.lit(MP4_TIMESCALE)), _be4(n_frames),
+                 F.lit(MP4_MVHD_TAIL),
+                 # the fake sample data rides in a well-formed mdat box
+                 _be4(F.octet_length(payload) + 8), F.lit(b"mdat"),
+                 payload).alias("blob"))
+
+
+def parse_mp4_header(blob: bytes) -> Tuple[int, int]:
+    """REAL MP4 box walk: returns (timescale, duration) from the
+    moov/mvhd box, stdlib-only (ISO/IEC 14496-12 box layout)."""
+    def walk(buf, start, end, path):
+        pos = start
+        while pos + 8 <= end:
+            size, btype = struct.unpack(">I4s", buf[pos:pos + 8])
+            if size < 8:
+                raise ValueError("mp4: bad box size")
+            if btype == path[0]:
+                if len(path) == 1:
+                    return pos
+                return walk(buf, pos + 8, pos + size, path[1:])
+            pos += size
+        raise ValueError("mp4: box not found: %r" % (path,))
+
+    mvhd = walk(blob, 0, len(blob), [b"moov", b"mvhd"])
+    version = blob[mvhd + 8]
+    if version == 0:
+        timescale, duration = struct.unpack(
+            ">II", blob[mvhd + 20:mvhd + 28])
+    else:  # version 1: 64-bit times
+        timescale = struct.unpack(">I", blob[mvhd + 28:mvhd + 32])[0]
+        duration = struct.unpack(">Q", blob[mvhd + 32:mvhd + 40])[0]
+    return timescale, duration
 
 
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -251,12 +302,12 @@ def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scale pattern for frame extraction."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        import struct as _struct
         for pdf in batches:
             ids, idxs, stamps = [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                b = bytes(blob)
-                n_frames, fps = _struct.unpack("<II", b[:8])
+                # real mvhd parse: timescale = fps (1 unit per frame), so
+                # the movie duration IS the frame count
+                fps, n_frames = parse_mp4_header(bytes(blob))
                 for frame_idx in range(0, n_frames, fps):
                     ids.append(doc_id)
                     idxs.append(frame_idx)

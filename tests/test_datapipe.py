@@ -109,6 +109,14 @@ def test_multimodal_real_headers():
         assert w.getframerate() == 16000
         assert w.getnframes() == n_samples
 
+    # MP4: ftyp + moov/mvhd box walk (timescale, duration) + mdat payload
+    mp4 = (mm.MP4_FTYP + mm.MP4_MVHD_PRE
+           + struct.pack(">II", 24, 97) + mm.MP4_MVHD_TAIL
+           + struct.pack(">I4s", 8 + 3, b"mdat") + b"abc")
+    assert mm.parse_mp4_header(mp4) == (24, 97)
+    with pytest.raises(ValueError):
+        mm.parse_mp4_header(b"\x00\x00\x00\x08free")
+
 
 def test_boilerplate_strip_matches_python_mirror(spark):
     from pdftotext_plus_plus_spark.datapipe import htmlstrip
