@@ -300,10 +300,17 @@ def settle_machine(max_wait_s: int = 120) -> None:
 
 def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
           mp_low_docs: int, mp_high_docs: int,
-          rep_high: Optional[int] = None) -> dict:
+          rep_high: Optional[int] = None,
+          deadline: Optional[float] = None,
+          min_rounds: int = 3) -> dict:
     """Measure one N -> 4N pair: `rounds` alternating (low, high) timed
     sections with equal-load spinners on the low side, an mp-ceiling sample
-    every round (so normalization tracks bursty co-tenant load)."""
+    every round (so normalization tracks bursty co-tenant load).
+
+    ``deadline`` (absolute time.time()) soft-bounds the loop: once at least
+    ``min_rounds`` rounds are recorded, no new round starts past it — a
+    co-tenant-loaded box then degrades to fewer rounds instead of losing
+    the whole bench record to the driver's timeout."""
     n_low, n_high = low_srv.cpus, high_srv.cpus
     eq = n_high - n_low
     # the high level repeats its (identical) job per timed section so both
@@ -320,6 +327,9 @@ def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
     low, high, ratios = [], [], []
     mp_ratios = []
     for r in range(rounds):
+        if (deadline is not None and r >= min_rounds
+                and time.time() > deadline):
+            break
         rl = low_srv.run(replicate, spinners=eq)
         rh = high_srv.run(replicate, spinners=0, repeat=rep_high)
         low.append(rl)
@@ -368,6 +378,12 @@ def main() -> None:
     ensure_corpus()
     settle_machine()
     total_t0 = time.perf_counter()
+    # soft wall-clock budget: pair A may use ~55% of it, pair B up to 80%;
+    # past a threshold the pair loops stop adding rounds (>= 3 kept) so a
+    # loaded box yields a shorter-but-parseable record instead of a
+    # driver-side timeout losing the artifact entirely
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "1700"))
+    wall_t0 = time.time()
 
     srv = {}
     for cpus in (2, 8, CPUS):
@@ -379,13 +395,14 @@ def main() -> None:
     # side repeats 4x per section (the linear-region speedup) so both
     # sides see equal-length windows
     pair_a = _pair(srv[2], srv[8], ROUNDS_A, REPLICATE_A,
-                   mp_low_docs=BENCH_DOCS, mp_high_docs=BENCH_DOCS * 2)
+                   mp_low_docs=BENCH_DOCS, mp_high_docs=BENCH_DOCS * 2,
+                   deadline=wall_t0 + 0.55 * budget)
     # pair B: local[8] -> local[32] (the BASELINE.md-stated proxy pair);
     # the box saturates above ~16 workers (observed 8->32 speedup ~1.6),
     # so repeat 2x approximates equal windows
     pair_b = _pair(srv[8], srv[CPUS], ROUNDS_B, REPLICATE_B,
                    mp_low_docs=BENCH_DOCS * 2, mp_high_docs=BENCH_DOCS * 4,
-                   rep_high=2)
+                   rep_high=2, deadline=wall_t0 + 0.8 * budget)
     for s in srv.values():
         s.stop()
 

@@ -495,6 +495,68 @@ def extract_jsonl_shapes_oracle_sql() -> str:
             " page, rank, min_x, min_y, max_x, max_y)" % ",\n".join(values))
 
 
+def extract_visualization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 — the visualization sink through the driver: the figures/shapes
+    layers of the per-document SVG (visualization.serialize_svg, ref
+    PdfDocumentVisualization.cpp:268-288) parsed back from the string
+    surface — ids and box geometry against construction-time page
+    geometry."""
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_JSONL_FIG_DOCS, families=JSONL_FIG_FAMILIES))
+    out = engine.extract_pages(pages, num_partitions=8,
+                               svg_units=("figures", "shapes"))
+    rect_rx = (r'<rect class="(?:figures|shapes)" id="([a-z]+-\d+-\d+)"'
+               r' x="([-\d.]+)" y="([-\d.]+)"'
+               r' width="([-\d.]+)" height="([-\d.]+)"')
+    rects = (out.select(
+        "url",
+        F.posexplode(F.regexp_extract_all("svg", F.lit(rect_rx), F.lit(0)))
+        .alias("pos", "rect")))
+    return rects.select(
+        "url", "pos",
+        F.regexp_extract("rect", rect_rx, 1).alias("elem_id"),
+        F.regexp_extract("rect", rect_rx, 2).cast("double").alias("x"),
+        F.regexp_extract("rect", rect_rx, 3).cast("double").alias("y"),
+        F.regexp_extract("rect", rect_rx, 4).cast("double").alias("w"),
+        F.regexp_extract("rect", rect_rx, 5).cast("double").alias("h"))
+
+
+def extract_visualization_oracle_sql() -> str:
+    """VALUES oracle from the construction-time page geometry, in the
+    SVG's emit order (pages outer, figures-then-shapes inner) with the
+    serializer's %.1f number formatting reproduced exactly."""
+    import random
+
+    from .. import fixtures
+
+    values = []
+    for i in range(N_JSONL_FIG_DOCS):
+        family = JSONL_FIG_FAMILIES[i % len(JSONL_FIG_FAMILIES)]
+        rng = random.Random(42 * 1000003 + i)  # build_corpus's per-doc rng
+        _, _, pages = fixtures.build_family_pages(family, rng)
+        url = "https://fixture.test/%s/doc-%05d" % (family, i)
+        pos = 0
+        for page in pages:
+            for kind_key, kind in (("figures", "figure"), ("shapes", "shape")):
+                for j, (lx, uy, rx, ly) in enumerate(page.get(kind_key, [])):
+                    values.append(
+                        "('%s', %d, '%s-%d-%d', %r, %r, %r, %r)"
+                        % (url, pos, kind, page["page_num"], j,
+                           float("%.1f" % lx), float("%.1f" % uy),
+                           float("%.1f" % (rx - lx)),
+                           float("%.1f" % (ly - uy))))
+                    pos += 1
+    return ("SELECT url, pos, elem_id, CAST(x AS DOUBLE) AS x,"
+            " CAST(y AS DOUBLE) AS y, CAST(w AS DOUBLE) AS w,"
+            " CAST(h AS DOUBLE) AS h"
+            " FROM (VALUES\n%s\n) AS t(url, pos, elem_id, x, y, w, h)"
+            % ",\n".join(values))
+
+
 N_ROLE_DOCS = 16
 
 
@@ -689,6 +751,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   minhash_signatures  — exercised inside minhash_lsh_pairs' band minima
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
 #   event_tumbling_counts — the hop==width special case of hopping counts
+#   ann_lsh_topk        — the single-table special case of the multiprobe
+#                         multi-table ANN (also recall-tested in pytest)
 # scripts/check_oracles.py still verifies every entry; ORACLE_PARITY.md
 # records the full in-repo run.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
@@ -705,6 +769,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
     "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
     "extract_jsonl_shapes": (extract_jsonl_shapes, None),  # oracle below
+    "extract_visualization": (extract_visualization, None),  # oracle below
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
     "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
@@ -738,7 +803,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # similarity search
     "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
                             similarity.ANN_BRUTEFORCE_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
     "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
                                 similarity.ANN_MULTIPROBE_SQL),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
@@ -784,6 +848,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                        chunking.DEDUP_CLUSTERS_SQL),
     "event_tumbling_counts": (events.tumbling_counts,
                               events.TUMBLING_COUNTS_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
 }
 
 
@@ -808,6 +873,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_jsonl_chars"] = extract_jsonl_chars_oracle_sql()
     oracles["extract_jsonl_figures"] = extract_jsonl_figures_oracle_sql()
     oracles["extract_jsonl_shapes"] = extract_jsonl_shapes_oracle_sql()
+    oracles["extract_visualization"] = extract_visualization_oracle_sql()
     oracles["extract_roles"] = extract_roles_oracle_sql()
     oracles["extract_roles_model"] = extract_roles_oracle_sql()
     oracles["extract_text_role_filtered"] = \

@@ -50,7 +50,8 @@ BLOCK_SPAN_TYPE = pa.struct([
 ])
 
 
-def _arrow_schema(with_spans: bool, with_jsonl: bool = False) -> pa.Schema:
+def _arrow_schema(with_spans: bool, with_jsonl: bool = False,
+                  with_svg: bool = False) -> pa.Schema:
     fields = [
         ("url", pa.string()),
         ("extracted_text", pa.string()),
@@ -69,10 +70,13 @@ def _arrow_schema(with_spans: bool, with_jsonl: bool = False) -> pa.Schema:
         fields.append(("blocks", pa.list_(BLOCK_SPAN_TYPE)))
     if with_jsonl:
         fields.append(("jsonl", pa.string()))
+    if with_svg:
+        fields.append(("svg", pa.string()))
     return pa.schema(fields)
 
 
-def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False) -> str:
+def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False,
+                      with_svg: bool = False) -> str:
     ddl = ("url string, extracted_text string, extracted_text_extended string, "
            "parse_failure_code int, n_pages int, n_chars int, n_words int, "
            "n_lines int, n_blocks int, payload_bytes bigint, part_id int, "
@@ -83,6 +87,8 @@ def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False) -> str:
                 "font_size: double, text: string, role: string>>")
     if with_jsonl:
         ddl += ", jsonl string"
+    if with_svg:
+        ddl += ", svg string"
     return ddl
 
 
@@ -91,8 +97,8 @@ def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False) -> str:
 # ---------------------------------------------------------------------------
 
 def _make_kernel(config: PipelineConfig, with_spans: bool,
-                 roles=None, jsonl_units=None):
-    schema = _arrow_schema(with_spans, bool(jsonl_units))
+                 roles=None, jsonl_units=None, svg_units=None):
+    schema = _arrow_schema(with_spans, bool(jsonl_units), bool(svg_units))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -111,10 +117,12 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
             sizes, times = [], []
             spans = [] if with_spans else None
             jsonls = [] if jsonl_units else None
+            svgs = [] if svg_units else None
             for i in range(n):
                 t0 = time.perf_counter()
                 res = extract(htmls[i], config, with_spans=with_spans,
-                              roles=roles, jsonl_units=jsonl_units)
+                              roles=roles, jsonl_units=jsonl_units,
+                              svg_units=svg_units)
                 dt = (time.perf_counter() - t0) * 1000.0
                 texts.append(res.extracted_text)
                 texts_ext.append(res.extracted_text_extended)
@@ -134,6 +142,8 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
                         "text": b.text, "role": b.role} for b in res.blocks])
                 if jsonl_units:
                     jsonls.append(res.jsonl)
+                if svg_units:
+                    svgs.append(res.svg)
 
             arrays = [
                 pa.array(urls, pa.string()),
@@ -153,6 +163,8 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
                 arrays.append(pa.array(spans, pa.list_(BLOCK_SPAN_TYPE)))
             if jsonl_units:
                 arrays.append(pa.array(jsonls, pa.string()))
+            if svg_units:
+                arrays.append(pa.array(svgs, pa.string()))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return kernel
@@ -187,11 +199,13 @@ def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
                   num_partitions: Optional[int] = None,
                   salted: bool = True,
                   roles=None,
-                  jsonl_units=None):
+                  jsonl_units=None,
+                  svg_units=None):
     """pages DataFrame -> extraction DataFrame (one row per url).
 
-    ``roles`` / ``jsonl_units`` mirror the reference CLI's --role / --type
-    options (serializer-level filtering and the JSONL sink)."""
+    ``roles`` / ``jsonl_units`` / ``svg_units`` mirror the reference CLI's
+    --role / --type / --visualize-* options (serializer-level filtering,
+    the JSONL sink, and the S8 visualization sink)."""
     projected = df.select("url", "html")  # column pruning reaches the scan
     if salted:
         projected = salted_repartition(projected, num_partitions)
@@ -199,9 +213,10 @@ def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
         projected = projected.repartition(num_partitions)
     roles = frozenset(roles) if roles else None
     jsonl_units = tuple(jsonl_units) if jsonl_units else None
+    svg_units = tuple(svg_units) if svg_units else None
     return projected.mapInArrow(
-        _make_kernel(config, with_spans, roles, jsonl_units),
-        _spark_schema_ddl(with_spans, bool(jsonl_units)))
+        _make_kernel(config, with_spans, roles, jsonl_units, svg_units),
+        _spark_schema_ddl(with_spans, bool(jsonl_units), bool(svg_units)))
 
 
 def lineage_frame(result_df):

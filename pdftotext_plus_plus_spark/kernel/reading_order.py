@@ -53,18 +53,18 @@ class _ReadingOrderDetector:
             primary_x_groups: List[List[object]] = []
             xycut.x_cut(elements, cfg.reading_order_min_x_cut_gap_width, 0,
                         self.choose_primary_x_cuts, False,
-                        primary_x_groups, None)
+                        primary_x_groups, page.reading_order_cuts)
             for px_group in primary_x_groups:
                 primary_y_groups: List[List[object]] = []
                 xycut.y_cut(px_group, cfg.reading_order_min_y_cut_gap_height,
                             self.choose_primary_y_cuts, False,
-                            primary_y_groups, None)
+                            primary_y_groups, page.reading_order_cuts)
                 for py_group in primary_y_groups:
                     xycut.xy_cut(py_group,
                                  cfg.reading_order_min_x_cut_gap_width,
                                  cfg.reading_order_min_y_cut_gap_height, 0,
                                  self.choose_x_cuts, self.choose_y_cuts,
-                                 False, groups, None)
+                                 False, groups, page.reading_order_cuts)
 
             blocks_sorted: List[Block] = []
             for group in groups:

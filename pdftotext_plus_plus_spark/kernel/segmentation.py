@@ -36,7 +36,7 @@ def _process_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
                  config.y_cut_min_gap_height,
                  config.x_cut_max_num_overlapping_elements,
                  chooser.choose_x_cuts, chooser.choose_y_cuts,
-                 False, groups, None)
+                 False, groups, page.segment_cuts)
 
     for group in groups:
         page.segments.append(_create_segment(group))

@@ -374,7 +374,7 @@ class Page:
     __slots__ = ("page_num", "clip_left_x", "clip_upper_y", "clip_right_x",
                  "clip_lower_y", "_characters", "char_cols", "figures",
                  "shapes", "graphics", "words", "segments", "blocks",
-                 "ascii_only")
+                 "ascii_only", "segment_cuts", "reading_order_cuts")
 
     def __init__(self, page_num: int = 1):
         self.page_num = page_num
@@ -395,6 +395,11 @@ class Page:
         self.words: List[Word] = []
         self.segments: List[Segment] = []
         self.blocks: List[Block] = []
+        # cut candidates recorded by segmentation / reading order for the
+        # S8 visualization sink (cf. PdfPage::blockDetectionCuts /
+        # readingOrderCuts, Types.h:1049-1052)
+        self.segment_cuts: list = []
+        self.reading_order_cuts: list = []
 
     @property
     def characters(self) -> List[Char]:

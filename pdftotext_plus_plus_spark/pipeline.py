@@ -49,6 +49,7 @@ class ExtractionResult:
     blocks: List[BlockSpan] = field(default_factory=list)
     timings_ms: Dict[str, float] = field(default_factory=dict)
     jsonl: str = ""
+    svg: str = ""
     doc: Optional[Doc] = None
 
 
@@ -58,12 +59,15 @@ def extract(payload: Optional[bytes],
             with_spans: bool = True,
             with_timings: bool = False,
             roles=None,
-            jsonl_units=None) -> ExtractionResult:
+            jsonl_units=None,
+            svg_units=None) -> ExtractionResult:
     """Run decode -> 13-stage pipeline -> serializers on one payload.
 
     ``roles`` filters serialized blocks like the reference's --role option
     (PlainTextSerializer.cpp:47-49); ``jsonl_units`` additionally produces
-    the JSONL serialization for the requested element types (--type).
+    the JSONL serialization for the requested element types (--type);
+    ``svg_units`` produces the S8 visualization SVG for the requested
+    layers (the reference's --visualize-* family, visualization.py).
     """
     result = ExtractionResult()
 
@@ -86,6 +90,9 @@ def extract(payload: Optional[bytes],
     result.extracted_text_extended = serializers.serialize_txt_extended(doc, roles)
     if jsonl_units:
         result.jsonl = serializers.serialize_jsonl(doc, jsonl_units, roles)
+    if svg_units:
+        from . import visualization
+        result.svg = visualization.serialize_svg(doc, svg_units)
     if with_timings:
         result.timings_ms[STAGE_SERIALIZE] = (time.perf_counter() - t2) * 1000.0
 
