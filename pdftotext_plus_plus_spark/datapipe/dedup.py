@@ -457,3 +457,71 @@ JOIN norms na ON na.vec_id = d.id_a
 JOIN norms nb ON nb.vec_id = d.id_b
 WHERE round(d.dot / (na.norm * nb.norm), 4) >= {COSINE_DUP_THRESHOLD}
 """
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+# Training-data decontamination by benchmark n-gram overlap (the practice
+# of Brown et al. 2020 appendix C and The Pile/FineWeb pipelines): a
+# training document is contaminated when it shares an n-token gram with
+# any held-out benchmark document.  The deterministic stand-in benchmark
+# set is every DECON_BENCH_EVERY-th doc_id.
+DECON_GRAM = 5
+DECON_BENCH_EVERY = 100
+
+
+def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per NON-benchmark document: the number of distinct DECON_GRAM-token
+    grams shared with the benchmark set, and the contamination flag.
+
+    At 10^12 rows the benchmark gram table is tiny (thousands of prompts
+    x ~100 grams) -> broadcast inner join against the corpus gram stream;
+    the shuffle is one partial-agg count per (doc) after the broadcast
+    filter.  No quadratic stage, no full-corpus distinct."""
+    docs = _documents(spark, sf_dir)
+    grams = (docs
+             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+             .select("doc_id", F.explode(F.expr(
+                 f"CASE WHEN size(toks) < {DECON_GRAM} THEN array()"
+                 f" ELSE transform(sequence(1, size(toks) - {DECON_GRAM - 1}),"
+                 f" i -> array_join(slice(toks, i, {DECON_GRAM}), ' ')) END"))
+             .alias("gram"))
+             .distinct())
+    is_bench = F.col("doc_id") % DECON_BENCH_EVERY == 0
+    bench_grams = (grams.filter(is_bench).select("gram").distinct())
+    hits = (grams.filter(~is_bench)
+            .join(F.broadcast(bench_grams), "gram")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams")))
+    return (docs.filter(~is_bench).select("doc_id").join(hits, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_shared_grams", F.lit(0))
+                    .alias("n_shared_grams"),
+                    (F.coalesce("n_shared_grams", F.lit(0)) > 0)
+                    .cast("int").alias("contaminated")))
+
+
+BENCHMARK_DECONTAMINATE_SQL = f"""
+WITH grams AS (
+  SELECT DISTINCT doc_id, array_to_string(toks[i:i+{DECON_GRAM - 1}], ' ') AS gram
+  FROM (SELECT d.doc_id, string_split_regex(trim(d.text), '\\s+') AS toks,
+               unnest(generate_series(1, len(string_split_regex(trim(d.text), '\\s+')) - {DECON_GRAM - 1})) AS i
+        FROM documents d
+        WHERE len(string_split_regex(trim(d.text), '\\s+')) >= {DECON_GRAM})
+), bench AS (
+  SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_EVERY} = 0
+), hits AS (
+  SELECT g.doc_id, count(*) AS n_shared_grams
+  FROM grams g JOIN bench b ON b.gram = g.gram
+  WHERE g.doc_id % {DECON_BENCH_EVERY} != 0
+  GROUP BY g.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(h.n_shared_grams, 0) AS n_shared_grams,
+       CASE WHEN COALESCE(h.n_shared_grams, 0) > 0 THEN 1 ELSE 0 END
+         AS contaminated
+FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
+WHERE d.doc_id % {DECON_BENCH_EVERY} != 0
+"""

@@ -753,6 +753,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   event_tumbling_counts — the hop==width special case of hopping counts
 #   ann_lsh_topk        — the single-table special case of the multiprobe
 #                         multi-table ANN (also recall-tested in pytest)
+#   lang_id             — the stopword-ratio special case of the trigram
+#                         profile detector (lang_id_trigram)
+#   multimodal_meta     — the bare header parse that image_resize_meta
+#                         runs as its first step
 # scripts/check_oracles.py still verifies every entry; ORACLE_PARITY.md
 # records the full in-repo run.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
@@ -807,7 +811,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 similarity.ANN_MULTIPROBE_SQL),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
     # text analysis
-    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
     "lang_id_trigram": (textstats.lang_id_trigram,
                         textstats.LANG_ID_TRIGRAM_SQL),
     "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
@@ -815,6 +818,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
     "repetition_stats": (textstats.repetition_stats,
                          textstats.REPETITION_STATS_SQL),
+    "benchmark_decontaminate": (dedup.benchmark_decontaminate,
+                                dedup.BENCHMARK_DECONTAMINATE_SQL),
+    "source_mix_weights": (textstats.source_mix_weights,
+                           textstats.SOURCE_MIX_WEIGHTS_SQL),
     "vocab_top_tokens": (textstats.vocab_top_tokens,
                          textstats.VOCAB_TOP_TOKENS_SQL),
     "tfidf_keywords": (textstats.tfidf_keywords,
@@ -822,8 +829,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "per_source_topk": (textstats.per_source_topk,
                         textstats.PER_SOURCE_TOPK_SQL),
     # multimodal plumbing
-    "multimodal_meta": (multimodal.multimodal_meta,
-                        multimodal.MULTIMODAL_META_SQL),
     "image_resize_meta": (multimodal.image_resize_meta,
                           multimodal.IMAGE_RESIZE_SQL),
     "video_frame_sample": (multimodal.video_frame_sample,
@@ -849,6 +854,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "event_tumbling_counts": (events.tumbling_counts,
                               events.TUMBLING_COUNTS_SQL),
     "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
+    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
+    "multimodal_meta": (multimodal.multimodal_meta,
+                        multimodal.MULTIMODAL_META_SQL),
 }
 
 

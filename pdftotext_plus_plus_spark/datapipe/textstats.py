@@ -468,3 +468,43 @@ FROM (SELECT source, doc_id, n_chars,
       FROM documents)
 WHERE rank <= {SOURCE_TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# domain mixing weights
+# ---------------------------------------------------------------------------
+
+def source_mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source sampling weights for a UNIFORM target mixture: the
+    multiplier each source's documents need so the sampled corpus hits the
+    target share (the domain-reweighting step of a training-data pipeline;
+    cf. The Pile's epoch weights).
+
+    weight_s = target_share / corpus_share = (N / k) / n_s for k sources.
+    At 100 TB this is one map-side-partial count agg (k rows) plus a
+    broadcast of the single-row total — no wide shuffle."""
+    docs = _documents(spark, sf_dir)
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = counts.agg(F.sum("n_docs").alias("n_total"),
+                       F.count("*").alias("k"))
+    return (counts.crossJoin(F.broadcast(total))
+            .select("source", "n_docs",
+                    F.round(F.col("n_docs") / F.col("n_total"), 6)
+                    .alias("corpus_share"),
+                    F.round(F.lit(1.0) / F.col("k"), 6).alias("target_share"),
+                    F.round(F.col("n_total") / (F.col("k") * F.col("n_docs")),
+                            6).alias("sample_weight")))
+
+
+SOURCE_MIX_WEIGHTS_SQL = """
+WITH counts AS (
+  SELECT source, count(*) AS n_docs FROM documents GROUP BY source
+), total AS (
+  SELECT sum(n_docs) AS n_total, count(*) AS k FROM counts
+)
+SELECT c.source, c.n_docs,
+       round(c.n_docs / t.n_total, 6) AS corpus_share,
+       round(1.0 / t.k, 6) AS target_share,
+       round(t.n_total / (t.k * c.n_docs), 6) AS sample_weight
+FROM counts c CROSS JOIN total t
+"""

@@ -278,7 +278,7 @@ def _materialize_words(page, filtered, data, cols, bounds,
         word.rotation = int(row[4])
         word.w_mode = int(row[5])
         if ccols is None:
-            word.characters = filtered[s:e]
+            word._chars = filtered[s:e]  # slot direct: skip the descriptor
             word.char_src = None
         else:
             word._chars = None  # lazy: CharCols.materialize(s, e)

@@ -228,3 +228,15 @@ def test_inactive_customers_is_anti_join(spark):
     assert "LeftAnti" in plan
     assert "PushedFilters: [IsNotNull(o_orderdate)" in plan or \
         "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_decontaminate_plan_broadcasts_benchmark_grams(spark):
+    """The benchmark gram table must reach the corpus gram stream as a
+    broadcast (it is thousands of prompts at any corpus scale); the corpus
+    side must NOT be globally distinct'd or sorted."""
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    df = dedup.benchmark_decontaminate(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
