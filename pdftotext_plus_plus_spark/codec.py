@@ -350,9 +350,7 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                     # rows: [left, up, right, low, rotation, w_mode,
                     #        font_size, base] per kept char, decode order
                     sub = num[kept]
-                    karr = np.ascontiguousarray(
-                        sub[:, (0, 1, 2, 3, 6, 7, 5, 4)])
-                    rows = karr.tolist()
+                    rows = sub[:, (0, 1, 2, 3, 6, 7, 5, 4)].tolist()
                     ktexts = list(bytes(tb[kept]).decode("ascii"))
                     fname_col = np.array(font_names, dtype=object)[
                         sub[:, 8].astype(np.intp)].tolist()
@@ -360,8 +358,7 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                         rows, ktexts, fname_col,
                         sub[:, 5].tolist(), sub[:, 4].tolist(), page_num,
                         all_upright=not (bool(sub[:, 6].any())
-                                         or bool(sub[:, 7].any())),
-                        arr=karr)
+                                         or bool(sub[:, 7].any())))
                     page.characters = None  # lazy (CharCols.materialize)
                     n_chars = 0  # general loop below skipped
                 if n_chars:

@@ -10,8 +10,6 @@ from __future__ import annotations
 
 import math
 
-import numpy as np
-
 from ..config import PipelineConfig
 from ..model import Doc, Page, Word
 from ..utils.counter import most_freq
@@ -87,6 +85,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
     aw_rot = aw_wmode = 0
     aw_fs = 0.0
     bounds = [0]  # word-start indices into `filtered` (words are contiguous)
+    wboxes = []   # finished-word bboxes, tracked by the scan itself
 
     if ccols is not None and ccols.all_upright:
         # UPRIGHT specialization (rotation == w_mode == 0 for every char,
@@ -121,6 +120,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
 
             if starts:
                 bounds.append(i)
+                wboxes.append((aw_left, aw_up, aw_right, aw_low))
                 aw_left = aw_up = math.inf
                 aw_right = aw_low = -math.inf
                 aw_fs = 0.0
@@ -136,7 +136,9 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
                 aw_low = c_low
             if c_fs > aw_fs:
                 aw_fs = c_fs
-        _materialize_words(page, filtered, data, cols, bounds, config)
+        wboxes.append((aw_left, aw_up, aw_right, aw_low))
+        _materialize_words(page, filtered, data, cols, bounds, wboxes,
+                           config)
         return
 
     for i, row in enumerate(data):
@@ -178,6 +180,7 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
 
         if starts:
             bounds.append(i)
+            wboxes.append((aw_left, aw_up, aw_right, aw_low))
             start = -1
             aw_left = aw_up = math.inf
             aw_right = aw_low = -math.inf
@@ -198,32 +201,29 @@ def _detect_words_page(doc: Doc, page: Page, config: PipelineConfig) -> None:
         if c_fs > aw_fs:
             aw_fs = c_fs
 
-    _materialize_words(page, filtered, data, cols, bounds, config)
+    wboxes.append((aw_left, aw_up, aw_right, aw_low))
+    _materialize_words(page, filtered, data, cols, bounds, wboxes, config)
 
 
-def _materialize_words(page, filtered, data, cols, bounds,
+def _materialize_words(page, filtered, data, cols, bounds, wboxes,
                        config: PipelineConfig) -> None:
     """Materialize all of a page's words (createWord,
     WordsDetectionUtils.cpp:43-106) from page-level attribute columns.
 
-    Word bboxes are per-segment extrema computed in four ``np.*.reduceat``
-    calls over the whole page (words are contiguous runs over ``filtered``,
-    so the word-start index list IS the reduceat segment list); the per-word
-    Python work shrinks to the text join + mode picks + one slotted-object
-    fill (with the rare annotation fields as class defaults, model.Word).
-    The T4 stacked-math base flag (raw char text / glyph name in the config
-    sets, WordsDetection.cpp:272-283) is two C-level ``isdisjoint`` scans
-    over the raw-text and name column slices."""
+    Word bboxes arrive precomputed from the scan loop (``wboxes`` — the
+    scan's running min/max IS the word envelope, so no numpy reduceat
+    pass is needed); the per-word Python work shrinks to the text join +
+    mode picks + one slotted-object fill (with the rare annotation fields
+    as class defaults, model.Word).  The T4 stacked-math base flag (raw
+    char text / glyph name in the config sets, WordsDetection.cpp:272-283)
+    is two C-level ``isdisjoint`` scans over the raw-text and name column
+    slices."""
     texts, fnames, fsizes, bases, raws, names = cols
     stm_texts = config.stacked_math_char_texts
     stm_names = config.stacked_math_char_names
     stm_words = config.stacked_math_words
     n = len(data)
     ccols = page.char_cols if filtered is None else None
-    # the columnar page already carries the (n x 8) ndarray; the object
-    # path builds it from the per-char tuples
-    arr = ccols.arr if ccols is not None else np.array(data,
-                                                      dtype=np.float64)
     # page-uniform font fast path: with one font name AND one font size on
     # the page, every word's mode is that value — the two per-word
     # most_freq passes collapse to constants
@@ -234,11 +234,6 @@ def _materialize_words(page, filtered, data, cols, bounds,
             s0 = fsizes[0]
             if fsizes.count(s0) == len(fsizes):
                 uni_fname, uni_fsize = f0, s0
-    bidx = np.array(bounds, dtype=np.intp)
-    lefts = np.minimum.reduceat(arr[:, 0], bidx).tolist()
-    ups = np.minimum.reduceat(arr[:, 1], bidx).tolist()
-    rights = np.maximum.reduceat(arr[:, 2], bidx).tolist()
-    lows = np.maximum.reduceat(arr[:, 3], bidx).tolist()
     page_num = page.page_num
     words = page.words
     n_words = len(bounds)
@@ -248,10 +243,11 @@ def _materialize_words(page, filtered, data, cols, bounds,
         e = bounds[wi + 1] if wi + 1 < n_words else n
         word = new(Word)
         word.page_num = page_num
-        word.left_x = lefts[wi]
-        word.upper_y = ups[wi]
-        word.right_x = rights[wi]
-        word.lower_y = lows[wi]
+        box = wboxes[wi]
+        word.left_x = box[0]
+        word.upper_y = box[1]
+        word.right_x = box[2]
+        word.lower_y = box[3]
         raw_slice = raws[s:e]
         if e - s == 1:  # single-char fast path (most words in math/sparse text)
             word.text = texts[s]
