@@ -56,6 +56,11 @@ VERSION = 2
 # rendering matrix.  The encoder emits v3 only when a font carries glyph
 # bboxes, so v2 corpora stay byte-identical.
 VERSION_GLYPH_BBOX = 3
+# v4 replaces v3's precomputed glyph-bbox tables with the RAW embedded
+# Type 1 font program (S4 deep path, ref utils/PdfFontInfoParser.cpp);
+# decode parses the program bytes (fontfile.parse_type1) into the same
+# glyph-bbox tables + font matrix, so everything downstream is shared
+VERSION_TYPE1 = 4
 
 # parse failure codes (reference aborts on !pdfDoc->isOk(),
 # PdfToTextPlusPlus.cpp:88-90; we record a code instead of aborting)
@@ -101,9 +106,12 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
     right_x, lower_y, base, font_size, rotation, w_mode, font), ``figures`` /
     ``shapes`` / ``graphics`` (lists of 4-tuples).
     """
-    version = (VERSION_GLYPH_BBOX
-               if any(getattr(f, "glyph_bboxes", None) for f in fonts)
-               else VERSION)
+    if any(getattr(f, "font_program", None) for f in fonts):
+        version = VERSION_TYPE1
+    elif any(getattr(f, "glyph_bboxes", None) for f in fonts):
+        version = VERSION_GLYPH_BBOX
+    else:
+        version = VERSION
     out = [MAGIC, struct.pack("<H", version), struct.pack("<I", len(fonts))]
     font_idx = {}
     for i, f in enumerate(fonts):
@@ -114,7 +122,11 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
         out.append(struct.pack("<H", len(name_b)))
         out.append(name_b)
         out.append(struct.pack("<ddiB", f.ascent, f.descent, f.weight, flags))
-        if version >= VERSION_GLYPH_BBOX:
+        if version == VERSION_TYPE1:
+            prog = getattr(f, "font_program", None) or b""
+            out.append(struct.pack("<I", len(prog)))
+            out.append(prog)
+        elif version >= VERSION_GLYPH_BBOX:
             out.append(struct.pack("<6d", *f.font_matrix))
             glyphs = f.glyph_bboxes or {}
             names = sorted(glyphs)
@@ -293,7 +305,20 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                           is_serif=bool(flags & 4),
                           is_fixed_width=bool(flags & 8),
                           is_symbolic=bool(flags & 16))
-            if version >= VERSION_GLYPH_BBOX:
+            if version == VERSION_TYPE1:
+                # S4 deep path over RAW font-program bytes: parse the
+                # embedded Type 1 program into the same glyph-bbox table
+                # + matrix the v3 wire format carries precomputed
+                prog_len = r.u32()
+                if prog_len:
+                    from . import fontfile
+                    parsed = fontfile.parse_type1(bytes(r.take(prog_len)))
+                    if parsed is not None:
+                        fi.font_matrix = parsed["font_matrix"]
+                        fi.glyph_bboxes = parsed["glyph_bboxes"] or None
+                        fi.is_italic = fi.is_italic or parsed["is_italic"]
+                        fi.weight = parsed["weight"]
+            elif version >= VERSION_GLYPH_BBOX:
                 fi.font_matrix = tuple(float(x) for x in r.f64s(6))
                 n_glyphs = r.u32()
                 if n_glyphs:

@@ -348,13 +348,13 @@ class FontInfo:
 
     __slots__ = ("name", "ascent", "descent", "weight", "is_italic",
                  "is_type3", "is_serif", "is_fixed_width", "is_symbolic",
-                 "font_matrix", "glyph_bboxes")
+                 "font_matrix", "glyph_bboxes", "font_program")
 
     def __init__(self, name="", ascent=0.75, descent=-0.25, weight=400,
                  is_italic=False, is_type3=False, is_serif=False,
                  is_fixed_width=False, is_symbolic=False,
                  font_matrix=(0.001, 0.0, 0.0, 0.001, 0.0, 0.0),
-                 glyph_bboxes=None):
+                 glyph_bboxes=None, font_program=None):
         self.name = name
         self.ascent = ascent
         self.descent = descent
@@ -366,6 +366,9 @@ class FontInfo:
         self.is_symbolic = is_symbolic
         self.font_matrix = font_matrix
         self.glyph_bboxes = glyph_bboxes
+        # raw embedded Type 1 font-program bytes (payload v4); decode
+        # parses it into glyph_bboxes/font_matrix via fontfile.parse_type1
+        self.font_program = font_program
 
 
 class Page:
