@@ -523,7 +523,10 @@ def _count_pages(payload: bytes) -> int:
     for _ in range(n_fonts):
         name_len = struct.unpack_from("<H", payload, pos)[0]
         pos += 2 + name_len + 21
-        if version >= 3:  # fontMatrix + glyph-bbox table (codec v3)
+        if version == 4:  # raw font-program blob (codec v4)
+            prog_len = struct.unpack_from("<I", payload, pos)[0]
+            pos += 4 + prog_len
+        elif version >= 3:  # fontMatrix + glyph-bbox table (codec v3)
             pos += 48
             n_glyphs = struct.unpack_from("<I", payload, pos)[0]
             pos += 4
@@ -959,6 +962,47 @@ def build_font_glyph_bbox(rng: random.Random):
 
 
 FAMILY_BUILDERS["font-glyph-bbox"] = build_font_glyph_bbox
+
+
+def _type1_glyph_font():
+    """GLYPH_FONT's twin carrying a REAL embedded Type 1 font program
+    whose charstring-traced bboxes equal GLYPH_FONT.glyph_bboxes — the
+    payload-v4 (raw-font-bytes) surface of the same S4 deep path."""
+    from . import fontfile
+
+    prog = fontfile.build_type1_program({
+        name: fontfile.build_charstring_for_bbox(*map(int, bbox))
+        for name, bbox in GLYPH_FONT.glyph_bboxes.items()})
+    return FontInfo(name=GLYPH_FONT.name, ascent=GLYPH_FONT.ascent,
+                    descent=GLYPH_FONT.descent, weight=GLYPH_FONT.weight,
+                    font_program=prog)
+
+
+def build_type1_font(rng: random.Random):
+    """S4 deep path over RAW font bytes: the font-glyph-bbox layout with
+    the glyph metrics delivered as an embedded Type 1 font program
+    (payload v4) that decode parses via fontfile.parse_type1 — same
+    preference branch, same golden shape."""
+    body = [make_lines(rng, 2), make_lines(rng, 2)]
+    page = _PageBuilder(1)
+    _layout_paragraphs(page, body, MARGIN_X, TOP_BASE)
+    w_tall = body[0][0][0]
+    w_short = body[1][0][0]
+    n_para1 = sum(len(w) for line in body[0] for w in line)
+    for start, word, glyph in ((0, w_tall, "g.tall"),
+                               (n_para1, w_short, "g.short")):
+        for k in range(len(word)):
+            c = page.chars[start + k]
+            c["name"] = glyph
+            c["font"] = GLYPH_FONT.name
+            c["trm"] = (FS_BODY, 0.0, 0.0, -FS_BODY,
+                        c["left_x"], c["base"])
+    payload = encode_payload(FONTS + [_type1_glyph_font()],
+                             [page.to_dict()])
+    return payload, body
+
+
+FAMILY_BUILDERS["type1-font"] = build_type1_font
 
 
 def build_wmode(rng: random.Random):
