@@ -757,6 +757,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         profile detector (lang_id_trigram)
 #   multimodal_meta     — the bare header parse that image_resize_meta
 #                         runs as its first step
+#   simhash             — the signature stage simhash_near_pairs consumes
+#   extract_jsonl_pages — the trivial projection of the extract_jsonl
+#                         sink surface (page dims only)
 # scripts/check_oracles.py still verifies every entry; ORACLE_PARITY.md
 # records the full in-repo run.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
@@ -769,7 +772,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_text_extended": (extract_text_extended, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
     "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
-    "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
     "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
     "extract_jsonl_shapes": (extract_jsonl_shapes, None),  # oracle below
@@ -799,7 +801,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                             dedup.NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
-    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
     "simhash_near_pairs": (dedup.simhash_near_pairs,
                            dedup.SIMHASH_NEAR_PAIRS_SQL),
     "embedding_near_dup": (dedup.embedding_near_dup,
@@ -822,6 +823,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 dedup.BENCHMARK_DECONTAMINATE_SQL),
     "source_mix_weights": (textstats.source_mix_weights,
                            textstats.SOURCE_MIX_WEIGHTS_SQL),
+    "pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
+    "gopher_quality_filter": (textstats.gopher_quality_filter,
+                              textstats.GOPHER_QUALITY_FILTER_SQL),
     "vocab_top_tokens": (textstats.vocab_top_tokens,
                          textstats.VOCAB_TOP_TOKENS_SQL),
     "tfidf_keywords": (textstats.tfidf_keywords,
@@ -857,6 +861,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),
+    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
+    "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
 }
 
 

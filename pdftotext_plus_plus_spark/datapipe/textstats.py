@@ -508,3 +508,139 @@ SELECT c.source, c.n_docs,
        round(t.n_total / (t.k * c.n_docs), 6) AS sample_weight
 FROM counts c CROSS JOIN total t
 """
+
+
+# ---------------------------------------------------------------------------
+# PII scrubbing
+# ---------------------------------------------------------------------------
+
+# conservative patterns valid in both Java regex (Spark) and RE2 (DuckDB)
+PII_EMAIL_RX = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+PII_PHONE_RX = "\\+[0-9]{1,3}-[0-9]{3}-[0-9]{4}"
+
+
+def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction pass: count and replace email/phone matches with
+    typed placeholders.  The synthetic corpus carries no contact strings,
+    so deterministic PII is injected in-query (doc_id % 7 -> an email,
+    doc_id % 11 -> a phone) — the same augmentation the SQL oracle
+    computes, so the scrubber's hits are real and checkable.
+
+    At 100 TB this is a single narrow projection (regexp count + replace
+    per row, JVM-side, no shuffle at all)."""
+    docs = _documents(spark, sf_dir)
+    aug = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 7 == 0,
+               F.concat(F.lit(" user"), F.col("doc_id"),
+                        F.lit("@example.com"))).otherwise(F.lit("")),
+        F.when(F.col("doc_id") % 11 == 0,
+               F.concat(F.lit(" +1-555-"),
+                        F.lpad((F.col("doc_id") % 10000).cast("string"),
+                               4, "0"))).otherwise(F.lit("")))
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(aug, PII_EMAIL_RX, "<EMAIL>"),
+        PII_PHONE_RX, "<PHONE>")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(aug, F.lit(PII_EMAIL_RX), F.lit(0)))
+        .alias("n_emails"),
+        F.size(F.regexp_extract_all(aug, F.lit(PII_PHONE_RX), F.lit(0)))
+        .alias("n_phones"),
+        F.length(scrubbed).alias("scrubbed_len"),
+        F.md5(scrubbed).alias("scrubbed_hash"))
+
+
+PII_SCRUB_SQL = f"""
+WITH aug AS (
+  SELECT doc_id,
+         text
+           || CASE WHEN doc_id % 7 = 0
+                   THEN ' user' || doc_id || '@example.com' ELSE '' END
+           || CASE WHEN doc_id % 11 = 0
+                   THEN ' +1-555-' || lpad(CAST(doc_id % 10000 AS VARCHAR),
+                                           4, '0')
+                   ELSE '' END AS t
+  FROM documents
+)
+SELECT doc_id,
+       len(regexp_extract_all(t, '{PII_EMAIL_RX}')) AS n_emails,
+       len(regexp_extract_all(t, '{PII_PHONE_RX}')) AS n_phones,
+       length(regexp_replace(regexp_replace(t, '{PII_EMAIL_RX}', '<EMAIL>',
+                                            'g'),
+                             '{PII_PHONE_RX}', '<PHONE>', 'g'))
+         AS scrubbed_len,
+       md5(regexp_replace(regexp_replace(t, '{PII_EMAIL_RX}', '<EMAIL>',
+                                         'g'),
+                          '{PII_PHONE_RX}', '<PHONE>', 'g'))
+         AS scrubbed_hash
+FROM aug
+"""
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style composite quality filter
+# ---------------------------------------------------------------------------
+
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 100000
+GOPHER_MIN_MEAN_LEN = 2
+GOPHER_MAX_MEAN_LEN = 12
+GOPHER_MIN_STOPWORD_HITS = 1
+
+
+def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composite document-level keep/drop verdict of Rae et al. 2021
+    (table A1 subset expressible without duplicating repetition_stats):
+    token-count window, mean-token-length window, minimum stopword hits.
+    One narrow pass, no shuffle — the map-side gate a 100 TB ingest runs
+    before any expensive stage."""
+    docs = _documents(spark, sf_dir)
+    toks = F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
+    d = docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tok"),
+        F.expr(
+            r"aggregate(filter(split(trim(text), '\\s+'),"
+            r" x -> length(x) > 0), 0L, (a, x) -> a + length(x))")
+        .alias("sum_len"),
+        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        .alias("stopword_hits"))
+    mean_len = F.when(F.col("n_tok") > 0,
+                      F.round(F.col("sum_len") / F.col("n_tok"), 6)) \
+        .otherwise(F.lit(0.0))
+    keep = ((F.col("n_tok") >= GOPHER_MIN_TOKENS)
+            & (F.col("n_tok") <= GOPHER_MAX_TOKENS)
+            & (mean_len >= GOPHER_MIN_MEAN_LEN)
+            & (mean_len <= GOPHER_MAX_MEAN_LEN)
+            & (F.col("stopword_hits") >= GOPHER_MIN_STOPWORD_HITS))
+    return d.select("doc_id", "n_tok", mean_len.alias("mean_tok_len"),
+                    "stopword_hits", keep.cast("int").alias("keep"))
+
+
+GOPHER_QUALITY_FILTER_SQL = f"""
+WITH t AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), m AS (
+  SELECT doc_id, len(toks) AS n_tok,
+         list_sum(list_transform(toks, x -> length(x))) AS sum_len,
+         len(list_filter(toks, x -> x IN ({{sw}}))) AS stopword_hits
+  FROM t
+)
+SELECT doc_id, n_tok,
+       CASE WHEN n_tok > 0 THEN round(sum_len / n_tok, 6)
+            ELSE 0.0 END AS mean_tok_len,
+       stopword_hits,
+       CASE WHEN n_tok >= {GOPHER_MIN_TOKENS}
+             AND n_tok <= {GOPHER_MAX_TOKENS}
+             AND (CASE WHEN n_tok > 0 THEN round(sum_len / n_tok, 6)
+                       ELSE 0.0 END) >= {GOPHER_MIN_MEAN_LEN}
+             AND (CASE WHEN n_tok > 0 THEN round(sum_len / n_tok, 6)
+                       ELSE 0.0 END) <= {GOPHER_MAX_MEAN_LEN}
+             AND stopword_hits >= {GOPHER_MIN_STOPWORD_HITS}
+            THEN 1 ELSE 0 END AS keep
+FROM m
+""".replace("{sw}", ", ".join("'%s'" % w for w in EN_STOPWORDS))
