@@ -240,3 +240,14 @@ def test_decontaminate_plan_broadcasts_benchmark_grams(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_pii_and_gopher_are_shuffle_free(spark):
+    """The map-side gate ops (PII scrub, Gopher composite filter) must
+    compile to a single narrow projection — zero Exchange operators."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    for fn in (textstats.pii_scrub, textstats.gopher_quality_filter):
+        plan = fn(spark, "/root/testdata/sf0.001") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "Exchange" not in plan, fn.__name__
