@@ -477,24 +477,26 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams shared with the benchmark set, and the contamination flag.
 
     At 10^12 rows the benchmark gram table is tiny (thousands of prompts
-    x ~100 grams) -> broadcast inner join against the corpus gram stream;
-    the shuffle is one partial-agg count per (doc) after the broadcast
-    filter.  No quadratic stage, no full-corpus distinct."""
+    x ~100 grams) -> broadcast inner join against the RAW corpus gram
+    stream (no pre-shuffle: the corpus side is never globally
+    distinct'd); dedup happens AFTER the broadcast filter via a two-phase
+    countDistinct over the few surviving rows.  No quadratic stage, no
+    full-corpus-wide shuffle beyond the per-doc partial agg."""
     docs = _documents(spark, sf_dir)
-    grams = (docs
-             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
-             .select("doc_id", F.explode(F.expr(
-                 f"CASE WHEN size(toks) < {DECON_GRAM} THEN array()"
-                 f" ELSE transform(sequence(1, size(toks) - {DECON_GRAM - 1}),"
-                 f" i -> array_join(slice(toks, i, {DECON_GRAM}), ' ')) END"))
-             .alias("gram"))
-             .distinct())
+    raw = (docs
+           .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
+           .select("doc_id", F.explode(F.expr(
+               f"CASE WHEN size(toks) < {DECON_GRAM} THEN array()"
+               f" ELSE transform(sequence(1, size(toks) - {DECON_GRAM - 1}),"
+               f" i -> array_join(slice(toks, i, {DECON_GRAM}), ' ')) END"))
+           .alias("gram")))
     is_bench = F.col("doc_id") % DECON_BENCH_EVERY == 0
-    bench_grams = (grams.filter(is_bench).select("gram").distinct())
-    hits = (grams.filter(~is_bench)
+    # distinct only on the tiny benchmark side (constant-sized at scale)
+    bench_grams = raw.filter(is_bench).select("gram").distinct()
+    hits = (raw.filter(~is_bench)
             .join(F.broadcast(bench_grams), "gram")
             .groupBy("doc_id")
-            .agg(F.count("*").alias("n_shared_grams")))
+            .agg(F.countDistinct("gram").alias("n_shared_grams")))
     return (docs.filter(~is_bench).select("doc_id").join(hits, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("n_shared_grams", F.lit(0))
