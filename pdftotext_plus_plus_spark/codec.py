@@ -123,9 +123,22 @@ def encode_payload(fonts: List[FontInfo], pages: List[dict]) -> bytes:
         out.append(name_b)
         out.append(struct.pack("<ddiB", f.ascent, f.descent, f.weight, flags))
         if version == VERSION_TYPE1:
+            # v4 block: u32 prog_len + bytes; a 0-length program is
+            # followed by the v3-style matrix+glyph table so payloads
+            # mixing program-bearing and table-bearing fonts lose nothing
             prog = getattr(f, "font_program", None) or b""
             out.append(struct.pack("<I", len(prog)))
             out.append(prog)
+            if not prog:
+                out.append(struct.pack("<6d", *f.font_matrix))
+                glyphs = f.glyph_bboxes or {}
+                names = sorted(glyphs)
+                out.append(struct.pack("<I", len(names)))
+                if names:
+                    out.append(_pack_str_blob(names))
+                    arr = np.asarray([glyphs[n] for n in names],
+                                     dtype="<f8").reshape(len(names), 4)
+                    out.append(arr.tobytes())
         elif version >= VERSION_GLYPH_BBOX:
             out.append(struct.pack("<6d", *f.font_matrix))
             glyphs = f.glyph_bboxes or {}
@@ -308,7 +321,8 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
             if version == VERSION_TYPE1:
                 # S4 deep path over RAW font-program bytes: parse the
                 # embedded Type 1 program into the same glyph-bbox table
-                # + matrix the v3 wire format carries precomputed
+                # + matrix the v3 wire format carries precomputed; fonts
+                # without a program carry the v3-style table inline
                 prog_len = r.u32()
                 if prog_len:
                     from . import fontfile
@@ -317,7 +331,22 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                         fi.font_matrix = parsed["font_matrix"]
                         fi.glyph_bboxes = parsed["glyph_bboxes"] or None
                         fi.is_italic = fi.is_italic or parsed["is_italic"]
-                        fi.weight = parsed["weight"]
+                        if parsed["weight"] is not None:
+                            # program /Weight overrides; absent -> keep
+                            # the wire-encoded weight
+                            fi.weight = parsed["weight"]
+                else:
+                    fi.font_matrix = tuple(float(x) for x in r.f64s(6))
+                    n_glyphs = r.u32()
+                    if n_glyphs:
+                        g_names = r.str_blob(n_glyphs)
+                        g_boxes = r.f64s(n_glyphs * 4).reshape(n_glyphs, 4)
+                        fi.glyph_bboxes = {
+                            g_names[i]: (float(g_boxes[i][0]),
+                                         float(g_boxes[i][1]),
+                                         float(g_boxes[i][2]),
+                                         float(g_boxes[i][3]))
+                            for i in range(n_glyphs)}
             elif version >= VERSION_GLYPH_BBOX:
                 fi.font_matrix = tuple(float(x) for x in r.f64s(6))
                 n_glyphs = r.u32()

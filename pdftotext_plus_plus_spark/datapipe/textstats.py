@@ -596,15 +596,20 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     One narrow pass, no shuffle — the map-side gate a 100 TB ingest runs
     before any expensive stage."""
     docs = _documents(spark, sf_dir)
-    toks = F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
-    d = docs.select(
+    # tokenize ONCE per row (projected column), then derive all three
+    # metrics from it — Catalyst does not reliably CSE repeated split
+    # expressions across separate Column trees
+    toked = docs.select(
         "doc_id",
-        F.size(toks).alias("n_tok"),
-        F.expr(
-            r"aggregate(filter(split(trim(text), '\\s+'),"
-            r" x -> length(x) > 0), 0L, (a, x) -> a + length(x))")
+        F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
+        .alias("toks"))
+    d = toked.select(
+        "doc_id",
+        F.size("toks").alias("n_tok"),
+        F.expr("aggregate(toks, 0L, (a, x) -> a + length(x))")
         .alias("sum_len"),
-        F.size(F.filter(toks, lambda t: t.isin(*EN_STOPWORDS)))
+        F.size(F.filter(F.col("toks"),
+                        lambda t: t.isin(*EN_STOPWORDS)))
         .alias("stopword_hits"))
     mean_len = F.when(F.col("n_tok") > 0,
                       F.round(F.col("sum_len") / F.col("n_tok"), 6)) \

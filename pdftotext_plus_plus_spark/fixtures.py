@@ -526,6 +526,15 @@ def _count_pages(payload: bytes) -> int:
         if version == 4:  # raw font-program blob (codec v4)
             prog_len = struct.unpack_from("<I", payload, pos)[0]
             pos += 4 + prog_len
+            if prog_len == 0:  # v3-style table follows (mixed-font payload)
+                pos += 48
+                n_glyphs = struct.unpack_from("<I", payload, pos)[0]
+                pos += 4
+                if n_glyphs:
+                    offsets_end = pos + 4 * (n_glyphs + 1)
+                    blob_len = struct.unpack_from(
+                        "<I", payload, offsets_end - 4)[0]
+                    pos = offsets_end + blob_len + 32 * n_glyphs
         elif version >= 3:  # fontMatrix + glyph-bbox table (codec v3)
             pos += 48
             n_glyphs = struct.unpack_from("<I", payload, pos)[0]

@@ -73,8 +73,18 @@ def _parse_ascii_part(text: str, info: dict) -> None:
                     info["font_matrix"] = tuple(m)
                     matrix_found = True
         if not italic_found and line.startswith("/ItalicAngle"):
-            info["is_italic"] = info["is_italic"] or \
-                (line != "/ItalicAngle 0 def")
+            # the reference string-compares against "/ItalicAngle 0 def"
+            # (…cpp:287-291); parse the angle numerically instead so
+            # formatting variants of a zero angle ("0.0", extra spaces)
+            # don't read as italic
+            toks = line.split()
+            angle = 0.0
+            if len(toks) >= 2:
+                try:
+                    angle = float(toks[1])
+                except ValueError:
+                    angle = 1.0  # unparseable -> the reference's "not 0"
+            info["is_italic"] = info["is_italic"] or angle != 0.0
             italic_found = True
         if not weight_found:
             start = line.find("/Weight (")
@@ -83,7 +93,8 @@ def _parse_ascii_part(text: str, info: dict) -> None:
                 if end != -1:
                     w = _WEIGHTS.get(line[start + 9:end])
                     if w is not None:
-                        info["weight"] = w
+                        info["weight"] = w  # stays None when absent so the
+                        # caller can keep the wire-encoded weight
                     weight_found = True
 
 
@@ -282,6 +293,25 @@ _SUBR_RX = re.compile(rb"dup\s(\d+)\s(\d+)\sRD\s")
 _CHARSTRING_RX = re.compile(rb"/(\S+)\s+(\d+)\sRD\s")
 
 
+def _iter_rd_entries(blob: bytes, rx: re.Pattern):
+    """Sequentially frame `<prefix> <n> RD <n bytes>` entries: after each
+    match the scan resumes PAST the declared byte count, so patterns that
+    happen to occur inside the encrypted binary payload can never
+    fabricate phantom entries or mis-frame later ones.  (The reference
+    regex-iterates the whole blob, …cpp:411-419/444-451, which can match
+    inside charstring bytes; sequential framing agrees with it on every
+    correctly-framed font and is strictly safer on adversarial bytes.)"""
+    pos = 0
+    while True:
+        m = rx.search(blob, pos)
+        if m is None:
+            return
+        nbytes = int(m.group(2))
+        payload = blob[m.end():m.end() + nbytes]
+        yield m, payload
+        pos = m.end() + nbytes
+
+
 def parse_type1(data: bytes) -> Optional[dict]:
     """Parse a Type 1 font program: returns {font_matrix, is_italic,
     weight, glyph_bboxes} or None when the body is unreadable.
@@ -289,8 +319,10 @@ def parse_type1(data: bytes) -> Optional[dict]:
     Layout handling mirrors the reference (…cpp:191-242, 314-381): PFB
     0x80-segment framing for both parts, hex (PFA) vs binary body
     sniffing on the first four body characters."""
+    # weight None = no /Weight entry in the program (caller keeps the
+    # wire-encoded weight)
     info = {"font_matrix": (0.001, 0.0, 0.0, 0.001, 0.0, 0.0),
-            "is_italic": False, "weight": 400,
+            "is_italic": False, "weight": None,
             "glyph_bboxes": {}}
 
     pos = 0
@@ -332,28 +364,24 @@ def parse_type1(data: bytes) -> Optional[dict]:
     if m:
         len_iv = int(m.group(1))
 
+    # /Subrs is OPTIONAL per the Type 1 spec: a missing array just means
+    # no subroutines (the reference bails out here, …cpp:397-401, losing
+    # the whole font; parsing on is a strict improvement and only
+    # diverges on fonts the reference rejects entirely)
     subrs: Dict[int, bytes] = {}
-    sub_start = decrypted.find(b"/Subrs")
-    if sub_start == -1:
-        return None
-    sub_end = decrypted.find(b"ND", sub_start)
-    if sub_end == -1:
-        return None
-    sub_blob = decrypted[sub_start:sub_end]
-    for m in _SUBR_RX.finditer(sub_blob):
-        idx = int(m.group(1))
-        nbytes = int(m.group(2))
-        enc = sub_blob[m.end():m.end() + nbytes]
-        subrs[idx] = decrypt(enc, 4330, len_iv)
-
     cs_start = decrypted.find(b"/CharStrings")
+    sub_start = decrypted.find(b"/Subrs")
+    if sub_start != -1:
+        sub_blob = decrypted[sub_start:
+                             cs_start if cs_start != -1 else len(decrypted)]
+        for m, enc in _iter_rd_entries(sub_blob, _SUBR_RX):
+            subrs[int(m.group(1))] = decrypt(enc, 4330, len_iv)
+
     if cs_start == -1:
         return None
     charstrings = decrypted[cs_start + 12:]
-    for m in _CHARSTRING_RX.finditer(charstrings):
+    for m, enc in _iter_rd_entries(charstrings, _CHARSTRING_RX):
         name = m.group(1).decode("latin-1")
-        nbytes = int(m.group(2))
-        enc = charstrings[m.end():m.end() + nbytes]
         cs = decrypt(enc, 4330, len_iv)
         box = _Box()
         _run_charstring(cs, subrs, box, [], [])

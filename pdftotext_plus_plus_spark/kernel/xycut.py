@@ -83,6 +83,27 @@ def xy_cut(elements, min_x_cut_gap_width: float, min_y_cut_gap_height: float,
                    silent, result_groups, result_cuts)
 
 
+def _emit_x_cut(candidates, s_elements, pos, prev_element, element,
+                gap_width, overlapping, extents):
+    """Shared (cold-path) x-cut candidate construction for both queue
+    implementations; ``extents`` caches the lazy (min_y, max_y) pair."""
+    if extents[0] is None:
+        extents[0] = min(e.upper_y for e in s_elements)
+        extents[1] = max(e.lower_y for e in s_elements)
+    cut = Cut(X, pos)
+    cut.element_before = prev_element
+    cut.element_after = element
+    cut.page_num = element.page_num
+    gap_x = prev_element.right_x + gap_width / 2.0
+    cut.x1 = cut.x2 = gap_x
+    cut.y1 = extents[0]
+    cut.y2 = extents[1]
+    cut.gap_width = gap_width
+    cut.gap_height = extents[1] - extents[0]
+    cut.overlapping_elements = overlapping
+    candidates.append(cut)
+
+
 def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
           choose_cuts: ChooseCutsFunc, silent: bool,
           result_groups: Optional[List[List[object]]] = None,
@@ -100,8 +121,9 @@ def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
     s_elements = sorted(elements, key=_by_left_x)
 
     # extents are only needed when a candidate exists — most calls on deep
-    # recursion levels produce none, so compute them lazily
-    elements_min_y = elements_max_y = None
+    # recursion levels produce none, so compute them lazily (shared cache
+    # for both queue implementations, filled by _emit_x_cut)
+    extents = [None, None]
 
     # min-heap keyed by rightX; entry = (right_x, seq, element)
     q_size = max_num_overlapping_elements + 1
@@ -142,21 +164,8 @@ def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
                 else:
                     gap_width = right_el.left_x - left_el.right_x
                 if gap_width >= gap_floor:
-                    if elements_min_y is None:
-                        elements_min_y = min(e.upper_y for e in s_elements)
-                        elements_max_y = max(e.lower_y for e in s_elements)
-                    cut = Cut(X, pos)
-                    cut.element_before = prev_element
-                    cut.element_after = element
-                    cut.page_num = element.page_num
-                    gap_x = prev_element.right_x + gap_width / 2.0
-                    cut.x1 = cut.x2 = gap_x
-                    cut.y1 = elements_min_y
-                    cut.y2 = elements_max_y
-                    cut.gap_width = gap_width
-                    cut.gap_height = elements_max_y - elements_min_y
-                    cut.overlapping_elements = overlapping
-                    candidates.append(cut)
+                    _emit_x_cut(candidates, s_elements, pos, prev_element,
+                                element, gap_width, overlapping, extents)
                     break
                 overlapping.append(prev_element)
 
@@ -202,21 +211,8 @@ def x_cut(elements, min_gap_width: float, max_num_overlapping_elements: int,
                 else:
                     gap_width = right_el.left_x - left_el.right_x
                 if gap_width >= gap_floor:
-                    if elements_min_y is None:
-                        elements_min_y = min(e.upper_y for e in s_elements)
-                        elements_max_y = max(e.lower_y for e in s_elements)
-                    cut = Cut(X, pos)
-                    cut.element_before = prev_element
-                    cut.element_after = element
-                    cut.page_num = element.page_num
-                    gap_x = prev_element.right_x + gap_width / 2.0
-                    cut.x1 = cut.x2 = gap_x
-                    cut.y1 = elements_min_y
-                    cut.y2 = elements_max_y
-                    cut.gap_width = gap_width
-                    cut.gap_height = elements_max_y - elements_min_y
-                    cut.overlapping_elements = overlapping
-                    candidates.append(cut)
+                    _emit_x_cut(candidates, s_elements, pos, prev_element,
+                                element, gap_width, overlapping, extents)
                     break
                 overlapping.append(prev_element)
 

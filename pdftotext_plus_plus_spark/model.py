@@ -139,15 +139,12 @@ class CharCols:
     ``Word.characters``) only for the rare consumers that need them
     (the JSONL characters unit)."""
 
-    __slots__ = ("rows", "arr", "texts", "font_names", "fsizes", "bases",
+    __slots__ = ("rows", "texts", "font_names", "fsizes", "bases",
                  "page_num", "all_upright")
 
     def __init__(self, rows, texts, font_names, fsizes, bases, page_num,
-                 all_upright=False, arr=None):
+                 all_upright=False):
         self.rows = rows
-        # the same (n x 8) data as a float64 ndarray — word materialization
-        # runs its reduceat bbox pass on it without rebuilding the array
-        self.arr = arr
         self.texts = texts
         self.font_names = font_names
         self.fsizes = fsizes

@@ -142,3 +142,100 @@ def test_payload_v4_extraction_equals_v3():
             for b in res4.blocks] == \
            [(b.page, b.rank, b.min_x, b.min_y, b.max_x, b.max_y, b.text)
             for b in res3.blocks]
+
+
+def test_subr_with_nd_bytes_inside_does_not_truncate():
+    """Sequential RD framing: encrypted subr bytes containing b'ND' (or a
+    phantom 'dup N M RD ' pattern) must not truncate or mis-frame the
+    table (the reference's blob regex could; found by review)."""
+    # craft a subr whose ENCRYPTED form contains b"ND" by brute-forcing
+    # two trailing pad bytes in the plaintext (after op 11 `return` the
+    # interpreter stops, so the pad never executes)
+    base = _cs(200, 300, RLINETO) + b"\x0b"  # return
+    sub0 = None
+    for pad in range(65536):
+        cand = base + bytes([pad >> 8, pad & 0xFF])
+        if b"ND" in fontfile.encrypt(cand, 4330, 4):
+            sub0 = cand
+            break
+    assert sub0 is not None, "could not brute-force an ND-containing subr"
+    subrs = {0: sub0, 1: _cs(10, 20, RLINETO)}
+    cs = _cs(0, 0, HSBW, 1, CALLSUBR)
+    prog = fontfile.build_type1_program({"g": cs}, subrs=subrs)
+    assert fontfile.parse_type1(prog)["glyph_bboxes"]["g"] == \
+        (0.0, 0.0, 10.0, 20.0)
+
+
+def test_font_without_subrs_still_parses_charstrings():
+    """/Subrs is optional per the Type 1 spec: glyphs that need no subrs
+    must still parse (the reference bails; we parse on — divergence only
+    on fonts the reference rejects outright)."""
+    glyphs = {"a": fontfile.build_charstring_for_bbox(0, 0, 300, 400)}
+    prog = fontfile.build_type1_program(glyphs)
+    # strip the /Subrs section from the plaintext body and re-encrypt
+    header, body = prog.split(b"eexec\n", 1)
+    plain = fontfile.decrypt(body, 55665, 4)
+    start = plain.find(b"/Subrs")
+    end = plain.find(b"ND\n", start) + 3
+    stripped = plain[:start] + plain[end:]
+    assert b"/Subrs" not in stripped
+    prog2 = header + b"eexec\n" + fontfile.encrypt(stripped, 55665, 4)
+    assert fontfile.parse_type1(prog2)["glyph_bboxes"]["a"] == \
+        (0.0, 0.0, 300.0, 400.0)
+
+
+def test_v4_weight_merge_and_zero_angle_variants():
+    """A program without /Weight must not clobber the wire-encoded weight;
+    zero italic angles in any formatting must not read as italic."""
+    import re as _re
+
+    prog = fontfile.build_type1_program(
+        {"a": fontfile.build_charstring_for_bbox(0, 0, 1, 1)})
+    # remove the /Weight line entirely
+    header, body = prog.split(b"eexec\n", 1)
+    header = _re.sub(rb"/Weight \([^)]*\) def\n", b"", header)
+    prog_no_weight = header + b"eexec\n" + body
+    info = fontfile.parse_type1(prog_no_weight)
+    assert info["weight"] is None
+
+    f = FontInfo(name="f", weight=700, font_program=prog_no_weight)
+    payload = codec.encode_payload([f], [{
+        "page_num": 1, "chars": [{
+            "name": "", "text": "x", "unicodes": [120], "left_x": 10.0,
+            "upper_y": 90.0, "right_x": 15.0, "lower_y": 100.0,
+            "base": 100.0, "font_size": 10.0, "font": "f"}]}])
+    doc, code = codec.decode_payload(payload)
+    assert code == 0
+    assert doc.font_infos["f"].weight == 700  # wire weight preserved
+
+    for angle_line in ("/ItalicAngle 0.0 def", "/ItalicAngle 0 def",
+                      "/ItalicAngle  0 def"):
+        prog_v = fontfile.build_type1_program(
+            {"a": fontfile.build_charstring_for_bbox(0, 0, 1, 1)})
+        hv, bv = prog_v.split(b"eexec\n", 1)
+        hv = hv.replace(b"/ItalicAngle 0 def",
+                        angle_line.encode("latin-1"))
+        assert fontfile.parse_type1(hv + b"eexec\n" + bv)["is_italic"] \
+            is False, angle_line
+
+
+def test_v4_mixed_program_and_table_fonts():
+    """A v4 payload mixing a font_program font with a table-only font must
+    preserve the table font's glyph bboxes + matrix (review finding: they
+    were silently dropped)."""
+    prog = fontfile.build_type1_program(
+        {"a": fontfile.build_charstring_for_bbox(0, 0, 100, 200)})
+    f_prog = FontInfo(name="fp", font_program=prog)
+    f_table = FontInfo(name="ft",
+                       font_matrix=(0.0005, 0.0, 0.0, 0.0005, 0.0, 0.0),
+                       glyph_bboxes={"z": (1.0, 2.0, 3.0, 4.0)})
+    payload = codec.encode_payload([f_prog, f_table], [{
+        "page_num": 1, "chars": [{
+            "name": "", "text": "x", "unicodes": [120], "left_x": 10.0,
+            "upper_y": 90.0, "right_x": 15.0, "lower_y": 100.0,
+            "base": 100.0, "font_size": 10.0, "font": "fp"}]}])
+    doc, code = codec.decode_payload(payload)
+    assert code == 0
+    assert doc.font_infos["fp"].glyph_bboxes["a"] == (0.0, 0.0, 100.0, 200.0)
+    assert doc.font_infos["ft"].glyph_bboxes == {"z": (1.0, 2.0, 3.0, 4.0)}
+    assert doc.font_infos["ft"].font_matrix[0] == 0.0005
