@@ -172,3 +172,46 @@ l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
        FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
 SELECT doc_id, label AS cluster_id FROM l3
 """
+
+
+def dedup_keep_list(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The END of the dedup pipeline: per-document keep/drop decision.
+
+    MinHash-LSH pairs -> fixpoint connected components -> keep exactly
+    one representative per near-dup cluster.  The component label IS the
+    minimum doc_id of the component (min-label propagation invariant), so
+    ``keep = (doc_id == cluster_id)`` — no extra ranking pass; cluster
+    sizes come from one k-row count agg joined back N:1.  This is the
+    frame a 100 TB ingest semi-joins against before training."""
+    labels = dedup_clusters_fixpoint(spark, sf_dir)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count("*").alias("cluster_size"))
+    return (labels.join(sizes, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size",
+                    (F.col("doc_id") == F.col("cluster_id"))
+                    .cast("int").alias("keep")))
+
+
+DEDUP_KEEP_LIST_SQL = f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.label
+  FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+),
+sizes AS (
+  SELECT cluster_id, count(*) AS cluster_size FROM labels GROUP BY cluster_id
+)
+SELECT l.doc_id, l.cluster_id, s.cluster_size,
+       CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS keep
+FROM labels l JOIN sizes s ON s.cluster_id = l.cluster_id
+"""

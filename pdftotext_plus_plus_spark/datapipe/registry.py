@@ -760,6 +760,8 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #   simhash             — the signature stage simhash_near_pairs consumes
 #   extract_jsonl_pages — the trivial projection of the extract_jsonl
 #                         sink surface (page dims only)
+#   dedup_clusters_fixpoint — called by (and oracled inside)
+#                         dedup_keep_list, the pipeline's end decision
 # scripts/check_oracles.py still verifies every entry; ORACLE_PARITY.md
 # records the full in-repo run.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
@@ -848,8 +850,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # chunking + dedup clusters
     "chunk_documents": (chunking.chunk_documents,
                         chunking.CHUNK_DOCUMENTS_SQL),
-    "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
-                                chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
+    "dedup_keep_list": (chunking.dedup_keep_list,
+                        chunking.DEDUP_KEEP_LIST_SQL),
     # --- tail: transitively-covered variants (see ORDERING note above) ---
     "minhash_signatures": (dedup.minhash_signatures,
                            dedup.MINHASH_SIGNATURES_SQL),
@@ -863,6 +865,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                         multimodal.MULTIMODAL_META_SQL),
     "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
     "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
+    "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
+                                chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
 }
 
 
