@@ -326,7 +326,17 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                 prog_len = r.u32()
                 if prog_len:
                     from . import fontfile
-                    parsed = fontfile.parse_type1(bytes(r.take(prog_len)))
+                    # A malformed embedded program (truncated 255-number
+                    # encoding, div-by-zero charstring, self-recursive subr)
+                    # must not fail the whole document: degrade to
+                    # parsed=None (keep wire font metadata, no glyph bboxes)
+                    # — the reference likewise extracts nothing from a font
+                    # program its parser chokes on but still emits the text.
+                    prog_bytes = bytes(r.take(prog_len))
+                    try:
+                        parsed = fontfile.parse_type1(prog_bytes)
+                    except Exception:
+                        parsed = None
                     if parsed is not None:
                         fi.font_matrix = parsed["font_matrix"]
                         fi.glyph_bboxes = parsed["glyph_bboxes"] or None

@@ -54,10 +54,14 @@ _WEIGHTS = {"Regular": 400, "Medium": 500, "Bold": 700}
 
 def _parse_ascii_part(text: str, info: dict) -> None:
     """FontMatrix / ItalicAngle / Weight from the cleartext header
-    (…cpp:246-311), first occurrence wins like the reference's flags."""
-    matrix_found = italic_found = weight_found = False
+    (…cpp:246-311).  ItalicAngle/Weight: first occurrence wins (the
+    reference sets those found-flags).  FontMatrix: LAST occurrence wins —
+    the reference declares fontMatrixFound but never assigns it
+    (PdfFontInfoParser.cpp:262-279), so every /FontMatrix line re-parses;
+    mirrored here by not latching a found flag."""
+    italic_found = weight_found = False
     for line in text.splitlines():
-        if not matrix_found and "/FontMatrix" in line:
+        if "/FontMatrix" in line:
             lsq = line.find("[", line.find("/FontMatrix") + 11)
             rsq = line.find("]", lsq + 1) if lsq != -1 else -1
             if rsq != -1:
@@ -71,7 +75,6 @@ def _parse_ascii_part(text: str, info: dict) -> None:
                     m = list(info["font_matrix"])
                     m[:len(vals[:6])] = vals[:6]
                     info["font_matrix"] = tuple(m)
-                    matrix_found = True
         if not italic_found and line.startswith("/ItalicAngle"):
             # the reference string-compares against "/ItalicAngle 0 def"
             # (…cpp:287-291); parse the angle numerically instead so

@@ -239,3 +239,62 @@ def test_v4_mixed_program_and_table_fonts():
     assert doc.font_infos["fp"].glyph_bboxes["a"] == (0.0, 0.0, 100.0, 200.0)
     assert doc.font_infos["ft"].glyph_bboxes == {"z": (1.0, 2.0, 3.0, 4.0)}
     assert doc.font_infos["ft"].font_matrix[0] == 0.0005
+
+
+def test_type1c_cff_bytes_degrade_gracefully():
+    """The reference routes fontType1C (CFF) through the SAME Type 1
+    parser (ref utils/PdfFontInfoParser.cpp:161-167); applied to CFF
+    bytes that parser finds no 'eexec' and extracts nothing.  Mirror the
+    graceful degradation: parse_type1 on a well-formed CFF header +
+    INDEX prefix returns None without raising."""
+    # CFF: header (major=1 minor=0 hdrSize=4 offSize=1), Name INDEX with
+    # one entry, then arbitrary binary (no 'eexec' keyword anywhere)
+    cff = (b"\x01\x00\x04\x01"                 # header
+           + b"\x00\x01\x01\x01\x08SynthCFF"   # Name INDEX: 1 entry
+           + bytes(range(64)))                 # Top DICT INDEX stand-in
+    assert b"eexec" not in cff
+    assert fontfile.parse_type1(cff) is None
+
+
+def test_corrupt_font_program_degrades_not_document():
+    """A malformed embedded program (div-by-zero charstring, truncated
+    255-number encoding, self-recursive subr) must degrade to
+    parsed=None — wire font metadata kept, no glyph bboxes — instead of
+    failing the WHOLE document as ERR_TRUNCATED (ADVICE r4)."""
+    div_zero = _cs(0, 0, HSBW, 7, 0, DIV, 100, RLINETO)
+    truncated_255 = _cs(0, 0, HSBW) + b"\xff\x00\x01"   # needs 4 bytes
+    rec_subrs = {0: _cs(0, CALLSUBR)}                   # subr 0 calls itself
+
+    bad_programs = [
+        fontfile.build_type1_program({"g": div_zero}),
+        fontfile.build_type1_program({"g": truncated_255}),
+        fontfile.build_type1_program({"g": _cs(0, 0, HSBW, 0, CALLSUBR)},
+                                     subrs=rec_subrs),
+    ]
+    for prog in bad_programs:
+        with pytest.raises(Exception):
+            fontfile.parse_type1(prog)  # the raw parser does raise
+        f = FontInfo(name="f", weight=700, font_program=prog)
+        payload = codec.encode_payload([f], [{
+            "page_num": 1, "chars": [{
+                "name": "", "text": "x", "unicodes": [120], "left_x": 10.0,
+                "upper_y": 90.0, "right_x": 15.0, "lower_y": 100.0,
+                "base": 100.0, "font_size": 10.0, "font": "f"}]}])
+        doc, code = codec.decode_payload(payload)
+        assert code == 0                       # document survives
+        assert doc.font_infos["f"].weight == 700  # wire metadata kept
+        assert doc.font_infos["f"].glyph_bboxes is None
+        assert doc.pages[0].characters[0].text == "x"
+
+
+def test_fontmatrix_last_occurrence_wins():
+    """The reference declares fontMatrixFound but never assigns it
+    (PdfFontInfoParser.cpp:262-279), so the LAST /FontMatrix occurrence
+    wins there; _parse_ascii_part mirrors that (ADVICE r4 — previously
+    first-wins)."""
+    info = {"font_matrix": (0.001, 0.0, 0.0, 0.001, 0.0, 0.0),
+            "is_italic": False, "weight": None, "glyph_bboxes": {}}
+    fontfile._parse_ascii_part(
+        "/FontMatrix [0.002 0 0 0.002 0 0 ]readonly def\n"
+        "/FontMatrix [0.0005 0 0 0.0005 1 2 ]readonly def\n", info)
+    assert info["font_matrix"] == (0.0005, 0.0, 0.0, 0.0005, 1.0, 2.0)
