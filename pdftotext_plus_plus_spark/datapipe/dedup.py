@@ -264,17 +264,21 @@ def simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                           .cast("bigint"))
               .withColumn("h_lo", F.conv(F.substring("md", 9, 8), 16, 10)
                           .cast("bigint")))
-    bits = spark.range(SIMHASH_BITS).select(F.col("id").cast("int").alias("bit"))
-    contrib = (tokens.crossJoin(F.broadcast(bits))
-               .withColumn("c", F.expr(
-                   "CASE WHEN (CASE WHEN bit < 32 THEN shiftright(h_lo, bit)"
-                   " ELSE shiftright(h_hi, bit - 32) END & 1) = 1"
-                   " THEN 1 ELSE -1 END")))
-    return (contrib.groupBy("doc_id", "bit").agg(F.sum("c").alias("s"))
-            .withColumn("bitval", F.expr(
-                "CASE WHEN s > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) "
-                "ELSE CAST(0 AS BIGINT) END"))
-            .groupBy("doc_id").agg(F.sum("bitval").alias("simhash")))
+    # ONE groupBy(doc_id) with 64 conditional-sum columns (the shape the
+    # minhash op uses for its band minima) — no bits crossJoin, no
+    # 64x row expansion, no second shuffle: the map-side partial agg
+    # reduces each task's tokens straight to one 64-column row per doc.
+    sums = tokens.groupBy("doc_id").agg(*[
+        F.sum(F.expr(
+            "CASE WHEN (shiftright({h}, {sh}) & 1) = 1 THEN 1 ELSE -1 END"
+            .format(h="h_lo" if bit < 32 else "h_hi",
+                    sh=bit if bit < 32 else bit - 32))).alias(f"s{bit}")
+        for bit in range(SIMHASH_BITS)])
+    sig_expr = " + ".join(
+        f"(CASE WHEN s{bit} > 0 THEN shiftleft(CAST(1 AS BIGINT), {bit})"
+        f" ELSE CAST(0 AS BIGINT) END)"
+        for bit in range(SIMHASH_BITS))
+    return sums.select("doc_id", F.expr(sig_expr).alias("simhash"))
 
 
 # DuckDB: (1::BIGINT << 63) overflows, so bit 63 uses the explicit

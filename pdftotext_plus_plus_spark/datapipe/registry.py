@@ -743,12 +743,16 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ORDERING IS DELIBERATE: the driver's CORRECTNESS artifact records at most
 # the FIRST 50 registered queries (r03 stopped at exactly 50 and dropped the
-# last two registered).  The registry therefore front-loads every query that
-# has never appeared in a driver artifact (big_orders, event_gap_stats,
-# extract_jsonl_shapes) and demotes to the tail three queries whose
-# semantics are transitively covered by an earlier entry AND by the pytest
-# oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
-#   minhash_signatures  — exercised inside minhash_lsh_pairs' band minima
+# last two registered).  Round-5 rotation (VERDICT r4 item #7): `simhash`
+# and `minhash_signatures` — whose transitive-coverage argument was the
+# weakest (banding vs signature surface) — are promoted into the first 50
+# so they get driver-artifact rows; demoted in exchange are the two
+# extraction variants whose oracle SQL is shared verbatim with an earlier
+# entry (`extract_roles_model` reuses extract_roles' oracle,
+# `stream_extract_equivalence` reuses extract_text's oracle — the streaming
+# path additionally has dedicated pytest coverage in test_streaming.py).
+# The tail entries remain transitively covered by an earlier entry AND by
+# the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
 #   event_tumbling_counts — the hop==width special case of hopping counts
 #   ann_lsh_topk        — the single-table special case of the multiprobe
@@ -757,18 +761,17 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         profile detector (lang_id_trigram)
 #   multimodal_meta     — the bare header parse that image_resize_meta
 #                         runs as its first step
-#   simhash             — the signature stage simhash_near_pairs consumes
 #   extract_jsonl_pages — the trivial projection of the extract_jsonl
 #                         sink surface (page dims only)
 #   dedup_clusters_fixpoint — called by (and oracled inside)
 #                         dedup_keep_list, the pipeline's end decision
+#   extract_roles_model / stream_extract_equivalence — see rotation note
 # scripts/check_oracles.py still verifies every entry; ORACLE_PARITY.md
 # records the full in-repo run.
 QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          Optional[str]]] = {
     # extraction engine (SURVEY.md §2 operators, end-to-end)
     "extract_text": (extract_text, None),     # oracle filled in lazily below
-    "stream_extract_equivalence": (stream_extract_equivalence, None),
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     "extract_word_counts": (extract_word_counts, None),  # oracle below
     "extract_text_extended": (extract_text_extended, None),  # oracle below
@@ -779,7 +782,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_jsonl_shapes": (extract_jsonl_shapes, None),  # oracle below
     "extract_visualization": (extract_visualization, None),  # oracle below
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
-    "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
     "extract_stats": (extract_stats, None),    # oracle filled in lazily below
     # generic relational surface over the TPC-H-style driver tables
@@ -801,8 +803,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
                             dedup.NGRAM_JACCARD_SQL),
+    "minhash_signatures": (dedup.minhash_signatures,
+                           dedup.MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
+    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
     "simhash_near_pairs": (dedup.simhash_near_pairs,
                            dedup.SIMHASH_NEAR_PAIRS_SQL),
     "embedding_near_dup": (dedup.embedding_near_dup,
@@ -853,8 +858,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "dedup_keep_list": (chunking.dedup_keep_list,
                         chunking.DEDUP_KEEP_LIST_SQL),
     # --- tail: transitively-covered variants (see ORDERING note above) ---
-    "minhash_signatures": (dedup.minhash_signatures,
-                           dedup.MINHASH_SIGNATURES_SQL),
+    "stream_extract_equivalence": (stream_extract_equivalence, None),
+    "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "dedup_clusters": (chunking.dedup_clusters,
                        chunking.DEDUP_CLUSTERS_SQL),
     "event_tumbling_counts": (events.tumbling_counts,
@@ -863,7 +868,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),
-    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
     "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
                                 chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
