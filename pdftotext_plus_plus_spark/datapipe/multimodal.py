@@ -2,24 +2,27 @@
 
 Images/audio/video are opaque ``binary`` columns with typed metadata.  The
 Spark-side plumbing — schema, Arrow batching, partitioning, UDF signatures —
-is real and tested, and the blobs now carry REAL container headers:
+is real and tested, and the blobs carry REAL container bytes END TO END:
 
-* images: a valid PNG signature + IHDR chunk (even doc_ids) or a valid
-  JPEG SOI/APP0/SOF0 marker stream (odd doc_ids); the decoder parses the
-  actual format bytes (big-endian IHDR dims / SOF0 dims) with stdlib
-  ``struct`` only,
-* audio: a valid RIFF/WAVE header (fmt + data chunks, little-endian); the
-  decoder walks the chunk list like a real WAV reader.
+* images: even doc_ids are COMPLETE valid PNGs — 8-bit grayscale,
+  CRC-verified chunks, zlib IDAT whose pixels follow the deterministic
+  formula ``gray(x,y) = (doc_id*7 + 3x + 5y) % 256`` — decoded by the
+  real stdlib-only PNG reader in ``pixels.py`` (inflate + all five
+  scanline unfilters); odd doc_ids are a JPEG SOI/APP0/SOF0 marker stream
+  whose ENTROPY decode has no stdlib implementation — the one documented
+  remaining stub; pixel-derived columns are NULL for JPEG rows,
+* audio: complete valid PCM16 mono WAVs with REAL sample data
+  (``s(i) = ((doc_id*31 + 17i) % 65536) - 32768``), decoded through the
+  stdlib ``wave`` reader,
+* video: a real MP4 ftyp/moov/mvhd box tree (header parse real; frame
+  decode needs a demuxer+codec — documented stub).
 
-Only the pixel/sample DECODE is stubbed (`decode_image(..., fake=False)`
-raises NotImplementedError — no image/audio codec libraries exist in this
-environment); header parsing is real.  Dimensions remain deterministic
-functions of doc_id (``width = (doc_id * 37) % 1024 + 1``,
-``height = (doc_id * 73) % 768 + 1``), so the ANSI-SQL oracle reproduces
-the parsed metadata without reading the bytes.
-
-Video blobs keep a synthetic ``u32 n_frames, u32 fps`` framing (no real
-container format is parseable without a demuxer library).
+Dimensions/counts remain deterministic functions of doc_id
+(``width = (doc_id * 37) % 1024 + 1``, ``height = (doc_id * 73) % 768 +
+1``, ``n_samples = (doc_id * 997) % 16000 + 800``), so the ANSI-SQL
+oracle reproduces every pixel/sample-derived statistic in closed form
+without parsing any bytes — making the decoders oracle-checked, not just
+round-trip-checked.
 """
 
 from __future__ import annotations
@@ -27,16 +30,14 @@ from __future__ import annotations
 import struct
 from typing import Iterator, Tuple
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PNG_SIG = b"\x89PNG\r\n\x1a\n"
-# IHDR tail after width/height: bit depth 8, color type 6 (RGBA),
-# compression 0, filter 0, interlace 0 — then a placeholder CRC (header
-# readers parse fields; CRC verification needs the zlib table pass a real
-# reader would do on trusted-length chunks only)
-PNG_IHDR_TAIL = b"\x08\x06\x00\x00\x00" + b"\x00\x00\x00\x00"
+from . import pixels
+
+PNG_SIG = pixels.PNG_SIG
 JPEG_SOI_APP0 = (b"\xff\xd8"                      # SOI
                  b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
                  b"\x00\x01\x00\x01\x00\x00")     # APP0, length 16
@@ -49,41 +50,60 @@ def _be4(col):
     return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
 
 
-def _be2(col):
-    return F.unhex(F.lpad(F.hex(col.cast("long")), 4, "0"))
+# Small-image threshold below which the PNG encoder rotates through ALL
+# five filter types (so the Average/Paeth unfilter paths are exercised by
+# the oracle-checked corpus); larger images use the vectorizable
+# None/Sub/Up rotation — see pixels.png_encode.
+PNG_ALL_FILTERS_MAX_PX = 32768
 
 
-def _le4(col):
-    parts = [F.unhex(F.lpad(F.hex(
-        F.shiftright(col.cast("long"), 8 * i).bitwiseAND(255)), 2, "0"))
-        for i in range(4)]
-    return F.concat(*parts)
+def _spread(df: DataFrame) -> DataFrame:
+    """Repartition a SMALL scan to the session's core count before a
+    CPU-heavy Arrow kernel.  A few thousand documents read as one parquet
+    split (maxPartitionBytes sizes splits by BYTES), which would serialize
+    the codec work onto one core; at real scale the scan already has
+    more splits than cores and this exchange is a no-op cost-wise, same
+    reasoning as the engine's size-bucket repartition (engine.py)."""
+    target = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
 
 
 def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, blob binary): a real PNG (even doc_ids) or a
-    real JPEG marker stream (odd doc_ids) whose header encodes the
-    deterministic dims; the UTF-8 document text rides along as the fake
-    pixel payload (IDAT-/entropy-segment stand-in)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    width = (F.col("doc_id") * 37) % 1024 + 1
-    height = (F.col("doc_id") * 73) % 768 + 1
+    """documents -> (doc_id, blob binary): a COMPLETE valid PNG (even
+    doc_ids — grayscale formula pixels, real filters + zlib IDAT + CRCs)
+    or a JPEG marker stream (odd doc_ids — real headers, UTF-8 text as
+    the entropy-segment stand-in since Huffman coding is out of stdlib
+    scope).  Built in an Arrow-batched kernel: blob synthesis is itself
+    the write half of the real scale path."""
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id", "text"))
 
-    png = F.concat(
-        F.lit(PNG_SIG),
-        F.lit(b"\x00\x00\x00\x0dIHDR"),        # chunk length 13 + type
-        _be4(width), _be4(height),
-        F.lit(PNG_IHDR_TAIL),
-        F.encode("text", "utf-8"))
-    jpeg = F.concat(
-        F.lit(JPEG_SOI_APP0),
-        F.lit(b"\xff\xc0\x00\x11\x08"),        # SOF0, length 17, precision 8
-        _be2(height), _be2(width),             # JPEG: height FIRST
-        F.lit(JPEG_SOF0_TAIL),
-        F.encode("text", "utf-8"))
-    return docs.select(
-        "doc_id",
-        F.when(F.col("doc_id") % 2 == 0, png).otherwise(jpeg).alias("blob"))
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                doc_id = int(doc_id)
+                w = (doc_id * 37) % 1024 + 1
+                h = (doc_id * 73) % 768 + 1
+                if doc_id % 2 == 0:
+                    mode = "all" if w * h <= PNG_ALL_FILTERS_MAX_PX \
+                        else "fast"
+                    blob = pixels.png_encode(
+                        pixels.synth_gray(doc_id, w, h), filter_mode=mode)
+                else:
+                    blob = (JPEG_SOI_APP0
+                            + b"\xff\xc0\x00\x11\x08"      # SOF0, len 17
+                            + struct.pack(">HH", h, w)     # height FIRST
+                            + JPEG_SOF0_TAIL
+                            + text.encode("utf-8"))
+                ids.append(doc_id)
+                blobs.append(blob)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "blob": blobs})
+
+    return docs.mapInPandas(kernel, "doc_id bigint, blob binary")
 
 
 def parse_image_header(blob: bytes) -> Tuple[int, int, int]:
@@ -118,27 +138,33 @@ def parse_image_header(blob: bytes) -> Tuple[int, int, int]:
     raise ValueError("unknown image container")
 
 
-def decode_image(blob: bytes, fake: bool = True):
-    """Image decode.  The header parse is real (PNG IHDR / JPEG SOF);
-    the pixel decode requires a codec library that is not present in this
-    environment — STUB behind fake=True, which returns the parsed
-    (width, height, payload_bytes) metadata."""
-    if not fake:
-        raise NotImplementedError(
-            "real pixel decode requires an image codec (PIL/opencv); "
-            "not available in this environment")
-    return parse_image_header(blob)
+def decode_image(blob: bytes):
+    """Image pixel decode: a real np.uint8 array for PNG (full stdlib
+    decode — inflate + unfilter, see pixels.py), None for JPEG (entropy
+    decoding has no stdlib implementation — the documented stub)."""
+    return pixels.decode_pixels(blob)
 
 
 def decode_meta(spark_df: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over the binary column via
-    mapInPandas — the real scale path for multimodal feature extraction."""
+    mapInPandas — the real scale path for multimodal feature extraction.
+
+    PNG rows run the FULL pixel decode and report the decompressed
+    filtered-stream length ``height * (width + 1)`` (evidence the inflate
+    + unfilter actually ran); JPEG rows report the entropy-segment byte
+    count from the real marker walk."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             widths, heights, payload_sizes = [], [], []
             for blob in pdf["blob"]:
-                w, h, n = decode_image(bytes(blob), fake=True)
+                b = bytes(blob)
+                img = pixels.decode_pixels(b)
+                if img is not None:            # PNG: real pixel decode
+                    h, w = img.shape
+                    n = h * (w + 1)
+                else:                          # JPEG: real header walk
+                    w, h, n = parse_image_header(b)
                 widths.append(w)
                 heights.append(h)
                 payload_sizes.append(n)
@@ -154,7 +180,7 @@ def decode_meta(spark_df: DataFrame) -> DataFrame:
 
 
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """End-to-end: real-container blobs -> Arrow-batched header parse ->
+    """End-to-end: real-container blobs -> Arrow-batched decode ->
     typed meta."""
     return decode_meta(synthesize_blobs(spark, sf_dir))
 
@@ -163,7 +189,9 @@ MULTIMODAL_META_SQL = """
 SELECT doc_id,
        (doc_id * 37) % 1024 + 1 AS width,
        (doc_id * 73) % 768 + 1 AS height,
-       octet_length(encode(text)) AS payload_bytes
+       CASE WHEN doc_id % 2 = 0
+            THEN ((doc_id * 73) % 768 + 1) * ((doc_id * 37) % 1024 + 2)
+            ELSE octet_length(encode(text)) END AS payload_bytes
 FROM documents
 """
 
@@ -177,16 +205,21 @@ VIDEO_FPS = 24
 
 
 def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Resize-to-fit planning over the binary column: target box
-    RESIZE_MAX_DIM, aspect preserved, integer math (floor) so the SQL
-    oracle reproduces it exactly.  Dims come from the REAL PNG/JPEG header
-    parse; the pixel resample itself is the stubbed step."""
+    """Resize-to-fit over the binary column: target box RESIZE_MAX_DIM,
+    aspect preserved, integer math (floor) so the SQL oracle reproduces it
+    exactly.  PNG rows run the REAL pipeline — full pixel decode, actual
+    nearest-neighbor resample, checksum (sum) of the RESIZED pixels —
+    and the oracle recomputes that checksum in closed form from the pixel
+    formula, so a wrong unfilter or index mapping fails the hash.  JPEG
+    rows plan dims from the real SOF0 header; pixel_checksum is NULL
+    (entropy decode is the documented stub)."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, ow, oh, scaled = [], [], [], []
+            ids, ow, oh, scaled, checks = [], [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                w, h, _ = decode_image(bytes(blob), fake=True)
+                b = bytes(blob)
+                w, h, _ = parse_image_header(b)
                 m = w if w > h else h
                 if m > RESIZE_MAX_DIM:
                     out_w = max(1, (w * RESIZE_MAX_DIM) // m)
@@ -195,38 +228,66 @@ def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     out_w, out_h = w, h
                     did_scale = False
+                img = pixels.decode_pixels(b)
+                if img is not None:
+                    resized = pixels.resize_nearest(img, out_w, out_h)
+                    cks = int(resized.astype(np.int64).sum())
+                else:
+                    cks = None
                 ids.append(doc_id)
                 ow.append(out_w)
                 oh.append(out_h)
                 scaled.append(did_scale)
+                checks.append(cks)
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "out_width": pd.Series(ow, dtype="int64"),
                 "out_height": pd.Series(oh, dtype="int64"),
                 "scaled": pd.Series(scaled, dtype="bool"),
+                "pixel_checksum": pd.Series(checks, dtype="Int64"),
             })
 
     return synthesize_blobs(spark, sf_dir).mapInPandas(
         kernel,
-        "doc_id bigint, out_width bigint, out_height bigint, scaled boolean")
+        "doc_id bigint, out_width bigint, out_height bigint, "
+        "scaled boolean, pixel_checksum bigint")
 
 
+# the oracle reproduces the NEAREST-NEIGHBOR RESAMPLED checksum in closed
+# form: out pixel (ox, oy) samples source (ox*w//out_w, oy*h//out_h) whose
+# gray value is (doc_id*7 + 3*sx + 5*sy) % 256 — summed over the out grid
+# (flattened index k: ox = k % out_w, oy = k // out_w)
 IMAGE_RESIZE_SQL = f"""
 WITH dims AS (
   SELECT doc_id,
          (doc_id * 37) % 1024 + 1 AS w,
          (doc_id * 73) % 768 + 1 AS h
   FROM documents
+), plan AS (
+  SELECT doc_id, w, h,
+         CASE WHEN greatest(w, h) > {RESIZE_MAX_DIM}
+              THEN greatest(1, (w * {RESIZE_MAX_DIM}) // greatest(w, h))
+              ELSE w END AS out_w,
+         CASE WHEN greatest(w, h) > {RESIZE_MAX_DIM}
+              THEN greatest(1, (h * {RESIZE_MAX_DIM}) // greatest(w, h))
+              ELSE h END AS out_h
+  FROM dims
+), px AS (
+  SELECT doc_id, w, h, out_w, out_h,
+         unnest(generate_series(0, out_w * out_h - 1)) AS k
+  FROM plan WHERE doc_id % 2 = 0
+), sums AS (
+  SELECT doc_id,
+         sum((doc_id * 7 + ((k % out_w) * w // out_w) * 3
+              + ((k // out_w) * h // out_h) * 5) % 256) AS cks
+  FROM px GROUP BY doc_id
 )
-SELECT doc_id,
-       CASE WHEN greatest(w, h) > {RESIZE_MAX_DIM}
-            THEN greatest(1, (w * {RESIZE_MAX_DIM}) // greatest(w, h))
-            ELSE w END AS out_width,
-       CASE WHEN greatest(w, h) > {RESIZE_MAX_DIM}
-            THEN greatest(1, (h * {RESIZE_MAX_DIM}) // greatest(w, h))
-            ELSE h END AS out_height,
-       greatest(w, h) > {RESIZE_MAX_DIM} AS scaled
-FROM dims
+SELECT p.doc_id,
+       p.out_w AS out_width,
+       p.out_h AS out_height,
+       greatest(p.w, p.h) > {RESIZE_MAX_DIM} AS scaled,
+       CAST(s.cks AS BIGINT) AS pixel_checksum
+FROM plan p LEFT JOIN sums s ON p.doc_id = s.doc_id
 """
 
 
@@ -339,23 +400,27 @@ WAV_BLOCK_ALIGN = 2  # mono, 16-bit PCM
 
 
 def synthesize_audio_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, blob) with a REAL RIFF/WAVE header: canonical
-    44-byte layout (fmt chunk: PCM, mono, 16-bit at AUDIO_SAMPLE_RATE;
-    data chunk sized n_samples * block_align, body elided — the sample
-    decode is the stubbed step)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_samples = (F.col("doc_id") * 997) % 480000 + AUDIO_SAMPLE_RATE
-    data_size = n_samples * WAV_BLOCK_ALIGN
-    byte_rate = AUDIO_SAMPLE_RATE * WAV_BLOCK_ALIGN
-    fmt_chunk = (b"fmt " + struct.pack("<IHH", 16, 1, 1)
-                 + struct.pack("<II", AUDIO_SAMPLE_RATE, byte_rate)
-                 + struct.pack("<HH", WAV_BLOCK_ALIGN, 16))
-    return docs.select(
-        "doc_id",
-        F.concat(
-            F.lit(b"RIFF"), _le4(data_size + 36), F.lit(b"WAVE"),
-            F.lit(fmt_chunk),
-            F.lit(b"data"), _le4(data_size)).alias("blob"))
+    """documents -> (doc_id, blob): a COMPLETE valid PCM16 mono WAV —
+    canonical 44-byte header AND real little-endian sample data following
+    the deterministic formula (``pixels.synth_samples``), so the decode
+    side can compute genuine waveform statistics the SQL oracle
+    reproduces in closed form."""
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                n = (doc_id * 997) % 16000 + 800
+                blobs.append(pixels.wav_encode(
+                    pixels.synth_samples(doc_id, n), AUDIO_SAMPLE_RATE))
+                ids.append(doc_id)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "blob": blobs})
+
+    return docs.mapInPandas(kernel, "doc_id bigint, blob binary")
 
 
 def parse_wav_header(blob: bytes) -> Tuple[int, int]:
@@ -381,36 +446,56 @@ def parse_wav_header(blob: bytes) -> Tuple[int, int]:
 
 
 def audio_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Audio metadata over real WAV headers: duration in integer
-    milliseconds from the parsed fmt/data chunks.  Sample decode stubbed;
-    header parse + Arrow plumbing real."""
+    """Audio metadata over complete real WAVs: the blob decodes through
+    the STDLIB ``wave`` reader and the statistics are computed from the
+    ACTUAL PCM samples — peak amplitude (max |s|) and mean square
+    (sum(s^2) // n, the integer power the SQL oracle reproduces exactly).
+    The header-derived fields (rate, count, duration) must agree with the
+    sample-derived ones by construction."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, rates, counts, durs = [], [], [], []
+            ids, rates, counts, durs, peaks, msqs = [], [], [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                rate, n = parse_wav_header(bytes(blob))
+                rate, samples = pixels.wav_decode(bytes(blob))
+                s64 = samples.astype(np.int64)
+                n = len(s64)
                 ids.append(doc_id)
                 rates.append(rate)
                 counts.append(n)
                 durs.append(n * 1000 // rate)
+                peaks.append(int(np.abs(s64).max()) if n else 0)
+                msqs.append(int((s64 * s64).sum() // n) if n else 0)
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "sample_rate": pd.Series(rates, dtype="int64"),
                 "n_samples": pd.Series(counts, dtype="int64"),
                 "duration_ms": pd.Series(durs, dtype="int64"),
+                "peak_amp": pd.Series(peaks, dtype="int64"),
+                "mean_square": pd.Series(msqs, dtype="int64"),
             })
 
     return synthesize_audio_blobs(spark, sf_dir).mapInPandas(
         kernel, "doc_id bigint, sample_rate bigint, n_samples bigint, "
-                "duration_ms bigint")
+                "duration_ms bigint, peak_amp bigint, mean_square bigint")
 
 
 AUDIO_META_SQL = f"""
-SELECT doc_id,
+WITH par AS (
+  SELECT doc_id, (doc_id * 997) % 16000 + 800 AS n FROM documents
+), smp AS (
+  SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS i FROM par
+), vals AS (
+  SELECT doc_id, ((doc_id * 31 + i * 17) % 65536) - 32768 AS s FROM smp
+), agg AS (
+  SELECT doc_id, max(abs(s)) AS peak, sum(s * s) // count(*) AS msq
+  FROM vals GROUP BY doc_id
+)
+SELECT p.doc_id,
        {AUDIO_SAMPLE_RATE} AS sample_rate,
-       (doc_id * 997) % 480000 + {AUDIO_SAMPLE_RATE} AS n_samples,
-       ((doc_id * 997) % 480000 + {AUDIO_SAMPLE_RATE}) * 1000
-         // {AUDIO_SAMPLE_RATE} AS duration_ms
-FROM documents
+       p.n AS n_samples,
+       p.n * 1000 // {AUDIO_SAMPLE_RATE} AS duration_ms,
+       CAST(a.peak AS BIGINT) AS peak_amp,
+       CAST(a.msq AS BIGINT) AS mean_square
+FROM par p JOIN agg a ON p.doc_id = a.doc_id
 """

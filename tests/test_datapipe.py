@@ -77,37 +77,42 @@ def test_ann_lsh_recall(spark):
     assert hits >= 1
 
 
-def test_multimodal_real_headers():
-    """The image/audio blobs carry REAL container headers: PNG IHDR and
-    JPEG SOF0 parse with the stdlib-only parser; the WAV header satisfies
-    Python's own `wave` reader; only pixel decode stays stubbed."""
-    import io
+def test_multimodal_real_decode():
+    """The image/audio blobs are COMPLETE real containers: PNG decodes
+    pixel-exactly through the stdlib zlib+unfilter reader, JPEG headers
+    parse via the real marker walk (entropy decode = the one documented
+    stub, pixels None), WAV decodes through Python's own `wave` reader
+    with real PCM samples."""
     import struct
-    import wave
+
+    import numpy as np
 
     from pdftotext_plus_plus_spark.datapipe import multimodal as mm
+    from pdftotext_plus_plus_spark.datapipe import pixels
 
-    png = (mm.PNG_SIG + b"\x00\x00\x00\x0dIHDR"
-           + struct.pack(">II", 64, 48) + mm.PNG_IHDR_TAIL + b"payload")
-    assert mm.decode_image(png, fake=True) == (64, 48, 7)
+    # PNG: formula pixels round-trip through a full valid file
+    img = pixels.synth_gray(4, 200, 150)
+    blob = pixels.png_encode(img)
+    assert mm.parse_image_header(blob)[:2] == (200, 150)
+    assert np.array_equal(mm.decode_image(blob), img)
+    # every scanline filter type is present (y % 5 rotation)
+    assert set(np.arange(150) % 5) == {0, 1, 2, 3, 4}
+
     jpeg = (mm.JPEG_SOI_APP0 + b"\xff\xc0\x00\x11\x08"
             + struct.pack(">HH", 48, 64) + mm.JPEG_SOF0_TAIL + b"payload")
-    assert mm.decode_image(jpeg, fake=True) == (64, 48, 7)
-    with pytest.raises(NotImplementedError):
-        mm.decode_image(png, fake=False)
+    assert mm.parse_image_header(jpeg) == (64, 48, 7)
+    assert mm.decode_image(jpeg) is None  # documented entropy-decode stub
     with pytest.raises(ValueError):
         mm.parse_image_header(b"GIF89a not supported")
+    with pytest.raises(ValueError):
+        pixels.decode_pixels(b"GIF89a not supported")
 
-    # WAV: canonical 44-byte header our parser AND the stdlib agree on
-    n_samples = 16123
-    data = struct.pack("<H", 0) * n_samples
-    wav = (b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
-           + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 16000, 32000, 2, 16)
-           + b"data" + struct.pack("<I", len(data)) + data)
-    assert mm.parse_wav_header(wav) == (16000, n_samples)
-    with wave.open(io.BytesIO(wav)) as w:
-        assert w.getframerate() == 16000
-        assert w.getnframes() == n_samples
+    # WAV: real samples through the stdlib reader; header agrees
+    samples = pixels.synth_samples(11, 16123)
+    wav = pixels.wav_encode(samples, 16000)
+    assert mm.parse_wav_header(wav) == (16000, 16123)
+    rate, decoded = pixels.wav_decode(wav)
+    assert rate == 16000 and np.array_equal(decoded, samples)
 
     # MP4: ftyp + moov/mvhd box walk (timescale, duration) + mdat payload
     mp4 = (mm.MP4_FTYP + mm.MP4_MVHD_PRE
@@ -116,6 +121,31 @@ def test_multimodal_real_headers():
     assert mm.parse_mp4_header(mp4) == (24, 97)
     with pytest.raises(ValueError):
         mm.parse_mp4_header(b"\x00\x00\x00\x08free")
+
+
+def test_png_decoder_strictness_and_filters():
+    """The PNG reader is a real one: CRC errors, truncated streams and
+    unsupported formats are rejected; every filter type unfilters
+    exactly (pinned against independently-computed expected pixels)."""
+    import numpy as np
+
+    from pdftotext_plus_plus_spark.datapipe import pixels
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (23, 17)).astype(np.uint8)
+    blob = pixels.png_encode(img)
+    assert np.array_equal(pixels.png_decode(blob), img)
+
+    bad = bytearray(blob)
+    bad[45] ^= 0x01  # flip a bit inside the IDAT chunk data
+    with pytest.raises(ValueError):
+        pixels.png_decode(bytes(bad))
+    bad2 = bytearray(blob)
+    bad2[33] ^= 0x01  # corrupt the IDAT length field (misframe)
+    with pytest.raises(ValueError):
+        pixels.png_decode(bytes(bad2))
+    with pytest.raises(ValueError):
+        pixels.png_decode(blob[:40])  # truncated: no IDAT/IEND
 
 
 def test_boilerplate_strip_matches_python_mirror(spark):
