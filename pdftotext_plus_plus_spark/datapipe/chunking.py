@@ -39,7 +39,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHUNK_DOCUMENTS_SQL = f"""
 WITH toked AS (
-  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS toks
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS toks
   FROM documents
 ), grid AS (
   SELECT doc_id, toks,

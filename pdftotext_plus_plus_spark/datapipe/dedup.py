@@ -58,8 +58,8 @@ def _token_shingles(docs: DataFrame) -> DataFrame:
 
 TOKEN_SHINGLES_SQL_CTE = """
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+2], ' ') AS sh
-  FROM (SELECT d.doc_id, string_split_regex(trim(d.text), '\\s+') AS toks,
-               unnest(generate_series(1, greatest(1, len(string_split_regex(trim(d.text), '\\s+')) - 2))) AS i
+  FROM (SELECT d.doc_id, string_split_regex(trim(d.text, ' '), '\\s+') AS toks,
+               unnest(generate_series(1, greatest(1, len(string_split_regex(trim(d.text, ' '), '\\s+')) - 2))) AS i
         FROM documents d)
 """
 
@@ -290,7 +290,7 @@ _SQL_BITVAL = ("CASE WHEN bit = 63 THEN (-9223372036854775807 - 1)"
 SIMHASH_SQL = f"""
 WITH toks AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
-  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
 ), contrib AS (
@@ -343,7 +343,7 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 SIMHASH_NEAR_PAIRS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, ('0x' || substr(md5(tok), 1, 16))::UBIGINT AS h
-  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
 ), contrib AS (
@@ -512,10 +512,10 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 BENCHMARK_DECONTAMINATE_SQL = f"""
 WITH grams AS (
   SELECT DISTINCT doc_id, array_to_string(toks[i:i+{DECON_GRAM - 1}], ' ') AS gram
-  FROM (SELECT d.doc_id, string_split_regex(trim(d.text), '\\s+') AS toks,
-               unnest(generate_series(1, len(string_split_regex(trim(d.text), '\\s+')) - {DECON_GRAM - 1})) AS i
+  FROM (SELECT d.doc_id, string_split_regex(trim(d.text, ' '), '\\s+') AS toks,
+               unnest(generate_series(1, len(string_split_regex(trim(d.text, ' '), '\\s+')) - {DECON_GRAM - 1})) AS i
         FROM documents d
-        WHERE len(string_split_regex(trim(d.text), '\\s+')) >= {DECON_GRAM})
+        WHERE len(string_split_regex(trim(d.text, ' '), '\\s+')) >= {DECON_GRAM})
 ), bench AS (
   SELECT DISTINCT gram FROM grams WHERE doc_id % {DECON_BENCH_EVERY} = 0
 ), hits AS (

@@ -55,7 +55,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
 LANG_ID_SQL = f"""
 WITH toks AS (
   SELECT doc_id, tok
-  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
 ), agg AS (
@@ -103,7 +103,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_SCORE_SQL = """
 WITH toks AS (
   SELECT doc_id, tok
-  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
 ), tok_agg AS (
@@ -142,7 +142,7 @@ def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNTS_SQL = """
 WITH toks AS (
   SELECT doc_id, tok
-  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
 )
@@ -314,7 +314,7 @@ def repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 REPETITION_STATS_SQL = f"""
 WITH toked AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'),
+         list_filter(string_split_regex(trim(text, ' '), '\\s+'),
                      x -> length(x) > 0) AS toks
   FROM documents
 ), grams AS (
@@ -371,7 +371,7 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 VOCAB_TOP_TOKENS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, tok
-  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
 )
@@ -419,7 +419,7 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
 TFIDF_KEYWORDS_SQL = f"""
 WITH toks AS (
   SELECT doc_id, tok
-  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text), '\\s+')) AS tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
         FROM documents d)
   WHERE length(tok) > 0
 ), tf AS (
@@ -626,7 +626,7 @@ def gopher_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 GOPHER_QUALITY_FILTER_SQL = f"""
 WITH t AS (
   SELECT doc_id,
-         list_filter(string_split_regex(trim(text), '\\s+'),
+         list_filter(string_split_regex(trim(text, ' '), '\\s+'),
                      x -> length(x) > 0) AS toks
   FROM documents
 ), m AS (
