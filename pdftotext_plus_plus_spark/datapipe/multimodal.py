@@ -309,23 +309,93 @@ MP4_MVHD_TAIL = (struct.pack(">IHH", 0x00010000, 0x0100, 0)
                  + b"\x00" * 24 + struct.pack(">I", 2))
 
 
+def _full_box(btype: bytes, body: bytes, version: int = 0,
+              flags: int = 0) -> bytes:
+    return (struct.pack(">I4s", 8 + 4 + len(body), btype)
+            + struct.pack(">B3s", version, flags.to_bytes(3, "big")) + body)
+
+
+def _box(btype: bytes, body: bytes) -> bytes:
+    return struct.pack(">I4s", 8 + len(body), btype) + body
+
+
+def frame_size(doc_id: int, i: int) -> int:
+    """Deterministic per-sample byte size (the stsz table contents)."""
+    return (doc_id + i * 11) % 64 + 16
+
+
+def frame_bytes(doc_id: int, i: int) -> np.ndarray:
+    """Deterministic frame payload: byte j = (13*doc_id + 7i + 3j) % 256."""
+    j = np.arange(frame_size(doc_id, i), dtype=np.int64)
+    return ((doc_id * 13 + i * 7 + 3 * j) % 256).astype(np.uint8)
+
+
+def build_mp4(doc_id: int, n_frames: int) -> bytes:
+    """A COMPLETE demuxable MP4: ftyp + moov carrying mvhd AND a real
+    trak/mdia/minf/stbl sample-table tree (stts/stsz/stsc/stco per
+    ISO/IEC 14496-12) + an mdat whose per-frame payloads follow the
+    deterministic formula — so a real demuxer (ours below, or any
+    standard one) can seek to and extract every frame's bytes."""
+    sizes = [frame_size(doc_id, i) for i in range(n_frames)]
+
+    stts = _full_box(b"stts", struct.pack(">III", 1, n_frames, 1))
+    stsz = _full_box(b"stsz", struct.pack(">II", 0, n_frames)
+                     + struct.pack(">%dI" % n_frames, *sizes))
+    stsc = _full_box(b"stsc", struct.pack(">IIII", 1, 1, n_frames, 1))
+    # stco needs the absolute mdat payload offset — all earlier box sizes
+    # are known before mdat is built, so compute it first
+    mdhd = _full_box(b"mdhd", struct.pack(">IIIIHH", 0, 0, MP4_TIMESCALE,
+                                          n_frames, 0x55C4, 0))
+    hdlr = _full_box(b"hdlr", struct.pack(">I4s", 0, b"vide")
+                     + b"\x00" * 12 + b"\x00")
+    tkhd = _full_box(b"tkhd", struct.pack(">IIII", 0, 0, 1, 0)
+                     + struct.pack(">I", n_frames) + b"\x00" * 8
+                     + struct.pack(">HHHH", 0, 0, 0, 0)
+                     + struct.pack(">9I", 0x10000, 0, 0, 0, 0x10000, 0, 0,
+                                   0, 0x40000000)
+                     + struct.pack(">II", 0, 0), version=0, flags=7)
+    mvhd_body = (b"\x00\x00\x00\x00" + struct.pack(">II", 0, 0)
+                 + struct.pack(">II", MP4_TIMESCALE, n_frames)
+                 + MP4_MVHD_TAIL)
+    mvhd = _box(b"mvhd", mvhd_body)
+
+    stco_placeholder = _full_box(b"stco", struct.pack(">II", 1, 0))
+    stbl = _box(b"stbl", stts + stsz + stsc + stco_placeholder)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+    mdat_payload_off = len(MP4_FTYP) + len(moov) + 8  # + mdat header
+    stco = _full_box(b"stco", struct.pack(">II", 1, mdat_payload_off))
+    stbl = _box(b"stbl", stts + stsz + stsc + stco)
+    minf = _box(b"minf", stbl)
+    mdia = _box(b"mdia", mdhd + hdlr + minf)
+    trak = _box(b"trak", tkhd + mdia)
+    moov = _box(b"moov", mvhd + trak)
+
+    payload = np.concatenate([frame_bytes(doc_id, i)
+                              for i in range(n_frames)]).tobytes()
+    return MP4_FTYP + moov + _box(b"mdat", payload)
+
+
 def synthesize_video_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, blob) with a REAL MP4 header: ftyp box +
-    moov/mvhd carrying timescale = 24 (1 unit per frame) and duration =
-    n_frames (doc_id % 240 + 1) — the fields a real demuxer reads for
-    clip length.  Track/sample tables (and frame decode) stay out of
-    scope: those need a codec library."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    n_frames = F.col("doc_id") % 240 + 1
-    payload = F.encode("text", "utf-8")
-    return docs.select(
-        "doc_id",
-        F.concat(F.lit(MP4_FTYP + MP4_MVHD_PRE),
-                 _be4(F.lit(MP4_TIMESCALE)), _be4(n_frames),
-                 F.lit(MP4_MVHD_TAIL),
-                 # the fake sample data rides in a well-formed mdat box
-                 _be4(F.octet_length(payload) + 8), F.lit(b"mdat"),
-                 payload).alias("blob"))
+    """documents -> (doc_id, blob): complete demuxable MP4s (mvhd +
+    sample tables + formula frame payloads in mdat), built in an
+    Arrow-batched kernel."""
+    docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")
+                   .select("doc_id"))
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, blobs = [], []
+            for doc_id in pdf["doc_id"]:
+                doc_id = int(doc_id)
+                ids.append(doc_id)
+                blobs.append(build_mp4(doc_id, doc_id % 240 + 1))
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "blob": blobs})
+
+    return docs.mapInPandas(kernel, "doc_id bigint, blob binary")
 
 
 def parse_mp4_header(blob: bytes) -> Tuple[int, int]:
@@ -355,43 +425,123 @@ def parse_mp4_header(blob: bytes) -> Tuple[int, int]:
     return timescale, duration
 
 
+def _walk_box(buf: bytes, start: int, end: int, path) -> int:
+    pos = start
+    while pos + 8 <= end:
+        size, btype = struct.unpack(">I4s", buf[pos:pos + 8])
+        if size < 8:
+            raise ValueError("mp4: bad box size")
+        if btype == path[0]:
+            if len(path) == 1:
+                return pos
+            return _walk_box(buf, pos + 8, pos + size, path[1:])
+        pos += size
+    raise ValueError("mp4: box not found: %r" % (path,))
+
+
+def parse_mp4_samples(blob: bytes):
+    """REAL demux of the sample tables: returns (timescale, sizes,
+    chunk_offset) from the trak/mdia/minf/stbl tree — stsz sample sizes
+    and the stco chunk base, cross-checked against stsc/stts/mvhd.  This
+    is the demuxer step a production frame-extraction pipeline performs
+    before handing compressed sample bytes to a codec."""
+    timescale, duration = parse_mp4_header(blob)
+    stbl = _walk_box(blob, 0, len(blob),
+                     [b"moov", b"trak", b"mdia", b"minf", b"stbl"]) + 8
+    stbl_end = stbl + struct.unpack(">I", blob[stbl - 8:stbl - 4])[0] - 8
+
+    stsz = _walk_box(blob, stbl, stbl_end, [b"stsz"])
+    sample_size, count = struct.unpack(">II", blob[stsz + 12:stsz + 20])
+    if sample_size != 0:
+        sizes = [sample_size] * count
+    else:
+        sizes = list(struct.unpack(
+            ">%dI" % count, blob[stsz + 20:stsz + 20 + 4 * count]))
+    if count != duration:
+        raise ValueError("mp4: stsz count != mvhd duration")
+
+    stsc = _walk_box(blob, stbl, stbl_end, [b"stsc"])
+    n_ent, first, per_chunk, _desc = struct.unpack(
+        ">IIII", blob[stsc + 12:stsc + 28])
+    if (n_ent, first, per_chunk) != (1, 1, count):
+        raise ValueError("mp4: unsupported chunking (expected one chunk)")
+
+    stco = _walk_box(blob, stbl, stbl_end, [b"stco"])
+    n_off, chunk_offset = struct.unpack(">II", blob[stco + 12:stco + 20])
+    if n_off != 1:
+        raise ValueError("mp4: unsupported stco entry count")
+    return timescale, sizes, chunk_offset
+
+
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One sampled frame index per second of fake video (stride = fps):
-    each blob expands to ceil(n_frames / fps) rows.  The frame DECODE is
-    the stubbed step; the explode-inside-Arrow-kernel shape (one input row
-    -> many output rows, no JVM explode of decoded frames) is the real
-    scale pattern for frame extraction."""
+    """One sampled frame per second of video: the kernel DEMUXES each
+    blob for real — walks the stbl sample tables, seeks to each sampled
+    frame's absolute mdat offset (stco base + stsz prefix sums), slices
+    the ACTUAL frame bytes and checksums them; the oracle recomputes
+    every checksum in closed form from the frame formula, so a wrong
+    offset or size fails the hash.  Only the codec step (decoding the
+    extracted sample bytes to pixels) remains out of stdlib scope.  The
+    explode-inside-Arrow-kernel shape (one input row -> many output
+    rows, no JVM explode) is the real scale pattern."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, stamps = [], [], []
+            ids, idxs, stamps, fsizes, checks = [], [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
-                # real mvhd parse: timescale = fps (1 unit per frame), so
-                # the movie duration IS the frame count
-                fps, n_frames = parse_mp4_header(bytes(blob))
-                for frame_idx in range(0, n_frames, fps):
-                    ids.append(doc_id)
-                    idxs.append(frame_idx)
-                    stamps.append(frame_idx * 1000 // fps)
+                b = bytes(blob)
+                fps, sizes, base = parse_mp4_samples(b)
+                # prefix-sum seek, sampling every fps-th frame
+                offset = base
+                for i, sz in enumerate(sizes):
+                    if i % fps == 0:
+                        frame = np.frombuffer(
+                            b[offset:offset + sz], dtype=np.uint8)
+                        if len(frame) != sz:
+                            raise ValueError("mp4: mdat truncated")
+                        ids.append(doc_id)
+                        idxs.append(i)
+                        stamps.append(i * 1000 // fps)
+                        fsizes.append(sz)
+                        checks.append(int(frame.astype(np.int64).sum()))
+                    offset += sz
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int64"),
                 "ts_ms": pd.Series(stamps, dtype="int64"),
+                "frame_bytes": pd.Series(fsizes, dtype="int64"),
+                "frame_checksum": pd.Series(checks, dtype="int64"),
             })
 
     return synthesize_video_blobs(spark, sf_dir).mapInPandas(
-        kernel, "doc_id bigint, frame_idx bigint, ts_ms bigint")
+        kernel, "doc_id bigint, frame_idx bigint, ts_ms bigint, "
+                "frame_bytes bigint, frame_checksum bigint")
 
 
 VIDEO_FRAME_SAMPLE_SQL = f"""
 WITH vids AS (
   SELECT doc_id, doc_id % 240 + 1 AS n_frames FROM documents
+), fr AS (
+  SELECT doc_id,
+         unnest(generate_series(0, n_frames - 1, {VIDEO_FPS})) AS frame_idx
+  FROM vids
+), sz AS (
+  SELECT doc_id, frame_idx,
+         (doc_id + frame_idx * 11) % 64 + 16 AS fsz
+  FROM fr
+), by AS (
+  SELECT doc_id, frame_idx, fsz,
+         unnest(generate_series(0, fsz - 1)) AS j
+  FROM sz
+), ck AS (
+  SELECT doc_id, frame_idx,
+         sum((doc_id * 13 + frame_idx * 7 + 3 * j) % 256) AS cks
+  FROM by GROUP BY doc_id, frame_idx
 )
-SELECT doc_id,
-       unnest(generate_series(0, n_frames - 1, {VIDEO_FPS})) AS frame_idx,
-       unnest(generate_series(0, n_frames - 1, {VIDEO_FPS})) * 1000
-         // {VIDEO_FPS} AS ts_ms
-FROM vids
+SELECT s.doc_id, s.frame_idx,
+       s.frame_idx * 1000 // {VIDEO_FPS} AS ts_ms,
+       s.fsz AS frame_bytes,
+       CAST(c.cks AS BIGINT) AS frame_checksum
+FROM sz s JOIN ck c ON s.doc_id = c.doc_id AND s.frame_idx = c.frame_idx
 """
 
 

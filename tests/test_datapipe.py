@@ -349,3 +349,30 @@ def test_ann_ivf_exact_within_probed_lists(spark):
     recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
                for q in exact]
     assert sum(recalls) / len(recalls) >= 0.35, recalls
+
+
+def test_mp4_demuxer_sample_tables():
+    """build_mp4 emits a complete stbl tree; parse_mp4_samples demuxes
+    sizes + chunk base and every sampled frame slice matches the formula
+    payload; strictness: table/mvhd mismatches raise."""
+    import numpy as np
+
+    from pdftotext_plus_plus_spark.datapipe import multimodal as mm
+
+    blob = mm.build_mp4(5, 60)
+    ts, sizes, base = mm.parse_mp4_samples(blob)
+    assert ts == mm.MP4_TIMESCALE and len(sizes) == 60
+    assert sizes == [mm.frame_size(5, i) for i in range(60)]
+    off = base
+    for i, sz in enumerate(sizes):
+        frame = np.frombuffer(blob[off:off + sz], np.uint8)
+        assert np.array_equal(frame, mm.frame_bytes(5, i)), i
+        off += sz
+    assert off == len(blob)  # mdat ends exactly at the last frame
+
+    # a corrupted stsz count must fail the mvhd cross-check
+    stsz_at = blob.find(b"stsz")
+    bad = bytearray(blob)
+    bad[stsz_at + 12:stsz_at + 16] = (59).to_bytes(4, "big")
+    with pytest.raises(ValueError):
+        mm.parse_mp4_samples(bytes(bad))
