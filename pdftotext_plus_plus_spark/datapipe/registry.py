@@ -778,7 +778,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
     "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
     "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
-    "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
     "extract_jsonl_shapes": (extract_jsonl_shapes, None),  # oracle below
     "extract_visualization": (extract_visualization, None),  # oracle below
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
@@ -833,6 +832,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
     "gopher_quality_filter": (textstats.gopher_quality_filter,
                               textstats.GOPHER_QUALITY_FILTER_SQL),
+    "unigram_surprisal": (textstats.unigram_surprisal,
+                          textstats.UNIGRAM_SURPRISAL_SQL),
     "vocab_top_tokens": (textstats.vocab_top_tokens,
                          textstats.VOCAB_TOP_TOKENS_SQL),
     "tfidf_keywords": (textstats.tfidf_keywords,
@@ -860,6 +861,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # --- tail: transitively-covered variants (see ORDERING note above) ---
     "stream_extract_equivalence": (stream_extract_equivalence, None),
     "extract_roles_model": (extract_roles_model, None),  # same oracle shape
+    # figures share the serializer path with extract_jsonl_shapes and the
+    # figure bboxes with extract_visualization's rect layer (both head)
+    "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
     "dedup_clusters": (chunking.dedup_clusters,
                        chunking.DEDUP_CLUSTERS_SQL),
     "event_tumbling_counts": (events.tumbling_counts,

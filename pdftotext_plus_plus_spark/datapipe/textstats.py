@@ -649,3 +649,77 @@ SELECT doc_id, n_tok,
             THEN 1 ELSE 0 END AS keep
 FROM m
 """.replace("{sw}", ", ".join("'%s'" % w for w in EN_STOPWORDS))
+
+
+# ---------------------------------------------------------------------------
+# unigram surprisal (train-free perplexity-proxy quality filter)
+# ---------------------------------------------------------------------------
+
+# band thresholds are corpus-calibrated percentiles (as in CCNet, where
+# the perplexity cutoffs are tuned per language/corpus): the synthetic
+# corpus concentrates at ~5.0-5.5 bits/token, so the band splits it
+SURPRISAL_KEEP_LO = 480   # below = boilerplate/repetitive
+SURPRISAL_KEEP_HI = 530   # above = gibberish/OOV soup
+
+
+def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram surprisal, the train-free stand-in for
+    the LM-perplexity quality filter of CCNet/Gopher-style pipelines:
+    documents whose average token surprisal falls outside a band are
+    dropped (too low = duplicated boilerplate, too high = gibberish).
+
+    INTEGER-EXACT by construction so the DuckDB oracle matches to the
+    hash: token surprisal = floor(log2(total_tokens // tf)) + 1 computed
+    as the BIT LENGTH of the integer ratio (``length(bin(x))`` in Spark,
+    ``length(printf('%b', x))`` in DuckDB — both exact), never a float
+    log whose last-ulp libm differences could flip a rounding boundary.
+
+    Plan shape at scale: one (tok) partial agg for tf, a single-row
+    broadcast for the corpus total, an N:1 token-dim join back to the
+    token stream, one (doc_id) partial agg — the tfidf plan minus the
+    ranking window."""
+    docs = _documents(spark, sf_dir)
+    toks = _tokens(docs)
+    tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
+    total = tf.agg(F.sum("tf").alias("total"))
+    bits = (tf.crossJoin(F.broadcast(total))
+            .withColumn("bits", F.length(F.bin(F.expr("div(total, tf)")))))
+    per_doc = (toks.join(bits.select("tok", "bits"), "tok")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_tok"),
+                    F.sum("bits").alias("sum_bits")))
+    return (per_doc
+            .withColumn("mean_centibits",
+                        F.expr("div(sum_bits * 100, n_tok)"))
+            .withColumn("keep", ((F.col("mean_centibits") >= SURPRISAL_KEEP_LO)
+                                 & (F.col("mean_centibits") <= SURPRISAL_KEEP_HI))
+                        .cast("int"))
+            .select("doc_id", "n_tok", "sum_bits", "mean_centibits", "keep"))
+
+
+UNIGRAM_SURPRISAL_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT d.doc_id, unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
+        FROM documents d)
+  WHERE length(tok) > 0
+), tf AS (
+  SELECT tok, count(*) AS tf FROM toks GROUP BY tok
+), bits AS (
+  SELECT tok, length(printf('%b',
+         CAST((SELECT sum(tf) FROM tf) // tf AS BIGINT))) AS bits
+  FROM tf
+), per_doc AS (
+  SELECT t.doc_id, count(*) AS n_tok, sum(b.bits) AS sum_bits
+  FROM toks t JOIN bits b ON b.tok = t.tok
+  GROUP BY t.doc_id
+)
+SELECT doc_id,
+       n_tok,
+       CAST(sum_bits AS BIGINT) AS sum_bits,
+       CAST(sum_bits * 100 // n_tok AS BIGINT) AS mean_centibits,
+       CASE WHEN sum_bits * 100 // n_tok BETWEEN {SURPRISAL_KEEP_LO}
+                 AND {SURPRISAL_KEEP_HI}
+            THEN 1 ELSE 0 END AS keep
+FROM per_doc
+"""

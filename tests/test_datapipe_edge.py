@@ -55,6 +55,7 @@ EDGE_QUERIES = [
     "benchmark_decontaminate",
     "lang_id", "lang_id_trigram", "quality_score", "token_counts",
     "fingerprint", "repetition_stats", "gopher_quality_filter",
+    "unigram_surprisal",
     "pii_scrub", "source_mix_weights", "vocab_top_tokens",
     "tfidf_keywords", "per_source_topk",
     "chunk_documents", "dedup_clusters", "dedup_clusters_fixpoint",
