@@ -8,14 +8,18 @@ is real and tested, and the blobs carry REAL container bytes END TO END:
   CRC-verified chunks, zlib IDAT whose pixels follow the deterministic
   formula ``gray(x,y) = (doc_id*7 + 3x + 5y) % 256`` — decoded by the
   real stdlib-only PNG reader in ``pixels.py`` (inflate + all five
-  scanline unfilters); odd doc_ids are a JPEG SOI/APP0/SOF0 marker stream
-  whose ENTROPY decode has no stdlib implementation — the one documented
-  remaining stub; pixel-derived columns are NULL for JPEG rows,
+  scanline unfilters); odd doc_ids are COMPLETE baseline JPEGs encoded
+  and decoded by the real Huffman+DCT codec in ``datapipe.jpeg`` (the
+  former entropy-decode stub is CLOSED) — their pixels are constant per
+  8x8 block (``(doc_id*7 + 3*(x//8) + 5*(y//8)) % 256``), the family for
+  which the lossy pipeline is provably exact, so the SQL oracle stays
+  closed-form while the decoder runs the full real path,
 * audio: complete valid PCM16 mono WAVs with REAL sample data
   (``s(i) = ((doc_id*31 + 17i) % 65536) - 32768``), decoded through the
   stdlib ``wave`` reader,
-* video: a real MP4 ftyp/moov/mvhd box tree (header parse real; frame
-  decode needs a demuxer+codec — documented stub).
+* video: complete demuxable MP4s (mvhd + full stbl sample tables);
+  frame BYTES are really extracted and checksummed — only the video
+  codec step (sample bytes -> pixels) remains out of scope.
 
 Dimensions/counts remain deterministic functions of doc_id
 (``width = (doc_id * 37) % 1024 + 1``, ``height = (doc_id * 73) % 768 +
@@ -70,34 +74,41 @@ def _spread(df: DataFrame) -> DataFrame:
     return df
 
 
+def image_dims(doc_id: int) -> Tuple[int, int]:
+    """Deterministic per-doc image dims.  Even doc_ids (PNG): any size.
+    Odd doc_ids (JPEG): multiples of 8, because the block-constant
+    exactness contract (datapipe.jpeg docstring) needs whole blocks."""
+    if doc_id % 2 == 0:
+        return (doc_id * 37) % 1024 + 1, (doc_id * 73) % 768 + 1
+    return ((doc_id * 37) % 128) * 8 + 8, ((doc_id * 73) % 96) * 8 + 8
+
+
 def synthesize_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """documents -> (doc_id, blob binary): a COMPLETE valid PNG (even
-    doc_ids — grayscale formula pixels, real filters + zlib IDAT + CRCs)
-    or a JPEG marker stream (odd doc_ids — real headers, UTF-8 text as
-    the entropy-segment stand-in since Huffman coding is out of stdlib
-    scope).  Built in an Arrow-batched kernel: blob synthesis is itself
-    the write half of the real scale path."""
+    """documents -> (doc_id, blob binary): a COMPLETE valid image per
+    doc — PNG (even doc_ids: grayscale formula pixels, real filters +
+    zlib IDAT + CRCs) or baseline JPEG (odd doc_ids: block-constant
+    formula pixels through the REAL DCT/quant/Huffman encoder in
+    datapipe.jpeg).  Built in an Arrow-batched kernel: blob synthesis is
+    itself the write half of the real scale path."""
+    from . import jpeg
+
     docs = _spread(spark.read.parquet(f"{sf_dir}/documents.parquet")
-                   .select("doc_id", "text"))
+                   .select("doc_id"))
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, blobs = [], []
-            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+            for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
-                w = (doc_id * 37) % 1024 + 1
-                h = (doc_id * 73) % 768 + 1
+                w, h = image_dims(doc_id)
                 if doc_id % 2 == 0:
                     mode = "all" if w * h <= PNG_ALL_FILTERS_MAX_PX \
                         else "fast"
                     blob = pixels.png_encode(
                         pixels.synth_gray(doc_id, w, h), filter_mode=mode)
                 else:
-                    blob = (JPEG_SOI_APP0
-                            + b"\xff\xc0\x00\x11\x08"      # SOF0, len 17
-                            + struct.pack(">HH", h, w)     # height FIRST
-                            + JPEG_SOF0_TAIL
-                            + text.encode("utf-8"))
+                    blob = jpeg.encode_gray_jpeg(
+                        jpeg.synth_block_gray(doc_id, w, h))
                 ids.append(doc_id)
                 blobs.append(blob)
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
@@ -139,9 +150,9 @@ def parse_image_header(blob: bytes) -> Tuple[int, int, int]:
 
 
 def decode_image(blob: bytes):
-    """Image pixel decode: a real np.uint8 array for PNG (full stdlib
-    decode — inflate + unfilter, see pixels.py), None for JPEG (entropy
-    decoding has no stdlib implementation — the documented stub)."""
+    """Image pixel decode: a real np.uint8 array for BOTH containers —
+    PNG via pixels.py (inflate + unfilter), baseline JPEG via
+    datapipe.jpeg (Huffman + IDCT)."""
     return pixels.decode_pixels(blob)
 
 
@@ -149,10 +160,10 @@ def decode_meta(spark_df: DataFrame) -> DataFrame:
     """Arrow-batched metadata extraction over the binary column via
     mapInPandas — the real scale path for multimodal feature extraction.
 
-    PNG rows run the FULL pixel decode and report the decompressed
-    filtered-stream length ``height * (width + 1)`` (evidence the inflate
-    + unfilter actually ran); JPEG rows report the entropy-segment byte
-    count from the real marker walk."""
+    Every row runs the FULL pixel decode; the reported payload size is
+    decode-derived evidence it ran — the decompressed filtered-stream
+    length ``height * (width + 1)`` for PNG, the decoded sample count
+    ``height * width`` for JPEG."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -160,11 +171,8 @@ def decode_meta(spark_df: DataFrame) -> DataFrame:
             for blob in pdf["blob"]:
                 b = bytes(blob)
                 img = pixels.decode_pixels(b)
-                if img is not None:            # PNG: real pixel decode
-                    h, w = img.shape
-                    n = h * (w + 1)
-                else:                          # JPEG: real header walk
-                    w, h, n = parse_image_header(b)
+                h, w = img.shape
+                n = h * (w + 1) if b[:8] == pixels.PNG_SIG else h * w
                 widths.append(w)
                 heights.append(h)
                 payload_sizes.append(n)
@@ -186,13 +194,18 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 MULTIMODAL_META_SQL = """
-SELECT doc_id,
-       (doc_id * 37) % 1024 + 1 AS width,
-       (doc_id * 73) % 768 + 1 AS height,
-       CASE WHEN doc_id % 2 = 0
-            THEN ((doc_id * 73) % 768 + 1) * ((doc_id * 37) % 1024 + 2)
-            ELSE octet_length(encode(text)) END AS payload_bytes
-FROM documents
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 37) % 1024 + 1
+              ELSE ((doc_id * 37) % 128) * 8 + 8 END AS w,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 73) % 768 + 1
+              ELSE ((doc_id * 73) % 96) * 8 + 8 END AS h
+  FROM documents
+)
+SELECT doc_id, w AS width, h AS height,
+       CASE WHEN doc_id % 2 = 0 THEN h * (w + 1) ELSE h * w END
+         AS payload_bytes
+FROM dims
 """
 
 
@@ -207,12 +220,12 @@ VIDEO_FPS = 24
 def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Resize-to-fit over the binary column: target box RESIZE_MAX_DIM,
     aspect preserved, integer math (floor) so the SQL oracle reproduces it
-    exactly.  PNG rows run the REAL pipeline — full pixel decode, actual
-    nearest-neighbor resample, checksum (sum) of the RESIZED pixels —
-    and the oracle recomputes that checksum in closed form from the pixel
-    formula, so a wrong unfilter or index mapping fails the hash.  JPEG
-    rows plan dims from the real SOF0 header; pixel_checksum is NULL
-    (entropy decode is the documented stub)."""
+    exactly.  EVERY row runs the REAL pipeline — full pixel decode (PNG
+    inflate+unfilter or baseline-JPEG Huffman+IDCT via datapipe.jpeg),
+    actual nearest-neighbor resample, checksum (sum) of the RESIZED
+    pixels — and the oracle recomputes that checksum in closed form from
+    the corpus pixel formulas, so a wrong unfilter, entropy decode, or
+    index mapping fails the hash."""
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -228,23 +241,19 @@ def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     out_w, out_h = w, h
                     did_scale = False
-                img = pixels.decode_pixels(b)
-                if img is not None:
-                    resized = pixels.resize_nearest(img, out_w, out_h)
-                    cks = int(resized.astype(np.int64).sum())
-                else:
-                    cks = None
+                resized = pixels.resize_nearest(
+                    pixels.decode_pixels(b), out_w, out_h)
                 ids.append(doc_id)
                 ow.append(out_w)
                 oh.append(out_h)
                 scaled.append(did_scale)
-                checks.append(cks)
+                checks.append(int(resized.astype(np.int64).sum()))
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "out_width": pd.Series(ow, dtype="int64"),
                 "out_height": pd.Series(oh, dtype="int64"),
                 "scaled": pd.Series(scaled, dtype="bool"),
-                "pixel_checksum": pd.Series(checks, dtype="Int64"),
+                "pixel_checksum": pd.Series(checks, dtype="int64"),
             })
 
     return synthesize_blobs(spark, sf_dir).mapInPandas(
@@ -260,8 +269,10 @@ def image_resize_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
 IMAGE_RESIZE_SQL = f"""
 WITH dims AS (
   SELECT doc_id,
-         (doc_id * 37) % 1024 + 1 AS w,
-         (doc_id * 73) % 768 + 1 AS h
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 37) % 1024 + 1
+              ELSE ((doc_id * 37) % 128) * 8 + 8 END AS w,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 73) % 768 + 1
+              ELSE ((doc_id * 73) % 96) * 8 + 8 END AS h
   FROM documents
 ), plan AS (
   SELECT doc_id, w, h,
@@ -275,11 +286,15 @@ WITH dims AS (
 ), px AS (
   SELECT doc_id, w, h, out_w, out_h,
          unnest(generate_series(0, out_w * out_h - 1)) AS k
-  FROM plan WHERE doc_id % 2 = 0
+  FROM plan
 ), sums AS (
   SELECT doc_id,
-         sum((doc_id * 7 + ((k % out_w) * w // out_w) * 3
-              + ((k // out_w) * h // out_h) * 5) % 256) AS cks
+         sum(CASE WHEN doc_id % 2 = 0
+                  THEN (doc_id * 7 + ((k % out_w) * w // out_w) * 3
+                        + ((k // out_w) * h // out_h) * 5) % 256
+                  ELSE (doc_id * 7 + (((k % out_w) * w // out_w) // 8) * 3
+                        + (((k // out_w) * h // out_h) // 8) * 5) % 256
+             END) AS cks
   FROM px GROUP BY doc_id
 )
 SELECT p.doc_id,
@@ -287,7 +302,7 @@ SELECT p.doc_id,
        p.out_h AS out_height,
        greatest(p.w, p.h) > {RESIZE_MAX_DIM} AS scaled,
        CAST(s.cks AS BIGINT) AS pixel_checksum
-FROM plan p LEFT JOIN sums s ON p.doc_id = s.doc_id
+FROM plan p JOIN sums s ON p.doc_id = s.doc_id
 """
 
 

@@ -173,13 +173,14 @@ def png_decode(blob: bytes) -> np.ndarray:
 
 
 def decode_pixels(blob: bytes) -> Optional[np.ndarray]:
-    """Pixel decode dispatch: real for PNG, None for JPEG (entropy decode
-    has no stdlib implementation — the documented remaining stub; query
-    columns derived from pixels are NULL for JPEG rows)."""
+    """Pixel decode dispatch: real for PNG (this module) AND for baseline
+    grayscale JPEG (datapipe.jpeg — a full Huffman+IDCT implementation,
+    closing the former entropy-decode stub)."""
     if blob[:8] == PNG_SIG:
         return png_decode(blob)
     if blob[:2] == b"\xff\xd8":
-        return None
+        from . import jpeg
+        return jpeg.decode_gray_jpeg(blob)
     raise ValueError("unknown image container")
 
 

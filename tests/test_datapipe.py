@@ -79,14 +79,14 @@ def test_ann_lsh_recall(spark):
 
 def test_multimodal_real_decode():
     """The image/audio blobs are COMPLETE real containers: PNG decodes
-    pixel-exactly through the stdlib zlib+unfilter reader, JPEG headers
-    parse via the real marker walk (entropy decode = the one documented
-    stub, pixels None), WAV decodes through Python's own `wave` reader
-    with real PCM samples."""
+    pixel-exactly through the stdlib zlib+unfilter reader, baseline JPEG
+    decodes through the real Huffman+IDCT codec (datapipe.jpeg), WAV
+    decodes through Python's own `wave` reader with real PCM samples."""
     import struct
 
     import numpy as np
 
+    from pdftotext_plus_plus_spark.datapipe import jpeg as jp
     from pdftotext_plus_plus_spark.datapipe import multimodal as mm
     from pdftotext_plus_plus_spark.datapipe import pixels
 
@@ -98,10 +98,12 @@ def test_multimodal_real_decode():
     # every scanline filter type is present (y % 5 rotation)
     assert set(np.arange(150) % 5) == {0, 1, 2, 3, 4}
 
-    jpeg = (mm.JPEG_SOI_APP0 + b"\xff\xc0\x00\x11\x08"
-            + struct.pack(">HH", 48, 64) + mm.JPEG_SOF0_TAIL + b"payload")
-    assert mm.parse_image_header(jpeg) == (64, 48, 7)
-    assert mm.decode_image(jpeg) is None  # documented entropy-decode stub
+    # JPEG: the block-constant family decodes EXACTLY through the real
+    # entropy codec (the lossless-by-construction contract)
+    jimg = jp.synth_block_gray(7, 64, 48)
+    jblob = jp.encode_gray_jpeg(jimg)
+    assert mm.parse_image_header(jblob)[:2] == (64, 48)
+    assert np.array_equal(mm.decode_image(jblob), jimg)
     with pytest.raises(ValueError):
         mm.parse_image_header(b"GIF89a not supported")
     with pytest.raises(ValueError):
@@ -376,3 +378,43 @@ def test_mp4_demuxer_sample_tables():
     bad[stsz_at + 12:stsz_at + 16] = (59).to_bytes(4, "big")
     with pytest.raises(ValueError):
         mm.parse_mp4_samples(bytes(bad))
+
+
+def test_jpeg_codec_general_path():
+    """The baseline JPEG codec is a REAL one, not just the exact-family
+    special case: random images (dense AC coefficients, long runs, ZRL,
+    both Huffman tables) round-trip within the quantization error bound;
+    the decoder reads tables from the FILE; malformed streams raise."""
+    import numpy as np
+
+    from pdftotext_plus_plus_spark.datapipe import jpeg as jp
+
+    rng = np.random.RandomState(5)
+    for _ in range(4):
+        h, w = 8 * rng.randint(1, 10), 8 * rng.randint(1, 10)
+        img = rng.randint(0, 256, (h, w)).astype(np.uint8)
+        dec = jp.decode_gray_jpeg(jp.encode_gray_jpeg(img))
+        assert dec.shape == (h, w)
+        # per-coefficient quant error <= q/2; a generous end-to-end bound
+        assert np.abs(dec.astype(int) - img.astype(int)).max() <= 40
+
+    # smooth gradient: near-lossless (tiny ACs)
+    y, x = np.mgrid[0:32, 0:64]
+    g = ((x + y) % 256).astype(np.uint8)
+    dec = jp.decode_gray_jpeg(jp.encode_gray_jpeg(g))
+    assert np.abs(dec.astype(int) - g.astype(int)).max() <= 2
+
+    # strictness
+    blob = jp.encode_gray_jpeg(jp.synth_block_gray(1, 16, 16))
+    with pytest.raises(ValueError):
+        jp.decode_gray_jpeg(b"\x00\x00" + blob[2:])   # no SOI
+    with pytest.raises(ValueError):
+        jp.decode_gray_jpeg(blob[:40])                # no SOF/SOS
+    # flip a bit in the entropy stream: either an invalid Huffman code or
+    # a wrong-but-decodable stream; must never crash outside ValueError
+    bad = bytearray(blob)
+    bad[len(bad) - 3] ^= 0x10  # last entropy byte before EOI
+    try:
+        jp.decode_gray_jpeg(bytes(bad))
+    except ValueError:
+        pass
