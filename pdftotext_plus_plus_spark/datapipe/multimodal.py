@@ -17,9 +17,11 @@ is real and tested, and the blobs carry REAL container bytes END TO END:
 * audio: complete valid PCM16 mono WAVs with REAL sample data
   (``s(i) = ((doc_id*31 + 17i) % 65536) - 32768``), decoded through the
   stdlib ``wave`` reader,
-* video: complete demuxable MP4s (mvhd + full stbl sample tables);
-  frame BYTES are really extracted and checksummed — only the video
-  codec step (sample bytes -> pixels) remains out of scope.
+* video: complete DECODABLE Motion-JPEG MP4s — mvhd + full stbl
+  sample tables incl. an stsd['jpeg'] codec entry, mdat samples that are
+  real baseline-JPEG frames; the kernel demuxes, seeks, and DECODES each
+  sampled frame to pixels through the jpeg codec.  No multimodal stub
+  remains.
 
 Dimensions/counts remain deterministic functions of doc_id
 (``width = (doc_id * 37) % 1024 + 1``, ``height = (doc_id * 73) % 768 +
@@ -334,24 +336,46 @@ def _box(btype: bytes, body: bytes) -> bytes:
     return struct.pack(">I4s", 8 + len(body), btype) + body
 
 
-def frame_size(doc_id: int, i: int) -> int:
-    """Deterministic per-sample byte size (the stsz table contents)."""
-    return (doc_id + i * 11) % 64 + 16
+VIDEO_FRAME_W, VIDEO_FRAME_H = 32, 24
+VIDEO_MAX_FRAMES = 96  # up to 4 s of 24 fps MJPEG per doc
 
 
-def frame_bytes(doc_id: int, i: int) -> np.ndarray:
-    """Deterministic frame payload: byte j = (13*doc_id + 7i + 3j) % 256."""
-    j = np.arange(frame_size(doc_id, i), dtype=np.int64)
-    return ((doc_id * 13 + i * 7 + 3 * j) % 256).astype(np.uint8)
+def frame_pixels(doc_id: int, i: int) -> np.ndarray:
+    """Frame i's pixels: constant per 8x8 block (the jpeg codec's
+    exactness family), value (13*doc_id + 7i + 3*bx + 5*by) % 256."""
+    by = np.arange(VIDEO_FRAME_H, dtype=np.int64)[:, None] // 8
+    bx = np.arange(VIDEO_FRAME_W, dtype=np.int64)[None, :] // 8
+    return ((doc_id * 13 + i * 7 + 3 * bx + 5 * by) % 256).astype(np.uint8)
+
+
+def _stsd_jpeg() -> bytes:
+    """stsd with a VisualSampleEntry of format 'jpeg' (Motion-JPEG in
+    MP4 — ISO 14496-12 §8.5.2 + the classic QuickTime 'jpeg' fourcc):
+    the codec identification a real demuxer reads before picking a
+    decoder."""
+    entry = (b"\x00" * 6 + struct.pack(">H", 1)          # data_ref_index
+             + struct.pack(">HH", 0, 0) + b"\x00" * 12
+             + struct.pack(">HH", VIDEO_FRAME_W, VIDEO_FRAME_H)
+             + struct.pack(">II", 0x00480000, 0x00480000)  # 72 dpi
+             + struct.pack(">I", 0)
+             + struct.pack(">H", 1)                       # frame_count
+             + b"\x00" * 32                               # compressorname
+             + struct.pack(">Hh", 24, -1))                # depth, pre_def
+    return _full_box(b"stsd", struct.pack(">I", 1)
+                     + _box(b"jpeg", entry))
 
 
 def build_mp4(doc_id: int, n_frames: int) -> bytes:
-    """A COMPLETE demuxable MP4: ftyp + moov carrying mvhd AND a real
-    trak/mdia/minf/stbl sample-table tree (stts/stsz/stsc/stco per
-    ISO/IEC 14496-12) + an mdat whose per-frame payloads follow the
-    deterministic formula — so a real demuxer (ours below, or any
-    standard one) can seek to and extract every frame's bytes."""
-    sizes = [frame_size(doc_id, i) for i in range(n_frames)]
+    """A COMPLETE decodable Motion-JPEG MP4: ftyp + moov carrying mvhd
+    AND a real trak/mdia/minf/stbl sample-table tree (stsd['jpeg']/stts/
+    stsz/stsc/stco per ISO/IEC 14496-12) + an mdat whose samples are
+    REAL baseline-JPEG frames (datapipe.jpeg) — so a demuxer seeks to
+    any frame and a JPEG decoder yields its pixels."""
+    from . import jpeg as jp
+
+    frames = [jp.encode_gray_jpeg(frame_pixels(doc_id, i))
+              for i in range(n_frames)]
+    sizes = [len(f) for f in frames]
 
     stts = _full_box(b"stts", struct.pack(">III", 1, n_frames, 1))
     stsz = _full_box(b"stsz", struct.pack(">II", 0, n_frames)
@@ -375,22 +399,20 @@ def build_mp4(doc_id: int, n_frames: int) -> bytes:
     mvhd = _box(b"mvhd", mvhd_body)
 
     stco_placeholder = _full_box(b"stco", struct.pack(">II", 1, 0))
-    stbl = _box(b"stbl", stts + stsz + stsc + stco_placeholder)
+    stbl = _box(b"stbl", _stsd_jpeg() + stts + stsz + stsc + stco_placeholder)
     minf = _box(b"minf", stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
     mdat_payload_off = len(MP4_FTYP) + len(moov) + 8  # + mdat header
     stco = _full_box(b"stco", struct.pack(">II", 1, mdat_payload_off))
-    stbl = _box(b"stbl", stts + stsz + stsc + stco)
+    stbl = _box(b"stbl", _stsd_jpeg() + stts + stsz + stsc + stco)
     minf = _box(b"minf", stbl)
     mdia = _box(b"mdia", mdhd + hdlr + minf)
     trak = _box(b"trak", tkhd + mdia)
     moov = _box(b"moov", mvhd + trak)
 
-    payload = np.concatenate([frame_bytes(doc_id, i)
-                              for i in range(n_frames)]).tobytes()
-    return MP4_FTYP + moov + _box(b"mdat", payload)
+    return MP4_FTYP + moov + _box(b"mdat", b"".join(frames))
 
 
 def synthesize_video_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -406,7 +428,7 @@ def synthesize_video_blobs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for doc_id in pdf["doc_id"]:
                 doc_id = int(doc_id)
                 ids.append(doc_id)
-                blobs.append(build_mp4(doc_id, doc_id % 240 + 1))
+                blobs.append(build_mp4(doc_id, doc_id % VIDEO_MAX_FRAMES + 1))
             yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
                                 "blob": blobs})
 
@@ -455,15 +477,19 @@ def _walk_box(buf: bytes, start: int, end: int, path) -> int:
 
 
 def parse_mp4_samples(blob: bytes):
-    """REAL demux of the sample tables: returns (timescale, sizes,
-    chunk_offset) from the trak/mdia/minf/stbl tree — stsz sample sizes
-    and the stco chunk base, cross-checked against stsc/stts/mvhd.  This
-    is the demuxer step a production frame-extraction pipeline performs
-    before handing compressed sample bytes to a codec."""
+    """REAL demux of the sample tables: returns (timescale, codec,
+    sizes, chunk_offset) from the trak/mdia/minf/stbl tree — the stsd
+    sample-entry fourcc (codec identification), stsz sample sizes and
+    the stco chunk base, cross-checked against stsc/stts/mvhd.  This is
+    the demuxer step a production frame pipeline performs before
+    handing compressed sample bytes to the (here: JPEG) decoder."""
     timescale, duration = parse_mp4_header(blob)
     stbl = _walk_box(blob, 0, len(blob),
                      [b"moov", b"trak", b"mdia", b"minf", b"stbl"]) + 8
     stbl_end = stbl + struct.unpack(">I", blob[stbl - 8:stbl - 4])[0] - 8
+
+    stsd = _walk_box(blob, stbl, stbl_end, [b"stsd"])
+    codec = blob[stsd + 20:stsd + 24]  # first sample entry's fourcc
 
     stsz = _walk_box(blob, stbl, stbl_end, [b"stsz"])
     sample_size, count = struct.unpack(">II", blob[stsz + 12:stsz + 20])
@@ -485,78 +511,81 @@ def parse_mp4_samples(blob: bytes):
     n_off, chunk_offset = struct.unpack(">II", blob[stco + 12:stco + 20])
     if n_off != 1:
         raise ValueError("mp4: unsupported stco entry count")
-    return timescale, sizes, chunk_offset
+    return timescale, codec, sizes, chunk_offset
 
 
 def video_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """One sampled frame per second of video: the kernel DEMUXES each
-    blob for real — walks the stbl sample tables, seeks to each sampled
-    frame's absolute mdat offset (stco base + stsz prefix sums), slices
-    the ACTUAL frame bytes and checksums them; the oracle recomputes
-    every checksum in closed form from the frame formula, so a wrong
-    offset or size fails the hash.  Only the codec step (decoding the
-    extracted sample bytes to pixels) remains out of stdlib scope.  The
-    explode-inside-Arrow-kernel shape (one input row -> many output
-    rows, no JVM explode) is the real scale pattern."""
+    """One DECODED frame per second of Motion-JPEG video: the kernel
+    demuxes each blob for real (stsd codec check, stsz/stco seek),
+    slices each sampled frame's bytes from mdat, runs the REAL baseline
+    JPEG decoder on them and checksums the decoded PIXELS; the oracle
+    recomputes every pixel checksum in closed form from the frame
+    formula, so a wrong offset, size, entropy decode or IDCT fails the
+    hash.  This closes the last multimodal stub: demux AND frame decode
+    are both real.  The explode-inside-Arrow-kernel shape (one input
+    row -> many output rows, no JVM explode) is the real scale
+    pattern."""
+    from . import jpeg as jp
 
     def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            ids, idxs, stamps, fsizes, checks = [], [], [], [], []
+            ids, idxs, stamps, fws, fhs, checks = [], [], [], [], [], []
             for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
                 b = bytes(blob)
-                fps, sizes, base = parse_mp4_samples(b)
-                # prefix-sum seek, sampling every fps-th frame
+                fps, codec, sizes, base = parse_mp4_samples(b)
+                if codec != b"jpeg":
+                    raise ValueError("unsupported video codec %r" % codec)
                 offset = base
                 for i, sz in enumerate(sizes):
                     if i % fps == 0:
-                        frame = np.frombuffer(
-                            b[offset:offset + sz], dtype=np.uint8)
-                        if len(frame) != sz:
-                            raise ValueError("mp4: mdat truncated")
+                        frame = jp.decode_gray_jpeg(b[offset:offset + sz])
+                        fh, fw = frame.shape
                         ids.append(doc_id)
                         idxs.append(i)
                         stamps.append(i * 1000 // fps)
-                        fsizes.append(sz)
+                        fws.append(fw)
+                        fhs.append(fh)
                         checks.append(int(frame.astype(np.int64).sum()))
                     offset += sz
             yield pd.DataFrame({
                 "doc_id": pd.Series(ids, dtype="int64"),
                 "frame_idx": pd.Series(idxs, dtype="int64"),
                 "ts_ms": pd.Series(stamps, dtype="int64"),
-                "frame_bytes": pd.Series(fsizes, dtype="int64"),
-                "frame_checksum": pd.Series(checks, dtype="int64"),
+                "frame_w": pd.Series(fws, dtype="int64"),
+                "frame_h": pd.Series(fhs, dtype="int64"),
+                "pixel_checksum": pd.Series(checks, dtype="int64"),
             })
 
     return synthesize_video_blobs(spark, sf_dir).mapInPandas(
         kernel, "doc_id bigint, frame_idx bigint, ts_ms bigint, "
-                "frame_bytes bigint, frame_checksum bigint")
+                "frame_w bigint, frame_h bigint, pixel_checksum bigint")
 
 
+# pixel checksum in closed form: frames are block-constant (4x3 blocks of
+# 8x8 in a 32x24 frame), so the sum is 64 * sum over the 12 blocks of
+# (13*doc_id + 7*frame_idx + 3*bx + 5*by) % 256, with b = by*4 + bx
 VIDEO_FRAME_SAMPLE_SQL = f"""
 WITH vids AS (
-  SELECT doc_id, doc_id % 240 + 1 AS n_frames FROM documents
+  SELECT doc_id, doc_id % {VIDEO_MAX_FRAMES} + 1 AS n_frames FROM documents
 ), fr AS (
   SELECT doc_id,
          unnest(generate_series(0, n_frames - 1, {VIDEO_FPS})) AS frame_idx
   FROM vids
-), sz AS (
-  SELECT doc_id, frame_idx,
-         (doc_id + frame_idx * 11) % 64 + 16 AS fsz
+), blocks AS (
+  SELECT doc_id, frame_idx, unnest(generate_series(0, 11)) AS b
   FROM fr
-), by AS (
-  SELECT doc_id, frame_idx, fsz,
-         unnest(generate_series(0, fsz - 1)) AS j
-  FROM sz
 ), ck AS (
   SELECT doc_id, frame_idx,
-         sum((doc_id * 13 + frame_idx * 7 + 3 * j) % 256) AS cks
-  FROM by GROUP BY doc_id, frame_idx
+         64 * sum((doc_id * 13 + frame_idx * 7 + 3 * (b % 4) + 5 * (b // 4))
+                  % 256) AS cks
+  FROM blocks GROUP BY doc_id, frame_idx
 )
-SELECT s.doc_id, s.frame_idx,
-       s.frame_idx * 1000 // {VIDEO_FPS} AS ts_ms,
-       s.fsz AS frame_bytes,
-       CAST(c.cks AS BIGINT) AS frame_checksum
-FROM sz s JOIN ck c ON s.doc_id = c.doc_id AND s.frame_idx = c.frame_idx
+SELECT f.doc_id, f.frame_idx,
+       f.frame_idx * 1000 // {VIDEO_FPS} AS ts_ms,
+       {VIDEO_FRAME_W} AS frame_w,
+       {VIDEO_FRAME_H} AS frame_h,
+       CAST(c.cks AS BIGINT) AS pixel_checksum
+FROM fr f JOIN ck c ON f.doc_id = c.doc_id AND f.frame_idx = c.frame_idx
 """
 
 

@@ -354,21 +354,22 @@ def test_ann_ivf_exact_within_probed_lists(spark):
 
 
 def test_mp4_demuxer_sample_tables():
-    """build_mp4 emits a complete stbl tree; parse_mp4_samples demuxes
-    sizes + chunk base and every sampled frame slice matches the formula
-    payload; strictness: table/mvhd mismatches raise."""
+    """build_mp4 emits a complete Motion-JPEG stbl tree; the demuxer
+    reads the stsd codec fourcc, stsz sizes and stco base; EVERY frame
+    slice decodes through the real JPEG codec to the formula pixels;
+    strictness: table/mvhd mismatches raise."""
     import numpy as np
 
+    from pdftotext_plus_plus_spark.datapipe import jpeg as jp
     from pdftotext_plus_plus_spark.datapipe import multimodal as mm
 
     blob = mm.build_mp4(5, 60)
-    ts, sizes, base = mm.parse_mp4_samples(blob)
-    assert ts == mm.MP4_TIMESCALE and len(sizes) == 60
-    assert sizes == [mm.frame_size(5, i) for i in range(60)]
+    ts, codec, sizes, base = mm.parse_mp4_samples(blob)
+    assert ts == mm.MP4_TIMESCALE and codec == b"jpeg" and len(sizes) == 60
     off = base
     for i, sz in enumerate(sizes):
-        frame = np.frombuffer(blob[off:off + sz], np.uint8)
-        assert np.array_equal(frame, mm.frame_bytes(5, i)), i
+        frame = jp.decode_gray_jpeg(blob[off:off + sz])
+        assert np.array_equal(frame, mm.frame_pixels(5, i)), i
         off += sz
     assert off == len(blob)  # mdat ends exactly at the last frame
 
