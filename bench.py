@@ -86,7 +86,12 @@ CORPUS_PATH = _corpus_path()
 BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  "token_counts", "fingerprint", "ann_bruteforce_topk",
                  "embedding_near_dup", "multimodal_meta", "ann_ivf_topk",
-                 "tfidf_keywords", "repetition_stats"]
+                 "tfidf_keywords", "repetition_stats",
+                 # round 5: the real-codec multimodal ops (PNG+JPEG pixel
+                 # decode / MJPEG demux+frame decode) — timed so codec
+                 # regressions are visible in the driver record
+                 "image_resize_meta", "video_frame_sample",
+                 "unigram_surprisal"]
 
 
 def ensure_corpus() -> int:
