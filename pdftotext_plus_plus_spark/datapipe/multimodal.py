@@ -693,3 +693,156 @@ SELECT p.doc_id,
        CAST(a.msq AS BIGINT) AS mean_square
 FROM par p JOIN agg a ON p.doc_id = a.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# multimodal dedup primitives over DECODED content
+# ---------------------------------------------------------------------------
+
+PHASH_DIM = 8  # aHash grid: 8x8 -> 64-bit signature
+
+
+def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual average-hash (aHash) over DECODED pixels — the
+    image-dedup primitive a multimodal corpus pipeline runs (LAION-style
+    near-duplicate image removal): decode (PNG or JPEG), nearest-neighbor
+    downsample to 8x8, threshold each cell against the integer mean,
+    pack 64 bits.  INTEGER-EXACT (mean = sum // 64, strict >), and the
+    oracle recomputes the hash from the corpus pixel formulas — a wrong
+    decode, resample, or threshold flips bits and fails the hash.
+    Signatures then dedup by equality (one hash-agg) or band into
+    pigeonhole buckets exactly like simhash_near_pairs."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes, means = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                img = pixels.decode_pixels(bytes(blob))
+                small = pixels.resize_nearest(
+                    img, PHASH_DIM, PHASH_DIM).astype(np.int64)
+                mean = int(small.sum()) // (PHASH_DIM * PHASH_DIM)
+                bits = (small > mean).flatten()
+                h = 0
+                for k in range(PHASH_DIM * PHASH_DIM):
+                    if bits[k]:
+                        h |= 1 << k
+                if h >= 1 << 63:          # two's-complement BIGINT
+                    h -= 1 << 64
+                ids.append(doc_id)
+                hashes.append(h)
+                means.append(mean)
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "phash": pd.Series(hashes, dtype="int64"),
+                "mean_gray": pd.Series(means, dtype="int64"),
+            })
+
+    return synthesize_blobs(spark, sf_dir).mapInPandas(
+        kernel, "doc_id bigint, phash bigint, mean_gray bigint")
+
+
+# bit 63 via the explicit min-BIGINT literal (1<<63 overflows in DuckDB)
+_PHASH_BITVAL = ("CASE WHEN k = 63 THEN (-9223372036854775807 - 1)"
+                 " ELSE (1::BIGINT << k) END")
+
+IMAGE_PHASH_SQL = f"""
+WITH dims AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 37) % 1024 + 1
+              ELSE ((doc_id * 37) % 128) * 8 + 8 END AS w,
+         CASE WHEN doc_id % 2 = 0 THEN (doc_id * 73) % 768 + 1
+              ELSE ((doc_id * 73) % 96) * 8 + 8 END AS h
+  FROM documents
+), px AS (
+  SELECT doc_id, k,
+         CASE WHEN doc_id % 2 = 0
+              THEN (doc_id * 7 + ((k % {PHASH_DIM}) * w // {PHASH_DIM}) * 3
+                    + ((k // {PHASH_DIM}) * h // {PHASH_DIM}) * 5) % 256
+              ELSE (doc_id * 7
+                    + (((k % {PHASH_DIM}) * w // {PHASH_DIM}) // 8) * 3
+                    + (((k // {PHASH_DIM}) * h // {PHASH_DIM}) // 8) * 5)
+                   % 256
+         END AS g
+  FROM dims, (SELECT unnest(generate_series(0, 63)) AS k)
+), m AS (
+  SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS mean_g FROM px
+  GROUP BY doc_id
+)
+SELECT p.doc_id,
+       CAST(sum(CASE WHEN p.g > m.mean_g THEN {_PHASH_BITVAL}
+                     ELSE 0 END) AS BIGINT) AS phash,
+       m.mean_g AS mean_gray
+FROM px p JOIN m ON p.doc_id = m.doc_id
+GROUP BY p.doc_id, m.mean_g
+"""
+
+
+AUDIO_FP_WINDOWS = 16
+
+
+def audio_energy_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio near-dup fingerprint over DECODED PCM samples: split the
+    clip into AUDIO_FP_WINDOWS equal windows (truncating the remainder),
+    per-window integer mean-square energy, signature bit j set iff
+    window j's energy exceeds the across-window mean — the
+    energy-envelope hash an audio-dedup pass buckets on.  All integer
+    math; the oracle reproduces it from the sample formula."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, fps_, energies = [], [], []
+            for doc_id, blob in zip(pdf["doc_id"], pdf["blob"]):
+                _rate, samples = pixels.wav_decode(bytes(blob))
+                s = samples.astype(np.int64)
+                wlen = len(s) // AUDIO_FP_WINDOWS
+                used = s[:wlen * AUDIO_FP_WINDOWS]
+                sq = used * used
+                msq = sq.reshape(AUDIO_FP_WINDOWS, wlen).sum(axis=1) // wlen
+                overall = int(msq.sum()) // AUDIO_FP_WINDOWS
+                fp = 0
+                for j in range(AUDIO_FP_WINDOWS):
+                    if int(msq[j]) > overall:
+                        fp |= 1 << j
+                ids.append(doc_id)
+                fps_.append(fp)
+                energies.append(int(sq.sum()))
+            yield pd.DataFrame({
+                "doc_id": pd.Series(ids, dtype="int64"),
+                "energy_fp": pd.Series(fps_, dtype="int64"),
+                "total_energy": pd.Series(energies, dtype="int64"),
+            })
+
+    return synthesize_audio_blobs(spark, sf_dir).mapInPandas(
+        kernel, "doc_id bigint, energy_fp bigint, total_energy bigint")
+
+
+AUDIO_ENERGY_FP_SQL = f"""
+WITH par AS (
+  SELECT doc_id, (doc_id * 997) % 16000 + 800 AS n FROM documents
+), smp AS (
+  SELECT doc_id, n, (n // {AUDIO_FP_WINDOWS}) AS wlen,
+         unnest(generate_series(0, (n // {AUDIO_FP_WINDOWS})
+                                   * {AUDIO_FP_WINDOWS} - 1)) AS i
+  FROM par
+), vals AS (
+  SELECT doc_id, wlen, i // wlen AS win,
+         ((doc_id * 31 + i * 17) % 65536) - 32768 AS s
+  FROM smp
+), wins AS (
+  SELECT doc_id, win, CAST(sum(s * s) // max(wlen) AS BIGINT) AS msq,
+         CAST(sum(s * s) AS BIGINT) AS wsq
+  FROM vals GROUP BY doc_id, win
+), agg AS (
+  SELECT doc_id,
+         CAST(sum(msq) // {AUDIO_FP_WINDOWS} AS BIGINT) AS overall,
+         CAST(sum(wsq) AS BIGINT) AS total_energy
+  FROM wins GROUP BY doc_id
+)
+SELECT w.doc_id,
+       CAST(sum(CASE WHEN w.msq > a.overall
+                     THEN (1::BIGINT << w.win) ELSE 0 END) AS BIGINT)
+         AS energy_fp,
+       a.total_energy
+FROM wins w JOIN agg a ON w.doc_id = a.doc_id
+GROUP BY w.doc_id, a.total_energy
+"""

@@ -846,6 +846,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "video_frame_sample": (multimodal.video_frame_sample,
                            multimodal.VIDEO_FRAME_SAMPLE_SQL),
     "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
+    # multimodal dedup primitives over DECODED content (round 5: the
+    # real codecs make these possible — LAION-style image/audio near-dup
+    # signatures)
+    "image_phash": (multimodal.image_phash, multimodal.IMAGE_PHASH_SQL),
+    "audio_energy_fingerprint": (multimodal.audio_energy_fingerprint,
+                                 multimodal.AUDIO_ENERGY_FP_SQL),
     # HTML boilerplate strip (north-rule raw-HTML surface)
     "boilerplate_strip": (
         lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
@@ -853,12 +859,16 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "main_content_blocks": (
         lambda spark, sf_dir: htmlstrip.main_content_blocks(spark, sf_dir),
         None),  # oracle filled in lazily below
-    # chunking + dedup clusters
+    # --- tail: transitively-covered variants (see ORDERING note above).
+    # Round-5 rotation #2: chunk_documents and dedup_keep_list moved to
+    # the tail — both have green driver-artifact rows from rounds 3-4
+    # and remain pytest+check_oracles covered — so the brand-new
+    # image_phash / audio_energy_fingerprint ops (never recorded) get
+    # driver rows. ---
     "chunk_documents": (chunking.chunk_documents,
                         chunking.CHUNK_DOCUMENTS_SQL),
     "dedup_keep_list": (chunking.dedup_keep_list,
                         chunking.DEDUP_KEEP_LIST_SQL),
-    # --- tail: transitively-covered variants (see ORDERING note above) ---
     "stream_extract_equivalence": (stream_extract_equivalence, None),
     "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     # figures share the serializer path with extract_jsonl_shapes and the

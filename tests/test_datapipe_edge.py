@@ -61,7 +61,7 @@ EDGE_QUERIES = [
     "chunk_documents", "dedup_clusters", "dedup_clusters_fixpoint",
     "dedup_keep_list",
     "multimodal_meta", "image_resize_meta", "audio_meta",
-    "video_frame_sample",
+    "video_frame_sample", "image_phash", "audio_energy_fingerprint",
 ]
 
 
