@@ -39,21 +39,10 @@ from typing import Iterator, Tuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 
 from . import pixels
 
 PNG_SIG = pixels.PNG_SIG
-JPEG_SOI_APP0 = (b"\xff\xd8"                      # SOI
-                 b"\xff\xe0\x00\x10JFIF\x00\x01\x01\x00"
-                 b"\x00\x01\x00\x01\x00\x00")     # APP0, length 16
-# SOF0 tail after height/width: 3 components (YCbCr), id/sampling/quant
-JPEG_SOF0_TAIL = b"\x03\x01\x22\x00\x02\x11\x01\x03\x11\x01"
-
-
-def _be4(col):
-    """Big-endian u32 bytes of an int column (hex() is big-endian)."""
-    return F.unhex(F.lpad(F.hex(col.cast("long")), 8, "0"))
 
 
 # Small-image threshold below which the PNG encoder rotates through ALL

@@ -13,9 +13,10 @@ unfilter path for all five filter types is exercised on every image; the
 DECODER is a genuine PNG reader for this subset: signature check, chunk
 walk with CRC verification, ``zlib.decompress`` of the concatenated IDAT
 stream, and per-scanline unfiltering per the PNG spec §9 (the Paeth
-predictor included).  JPEG pixel decode stays out: entropy (Huffman)
-decoding has no stdlib implementation — documented stub, the decoder
-returns None for JPEG and the query columns are NULL.
+predictor included).  JPEG pixel decode lives in the sibling
+``datapipe.jpeg`` module — a full baseline Huffman+IDCT codec — and
+``decode_pixels`` dispatches to it, so BOTH container families decode
+to real pixel arrays (no stub remains).
 
 WAV: canonical PCM16 mono.  Encode writes real little-endian samples via
 numpy; decode goes through the stdlib ``wave`` reader (proving the
@@ -35,7 +36,7 @@ import io
 import struct
 import wave
 import zlib
-from typing import Optional, Tuple
+from typing import Tuple
 
 import numpy as np
 
@@ -68,29 +69,34 @@ def png_encode(gray: np.ndarray, compress_level: int = 1,
     vectorizable for large corpus images, while small images use "all"
     so the Average/Paeth unfilter paths stay oracle-exercised."""
     h, w = gray.shape
+    n_types = 5 if filter_mode == "all" else 3
     raw = gray.astype(np.int16)
     prior = np.zeros((h, w), dtype=np.int16)
     prior[1:] = raw[:-1]
     left = np.zeros((h, w), dtype=np.int16)
     left[:, 1:] = raw[:, :-1]
-    upleft = np.zeros((h, w), dtype=np.int16)
-    upleft[1:, 1:] = raw[:-1, :-1]
 
-    # Paeth predictor, vectorized (PNG spec §9.4)
-    p = left + prior - upleft
-    pa, pb, pc = np.abs(p - left), np.abs(p - prior), np.abs(p - upleft)
-    paeth = np.where((pa <= pb) & (pa <= pc), left,
-                     np.where(pb <= pc, prior, upleft))
+    per_type = [raw,                        # 0 None
+                raw - left,                 # 1 Sub
+                raw - prior]                # 2 Up
+    if n_types == 5:
+        # Average/Paeth variants only when a row will actually use them
+        # (the "fast" corpus mode never does — skip the work)
+        upleft = np.zeros((h, w), dtype=np.int16)
+        upleft[1:, 1:] = raw[:-1, :-1]
+        # Paeth predictor, vectorized (PNG spec §9.4)
+        p = left + prior - upleft
+        pa, pb, pc = (np.abs(p - left), np.abs(p - prior),
+                      np.abs(p - upleft))
+        paeth = np.where((pa <= pb) & (pa <= pc), left,
+                         np.where(pb <= pc, prior, upleft))
+        per_type += [raw - ((left + prior) >> 1),  # 3 Average
+                     raw - paeth]                  # 4 Paeth
 
     filtered = np.empty((h, w + 1), dtype=np.uint8)
-    ftype = np.arange(h) % (5 if filter_mode == "all" else 3)
+    ftype = np.arange(h) % n_types
     filtered[:, 0] = ftype
-    per_type = (raw,                        # 0 None
-                raw - left,                 # 1 Sub
-                raw - prior,                # 2 Up
-                raw - ((left + prior) >> 1),  # 3 Average
-                raw - paeth)                # 4 Paeth
-    for t in range(5):
+    for t in range(n_types):
         rows = ftype == t
         filtered[rows, 1:] = (per_type[t][rows] % 256).astype(np.uint8)
 
@@ -172,7 +178,7 @@ def png_decode(blob: bytes) -> np.ndarray:
     return out
 
 
-def decode_pixels(blob: bytes) -> Optional[np.ndarray]:
+def decode_pixels(blob: bytes) -> np.ndarray:
     """Pixel decode dispatch: real for PNG (this module) AND for baseline
     grayscale JPEG (datapipe.jpeg — a full Huffman+IDCT implementation,
     closing the former entropy-decode stub)."""

@@ -759,8 +759,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 #                         multi-table ANN (also recall-tested in pytest)
 #   lang_id             — the stopword-ratio special case of the trigram
 #                         profile detector (lang_id_trigram)
-#   multimodal_meta     — the bare header parse that image_resize_meta
-#                         runs as its first step
+#   multimodal_meta     — runs the same full pixel decode as
+#                         image_resize_meta (which checksums the decoded
+#                         pixels); its unique surface is only the
+#                         decode-derived payload_bytes projection
 #   extract_jsonl_pages — the trivial projection of the extract_jsonl
 #                         sink surface (page dims only)
 #   dedup_clusters_fixpoint — called by (and oracled inside)

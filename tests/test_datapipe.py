@@ -95,8 +95,20 @@ def test_multimodal_real_decode():
     blob = pixels.png_encode(img)
     assert mm.parse_image_header(blob)[:2] == (200, 150)
     assert np.array_equal(mm.decode_image(blob), img)
-    # every scanline filter type is present (y % 5 rotation)
-    assert set(np.arange(150) % 5) == {0, 1, 2, 3, 4}
+    # every scanline filter type is present IN THE ENCODED BLOB: read
+    # the actual per-row filter bytes out of the inflated IDAT stream
+    import struct
+    import zlib
+
+    pos, idat = 8, []
+    while pos + 8 <= len(blob):
+        length, ctype = struct.unpack(">I4s", blob[pos:pos + 8])
+        if ctype == b"IDAT":
+            idat.append(blob[pos + 8:pos + 8 + length])
+        pos += 12 + length
+    stream = zlib.decompress(b"".join(idat))
+    ftypes = {stream[y * 201] for y in range(150)}
+    assert ftypes == {0, 1, 2, 3, 4}
 
     # JPEG: the block-constant family decodes EXACTLY through the real
     # entropy codec (the lossless-by-construction contract)

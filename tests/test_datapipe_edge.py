@@ -5,7 +5,7 @@ crash was found by review, not tests.  This module runs EVERY
 documents-table datapipe query over a hostile corpus (empty string,
 single token, whitespace-only, unicode whitespace/combining marks,
 emoji/non-BMP, CRLF, quotes/backslashes, regex metacharacters, a jumbo
-doc, a 20k-char single token, exact duplicates, massive repetition) and
+doc, an 8k-char single token, exact duplicates, massive repetition) and
 compares Spark against the DuckDB oracle with the SAME normalization the
 driver uses — so an engine-vs-engine divergence on any edge class fails
 the suite.
