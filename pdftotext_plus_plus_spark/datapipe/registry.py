@@ -804,8 +804,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
                             dedup.NGRAM_JACCARD_SQL),
-    "minhash_signatures": (dedup.minhash_signatures,
-                           dedup.MINHASH_SIGNATURES_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
@@ -819,6 +817,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
                                 similarity.ANN_MULTIPROBE_SQL),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
+    # round 6 (VERDICT r5 item #1): the two-level quantizer, promoted
+    # straight into the head so its first round gets a driver row
+    "ann_ivf2_topk": (similarity.ann_ivf2_topk, similarity.ANN_IVF2_SQL),
     # text analysis
     "lang_id_trigram": (textstats.lang_id_trigram,
                         textstats.LANG_ID_TRIGRAM_SQL),
@@ -867,6 +868,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # and remain pytest+check_oracles covered — so the brand-new
     # image_phash / audio_energy_fingerprint ops (never recorded) get
     # driver rows. ---
+    # Round-6 rotation: minhash_signatures got its green driver row in r5
+    # (the reason it was promoted); it returns to the tail — its banding
+    # surface is transitively exercised by minhash_lsh_pairs (head) — to
+    # make room for the brand-new ann_ivf2_topk.
+    "minhash_signatures": (dedup.minhash_signatures,
+                           dedup.MINHASH_SIGNATURES_SQL),
     "chunk_documents": (chunking.chunk_documents,
                         chunking.CHUNK_DOCUMENTS_SQL),
     "dedup_keep_list": (chunking.dedup_keep_list,

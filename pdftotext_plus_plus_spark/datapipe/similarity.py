@@ -370,6 +370,10 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 IVF_K_CAP = 4096
 IVF_NPROBE = 3
 
+# two-level quantizer (ann_ivf2_topk): number of SUPER lists probed per
+# query before the fine-list probe (the level-1 analogue of IVF_NPROBE)
+IVF2_NPROBE_SUPER = 2
+
 
 def ivf_stride(n: int) -> int:
     """Centroid-seed stride for an n-vector corpus: vec_id % stride == 0
@@ -479,6 +483,252 @@ WITH elems AS (
 ), probes AS (
   SELECT vec_id AS query_id, cent_id FROM csim
   WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+), cands AS (
+  SELECT p.query_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+  WHERE a.vec_id != p.query_id
+), dots AS (
+  SELECT c.query_id, c.vec_id, sum(qe.x * ee.x) AS dot
+  FROM cands c
+  JOIN elems qe ON qe.vec_id = c.query_id
+  JOIN elems ee ON ee.vec_id = c.vec_id AND ee.i = qe.i
+  GROUP BY c.query_id, c.vec_id
+), scored AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (nq.norm * ne.norm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms ne ON ne.vec_id = d.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+def ivf2_strides(n: int) -> tuple:
+    """(fine_stride, super_stride) for the TWO-LEVEL quantizer.
+
+    Level 2 (fine) is the single-level quantizer: K = min(IVF_K_CAP,
+    ceil(sqrt(N))) lists seeded at stride s = ceil(N / K).  Level 1
+    (super) takes K1 = ceil(sqrt(K)) super-lists seeded at stride
+    S = s * ceil(K / K1) — super seeds are a sub-stride of the fine
+    seeds, so both levels are closed-form functions of N and the DuckDB
+    oracle reproduces them with the same IEEE-double ceil/sqrt math.
+
+    Scale story: single-level assignment compares every vector against
+    all K centroids (O(N*K)); two-level routes through K1 supers first
+    and then only the ~K/K1 fine lists of the chosen super —
+    O(N*(K1 + K/K1)) ~ O(N*2*sqrt(K)).  Every broadcast (supers = K1
+    rows, routed fine table = K rows) stays below IVF_K_CAP, so beyond
+    the cap K itself can grow as sqrt(N) while each level's fan-out and
+    broadcast remain bounded — the hierarchical extension SCALE.md
+    describes, as code.
+    """
+    import math
+
+    if n <= 1:
+        return 1, 1
+    k = min(IVF_K_CAP, int(math.ceil(math.sqrt(float(n)))))
+    s = max(1, int(math.ceil(n / float(k))))
+    k1 = int(math.ceil(math.sqrt(float(k))))
+    s2 = max(1, int(math.ceil(k / float(k1))))
+    return s, s * s2
+
+
+def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF ANN top-k.
+
+    Plan shape, bottom-up:
+      1. supers (K1 rows) broadcast against the corpus -> per-vector
+         super-list argmax as ONE hash agg (no window over N*K1 rows);
+      2. fine centroids route to supers on a K-row subtree (the cross
+         join is filtered to fine seeds BEFORE the agg, so the routing
+         cost is K*K1, not N*K1);
+      3. per-vector fine assignment joins the vector's super id against
+         the broadcast routed-centroid table — an equi-join on super_id
+         with ~K/K1 centroids per super, again folded by hash-agg argmax;
+      4. queries probe IVF2_NPROBE_SUPER super lists, then IVF_NPROBE
+         fine lists within them (both ranks run on the tiny query slice);
+      5. candidates = probed fine lists, rescored exactly.
+    """
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    s, big_s = ivf2_strides(emb.count())
+    supers = (emb.filter(F.col("vec_id") % big_s == 0)
+              .select(F.col("vec_id").alias("super_id"),
+                      F.col("embedding").alias("s_emb"),
+                      F.col("norm").alias("s_norm")))
+    fine = (emb.filter(F.col("vec_id") % s == 0)
+            .select(F.col("vec_id").alias("cent_id"),
+                    F.col("embedding").alias("c_emb"),
+                    F.col("norm").alias("c_norm")))
+
+    sdot = F.aggregate(
+        F.zip_with("embedding", "s_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    vsim = (emb.crossJoin(F.broadcast(supers))
+            .withColumn("ssim",
+                        F.round(sdot / (F.col("norm") * F.col("s_norm")), 4))
+            .select("vec_id", "super_id", "ssim"))
+    # per-vector super argmax: one hash agg (partial map-side combine),
+    # ties to the smallest super id — same trick as ann_ivf_topk
+    vsup = (vsim.groupBy("vec_id")
+            .agg(F.max(F.struct(
+                F.col("ssim"),
+                (-F.col("super_id")).alias("neg_super"))).alias("m"))
+            .select("vec_id", (-F.col("m.neg_super")).alias("super_id")))
+    # fine -> super routing on the K-row seed subtree only
+    route = (vsim.filter(F.col("vec_id") % s == 0)
+             .groupBy("vec_id")
+             .agg(F.max(F.struct(
+                 F.col("ssim"),
+                 (-F.col("super_id")).alias("neg_super"))).alias("m"))
+             .select(F.col("vec_id").alias("cent_id"),
+                     (-F.col("m.neg_super")).alias("super_id")))
+    fine_routed = fine.join(route, "cent_id")   # K rows, broadcast below
+
+    fdot = F.aggregate(
+        F.zip_with("embedding", "c_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    assigned = (emb.join(vsup, "vec_id")
+                .join(F.broadcast(fine_routed), "super_id")
+                .withColumn("fsim",
+                            F.round(fdot / (F.col("norm") * F.col("c_norm")),
+                                    4))
+                .groupBy("vec_id")
+                .agg(F.max(F.struct(
+                    F.col("fsim"),
+                    (-F.col("cent_id")).alias("neg_cent"))).alias("m"))
+                .select("vec_id", (-F.col("m.neg_cent")).alias("cent_id")))
+
+    # query probes: NPROBE_SUPER super lists, then NPROBE fine lists
+    w_super = Window.partitionBy("vec_id").orderBy(F.desc("ssim"),
+                                                   F.asc("super_id"))
+    qsuper = (vsim.filter(F.col("vec_id") < N_QUERIES)
+              .withColumn("rn", F.row_number().over(w_super))
+              .filter(F.col("rn") <= IVF2_NPROBE_SUPER)
+              .select(F.col("vec_id").alias("query_id"), "super_id"))
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("norm").alias("q_norm")))
+    qdot = F.aggregate(
+        F.zip_with("q_emb", "c_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    w_fine = Window.partitionBy("query_id").orderBy(F.desc("qsim"),
+                                                    F.asc("cent_id"))
+    probes = (qsuper.join(F.broadcast(fine_routed), "super_id")
+              .join(F.broadcast(queries), "query_id")
+              .withColumn("qsim",
+                          F.round(qdot / (F.col("q_norm") * F.col("c_norm")),
+                                  4))
+              .withColumn("rn", F.row_number().over(w_fine))
+              .filter(F.col("rn") <= IVF_NPROBE)
+              .select("query_id", "cent_id"))
+
+    cands = (probes.join(assigned, "cent_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "vec_id"))
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (cands.join(emb, "vec_id")
+              .join(F.broadcast(queries), "query_id")
+              .withColumn("cosine",
+                          F.round(dot / (F.col("norm") * F.col("q_norm")), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+ANN_IVF2_SQL = f"""
+WITH elems AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT e.vec_id, e.embedding,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e)
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
+), params AS (
+  -- the same IEEE-double arithmetic as similarity.ivf2_strides:
+  -- k = min(cap, ceil(sqrt(n))), s = ceil(n/k),
+  -- k1 = ceil(sqrt(k)), S = s * ceil(k/k1)
+  SELECT s, s * greatest(1, CAST(ceil(k / CAST(ceil(sqrt(k::DOUBLE))
+                                               AS BIGINT)::DOUBLE)
+                                 AS BIGINT)) AS ss
+  FROM (SELECT greatest(1, CAST(ceil(n / k::DOUBLE) AS BIGINT)) AS s, k
+        FROM (SELECT count(*) AS n,
+                     least({IVF_K_CAP},
+                           CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+                                AS BIGINT)) AS k
+              FROM embeddings))
+), vs_dots AS (
+  -- every vector against every super seed (super stride divides fine
+  -- stride, so super seeds are a subset of fine seeds)
+  SELECT v.vec_id, sp.vec_id AS super_id, sum(v.x * sp.x) AS dot
+  FROM elems v JOIN elems sp
+    ON sp.i = v.i AND sp.vec_id % (SELECT ss FROM params) = 0
+  GROUP BY v.vec_id, sp.vec_id
+), vs_sims AS (
+  SELECT d.vec_id, d.super_id,
+         round(d.dot / (nv.norm * ns.norm), 4) AS ssim,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY round(d.dot / (nv.norm * ns.norm), 4)
+                                     DESC, d.super_id ASC) AS rn
+  FROM vs_dots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms ns ON ns.vec_id = d.super_id
+), vsup AS (
+  SELECT vec_id, super_id FROM vs_sims WHERE rn = 1
+), route AS (
+  -- fine centroids are vectors, so their routing is vsup restricted to
+  -- the fine seeds
+  SELECT vec_id AS cent_id, super_id FROM vsup
+  WHERE vec_id % (SELECT s FROM params) = 0
+), vf_dots AS (
+  -- vector against the fine centroids of ITS super list only
+  SELECT v.vec_id, r.cent_id, sum(ve.x * ce.x) AS dot
+  FROM vsup v JOIN route r ON r.super_id = v.super_id
+  JOIN elems ve ON ve.vec_id = v.vec_id
+  JOIN elems ce ON ce.vec_id = r.cent_id AND ce.i = ve.i
+  GROUP BY v.vec_id, r.cent_id
+), assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT d.vec_id, d.cent_id,
+           row_number() OVER (PARTITION BY d.vec_id
+                              ORDER BY round(d.dot / (nv.norm * nc.norm), 4)
+                                       DESC, d.cent_id ASC) AS rn
+    FROM vf_dots d
+    JOIN norms nv ON nv.vec_id = d.vec_id
+    JOIN norms nc ON nc.vec_id = d.cent_id
+  ) WHERE rn = 1
+), qsuper AS (
+  SELECT vec_id AS query_id, super_id FROM vs_sims
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF2_NPROBE_SUPER}
+), qf_dots AS (
+  SELECT q.query_id, r.cent_id, sum(qe.x * ce.x) AS dot
+  FROM qsuper q JOIN route r ON r.super_id = q.super_id
+  JOIN elems qe ON qe.vec_id = q.query_id
+  JOIN elems ce ON ce.vec_id = r.cent_id AND ce.i = qe.i
+  GROUP BY q.query_id, r.cent_id
+), probes AS (
+  SELECT query_id, cent_id FROM (
+    SELECT d.query_id, d.cent_id,
+           row_number() OVER (PARTITION BY d.query_id
+                              ORDER BY round(d.dot / (nq.norm * nc.norm), 4)
+                                       DESC, d.cent_id ASC) AS rn
+    FROM qf_dots d
+    JOIN norms nq ON nq.vec_id = d.query_id
+    JOIN norms nc ON nc.vec_id = d.cent_id
+  ) WHERE rn <= {IVF_NPROBE}
 ), cands AS (
   SELECT p.query_id, a.vec_id
   FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
