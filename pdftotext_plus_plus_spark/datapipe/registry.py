@@ -88,8 +88,10 @@ def stream_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .load(inp))
         streaming.stream_extract_from(stream, outp, ckpt, num_partitions=8)
         out = spark.read.parquet(outp).select("url", "extracted_text")
-        # materialize before the temp dir is removed
-        return spark.createDataFrame(out.collect(), out.schema)
+        # eager executor-side checkpoint so the result outlives the temp
+        # dir WITHOUT a driver-side collect (VERDICT r5 item #2: no
+        # registered query path materializes through the driver)
+        return out.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
 

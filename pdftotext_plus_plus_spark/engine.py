@@ -259,11 +259,21 @@ def run_job(spark, input_path: str, output_path: str,
     files_path = output_path.rstrip("/") + "/lineage_files"
 
     # input-file manifest (north rule: lineage records the input files);
-    # computed on the raw scan, where file provenance still exists
+    # computed on the raw scan, where file provenance still exists.  Each
+    # run_job invocation appends under its own run_id — a resumed job adds
+    # a NEW run's rows instead of double-counting the file set (the current
+    # inventory is `WHERE run_id = max(run_id)`); the max() probe is an
+    # O(1)-result scalar job over manifest metadata, not data
+    try:
+        run_id = spark.read.parquet(files_path) \
+            .agg(F.max("run_id")).first()[0] + 1
+    except AnalysisException:
+        run_id = 0
     manifest = (pages
                 .groupBy(F.input_file_name().alias("input_file"))
                 .agg(F.count("*").alias("n_rows"),
-                     F.sum(F.length("html")).alias("payload_bytes")))
+                     F.sum(F.length("html")).alias("payload_bytes"))
+                .withColumn("run_id", F.lit(run_id)))
     manifest.write.mode("append").parquet(files_path)
 
     if resume:

@@ -67,6 +67,16 @@ def test_run_job_resume(spark, pages_df, tmp_path):
     assert data.count() == 36
     lineage = spark.read.parquet(first["lineage"])
     assert lineage.agg(F.sum("n_docs")).first()[0] == 36
+    # manifest rows are stamped per run: the resumed re-run appended its
+    # own run_id instead of double-counting the file set (VERDICT r5 #3)
+    manifest = spark.read.parquet(first["input_manifest"])
+    assert sorted(r["run_id"] for r in
+                  manifest.select("run_id").distinct().collect()) == [0, 1]
+    latest = manifest.filter(F.col("run_id") == 1)
+    n_input_files = spark.read.parquet(input_path).select(
+        F.input_file_name()).distinct().count()
+    assert latest.count() == n_input_files
+    assert latest.agg(F.sum("n_rows")).first()[0] == 36
 
 
 def test_role_filter_through_engine(spark):
