@@ -61,7 +61,9 @@ BENCH_DOCS = int(os.environ.get("BENCH_DOCS", "3000"))
 BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "128"))
 JUMBO_EVERY = 50
 ROUNDS_A = int(os.environ.get("BENCH_ROUNDS_A", "9"))   # 2 -> 8 pair
-ROUNDS_B = int(os.environ.get("BENCH_ROUNDS_B", "3"))   # 8 -> 32 pair
+# r5's 3-round 8->32 samples scattered 4.7x; >=5 rounds tighten the median
+# (VERDICT r5 item #6)
+ROUNDS_B = int(os.environ.get("BENCH_ROUNDS_B", "5"))   # 8 -> 32 pair
 REPLICATE_A = int(os.environ.get("BENCH_REPLICATE_A", "2"))   # 6000 docs
 REPLICATE_B = int(os.environ.get("BENCH_REPLICATE_B", "4"))   # 12000 docs
 
@@ -91,7 +93,10 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # decode / MJPEG demux+frame decode) — timed so codec
                  # regressions are visible in the driver record
                  "image_resize_meta", "video_frame_sample",
-                 "unigram_surprisal"]
+                 "unigram_surprisal",
+                 # round 6: the two-level IVF quantizer beside the
+                 # single-level one, so their cost ratio is on record
+                 "ann_ivf2_topk"]
 
 
 def ensure_corpus() -> int:
@@ -288,7 +293,8 @@ def _mp_chunk(payloads) -> int:
 # members); embedding_near_dup excluded by design (exact O(N^2) baseline),
 # ngram_jaccard excluded as in BENCH_QUERIES
 SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
-                       "ann_ivf_topk", "tfidf_keywords", "token_counts"]
+                       "ann_ivf_topk", "ann_ivf2_topk", "tfidf_keywords",
+                       "token_counts"]
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "10"))
 
 
@@ -303,13 +309,19 @@ def ensure_scale_corpus(spark) -> str:
     replicas of a doc in one bucket and explode pair output x100).
     Embeddings replicate with shifted ids and identical vectors: every
     IVF/LSH bucket gets exactly 10x members — the bucket-blowup stress.
-    Cached in /tmp keyed by source dir + factor."""
+    Cached in /tmp keyed by source dir + factor + a source-content
+    fingerprint (size+mtime of both parquet inputs), so a regenerated
+    corpus at the same path invalidates the cache (ADVICE r5)."""
     import hashlib
 
     from pyspark.sql import functions as F
 
-    out = "/tmp/spark_graft_scale%dx_%s" % (
-        SCALE_FACTOR, hashlib.md5(SF_DIR.encode()).hexdigest()[:8])
+    fp = hashlib.md5(SF_DIR.encode())
+    for table in ("documents", "embeddings"):
+        st = os.stat(f"{SF_DIR}/{table}.parquet")
+        fp.update(b"%d:%d" % (st.st_size, st.st_mtime_ns))
+    out = "/tmp/spark_graft_scale%dx_%s" % (SCALE_FACTOR,
+                                            fp.hexdigest()[:10])
     if os.path.exists(out + "/_DONE"):
         return out
     shift = 10_000_000
@@ -519,11 +531,63 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, scale_dir).count()
             t_hi = time.perf_counter() - t0
-            t_lo = query_secs[name]
+            # floor the 1x time so a sub-ms sample cannot zero-divide the
+            # exponent (ADVICE r5)
+            t_lo = max(query_secs[name], 1e-3)
             scale_probe[name] = {
                 "sec_1x": t_lo, "sec_%dx" % SCALE_FACTOR: round(t_hi, 3),
                 "exponent": round(_math.log(t_hi / t_lo)
                                   / _math.log(SCALE_FACTOR), 3)}
+        # extraction-side 10x probe (VERDICT r5 item #5): the same kernel
+        # the pair benches time, at 1x and 10x docs (replication keeps the
+        # jumbo tail: 10x jumbos too), with per-partition lineage totals
+        # as measured straggler evidence for the size-bucket salting
+        # (engine.salted_repartition) — the timed action IS the lineage
+        # aggregation, so one pass yields both the wall time and the
+        # per-task skew columns
+        if time.time() - wall_t0 < 0.92 * budget:
+            from pyspark.sql import functions as F
+
+            def _ext_run(df):
+                out = engine.extract_pages(df, num_partitions=BENCH_PARTS)
+                t0 = time.perf_counter()
+                rows = engine.lineage_frame(out).collect()
+                return time.perf_counter() - t0, rows
+
+            base_pages = spark.read.parquet(CORPUS_PATH)
+            # warm the extraction kernel in THIS session before timing
+            # (first mapInArrow pass pays worker/import warmup otherwise)
+            engine.extract_pages(base_pages.limit(200),
+                                 num_partitions=BENCH_PARTS).count()
+            t_1x, _ = _ext_run(base_pages)
+            reps = F.array([F.lit(i) for i in range(SCALE_FACTOR)])
+            big = (base_pages.withColumn("rep", F.explode(reps))
+                   .withColumn("url", F.concat_ws("#", "url", "rep"))
+                   .select("url", "html"))
+            t_hi, parts = _ext_run(big)
+            totals = sorted(float(r["extract_ms_total"]) for r in parts)
+            maxdoc = sorted(float(r["max_doc_ms"]) for r in parts)
+            med_total = totals[len(totals) // 2]
+            scale_probe["extraction"] = {
+                "sec_1x": round(t_1x, 3),
+                "sec_%dx" % SCALE_FACTOR: round(t_hi, 3),
+                "exponent": round(_math.log(t_hi / max(t_1x, 1e-3))
+                                  / _math.log(SCALE_FACTOR), 3),
+                "n_partitions": len(parts),
+                # task-level skew: busiest partition vs the median one —
+                # ~1 means the salted size buckets spread the jumbo docs
+                "partition_ms_median": round(med_total, 1),
+                "partition_ms_max": round(totals[-1], 1),
+                "straggler_ratio": round(totals[-1] / max(med_total, 1e-9),
+                                         3),
+                # doc-level tail: the jumbo ceiling inside any one task
+                "max_doc_ms": round(maxdoc[-1], 1),
+                "median_partition_max_doc_ms": round(
+                    maxdoc[len(maxdoc) // 2], 1),
+            }
+        else:
+            scale_probe.setdefault("skipped_past_deadline",
+                                   []).append("extraction")
     else:
         scale_probe["skipped"] = "time budget exhausted before probe"
 

@@ -194,21 +194,9 @@ def _category(v: int) -> int:
 # encoder
 # --------------------------------------------------------------------------
 
-def encode_gray_jpeg(img: np.ndarray) -> bytes:
-    """Encode an 8-bit grayscale image (dims multiples of 8) as a real
-    baseline JPEG: full DQT/DHT/SOF0/SOS framing + Huffman entropy data."""
-    h, w = img.shape
-    if h % 8 or w % 8:
-        raise ValueError("jpeg: dims must be multiples of 8 (this encoder)")
-
-    # forward DCT + quantization, all blocks vectorized
-    s = img.astype(np.float64) - 128.0
-    blocks = (s.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3))
-    coef = np.einsum("un,bcnm,vm->bcuv", _C, blocks, _C, optimize=True)
-    q = np.round(coef.reshape(-1, 8, 8)
-                 / QUANT.reshape(8, 8).astype(np.float64)).astype(np.int64)
-    zz = q.reshape(-1, 64)[:, ZIGZAG]
-
+def _encode_blocks(zz) -> bytes:
+    """Huffman-encode a run of zigzagged blocks as ONE restart segment
+    (fresh DC predictor, byte-aligned flush)."""
     bw = _BitWriter()
     prev_dc = 0
     for blk in zz:
@@ -245,7 +233,39 @@ def encode_gray_jpeg(img: np.ndarray) -> bytes:
         if last_nz < 63:
             code, ln = AC_ENC[0x00]          # EOB
             bw.write(code, ln)
-    entropy = bw.flush()
+    return bw.flush()
+
+
+def encode_gray_jpeg(img: np.ndarray, restart_interval: int = 0) -> bytes:
+    """Encode an 8-bit grayscale image (dims multiples of 8) as a real
+    baseline JPEG: full DQT/DHT/SOF0/SOS framing + Huffman entropy data.
+
+    ``restart_interval`` > 0 emits a DRI segment and splits the scan into
+    byte-aligned restart segments separated by RST0-7 markers (T.81
+    F.1.2.6) — the form externally produced baseline files commonly use."""
+    h, w = img.shape
+    if h % 8 or w % 8:
+        raise ValueError("jpeg: dims must be multiples of 8 (this encoder)")
+
+    # forward DCT + quantization, all blocks vectorized
+    s = img.astype(np.float64) - 128.0
+    blocks = (s.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3))
+    coef = np.einsum("un,bcnm,vm->bcuv", _C, blocks, _C, optimize=True)
+    q = np.round(coef.reshape(-1, 8, 8)
+                 / QUANT.reshape(8, 8).astype(np.float64)).astype(np.int64)
+    zz = q.reshape(-1, 64)[:, ZIGZAG]
+
+    if restart_interval:
+        parts = [_encode_blocks(zz[i:i + restart_interval])
+                 for i in range(0, len(zz), restart_interval)]
+        joined = bytearray()
+        for j, part in enumerate(parts):
+            joined += part
+            if j < len(parts) - 1:
+                joined += bytes([0xFF, 0xD0 + (j % 8)])
+        entropy = bytes(joined)
+    else:
+        entropy = _encode_blocks(zz)
 
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
@@ -255,10 +275,12 @@ def encode_gray_jpeg(img: np.ndarray) -> bytes:
               + struct.pack(">BBB", 1, 0x11, 0))
     dht = (seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
            + seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS)))
+    dri = (seg(0xFFDD, struct.pack(">H", restart_interval))
+           if restart_interval else b"")
     sos = seg(0xFFDA, b"\x01" + struct.pack(">BB", 1, 0x00)
               + struct.pack(">BBB", 0, 63, 0))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xff\xd8" + app0 + dqt + sof + dht + sos + entropy
+    return (b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + entropy
             + b"\xff\xd9")
 
 
@@ -280,12 +302,21 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
     h = w = None
     dc_id = ac_id = qt_id = 0
     entropy_start = None
-    while pos + 4 <= len(blob):
+    restart_interval = 0
+    while pos + 2 <= len(blob):
         if blob[pos] != 0xFF:
             raise ValueError("jpeg: bad marker alignment")
+        if blob[pos + 1] == 0xFF:             # 0xFF fill byte before marker
+            pos += 1
+            continue
         marker = blob[pos + 1]
         if marker == 0xD9:
             break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD8:
+            pos += 2                          # TEM / RSTn / SOI: no length
+            continue
+        if pos + 4 > len(blob):
+            raise ValueError("jpeg: truncated marker segment")
         seg_len = struct.unpack(">H", blob[pos + 2:pos + 4])[0]
         body = blob[pos + 4:pos + 2 + seg_len]
         if marker == 0xDB:                    # DQT (possibly multiple)
@@ -320,6 +351,8 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
             qt_id = body[8]
         elif 0xC1 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             raise ValueError("jpeg: non-baseline SOF%d" % (marker - 0xC0))
+        elif marker == 0xDD:                  # DRI (restart interval)
+            restart_interval = struct.unpack(">H", body[:2])[0]
         elif marker == 0xDA:                  # SOS
             ns = body[0]
             if ns != 1:
@@ -331,7 +364,9 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
     if h is None or entropy_start is None:
         raise ValueError("jpeg: missing SOF/SOS")
 
-    # collect entropy bytes up to EOI, removing stuffed zeros
+    # collect entropy bytes up to EOI, removing stuffed zeros; RSTn
+    # markers split the scan into byte-aligned restart segments
+    segments = []
     raw = bytearray()
     p = entropy_start
     n = len(blob)
@@ -343,13 +378,23 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
                 raw.append(0xFF)
                 p += 2
                 continue
+            if nxt == 0xFF:                   # fill byte inside the scan
+                p += 1
+                continue
+            if 0xD0 <= nxt <= 0xD7:           # RSTn: next restart segment
+                segments.append(bytes(raw))
+                raw = bytearray()
+                p += 2
+                continue
             if nxt == 0xD9:
                 break
             raise ValueError("jpeg: unexpected marker in scan")
         raw.append(byte)
         p += 1
+    segments.append(bytes(raw))
 
-    br = _BitReader(bytes(raw))
+    br = _BitReader(segments[0])
+    seg_idx = 0
     dct = dc_tables[dc_id]
     act = ac_tables[ac_id]
     qtab = quant[qt_id]
@@ -357,6 +402,14 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
     zz_all = np.zeros((bh * bw_, 64), dtype=np.int64)
     prev_dc = 0
     for bi in range(bh * bw_):
+        # grayscale: 1 MCU = 1 block; every restart_interval MCUs the
+        # stream re-aligns to the next segment and the DC predictor resets
+        if restart_interval and bi and bi % restart_interval == 0:
+            seg_idx += 1
+            if seg_idx >= len(segments):
+                raise ValueError("jpeg: missing restart segment")
+            br = _BitReader(segments[seg_idx])
+            prev_dc = 0
         blk = zz_all[bi]
         cat = br.huff(dct)
         if cat:

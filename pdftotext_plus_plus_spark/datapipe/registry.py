@@ -559,6 +559,70 @@ def extract_visualization_oracle_sql() -> str:
             % ",\n".join(values))
 
 
+def extract_visualization_pdf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S8 in the reference's LITERAL artifact form — the annotated PDF
+    (pdfviz.serialize_pdf, ref PdfDocumentVisualization.cpp:93-640): the
+    figures/shapes layers parsed back from the PDF's own content streams
+    (/Elem marked-content ids + `re` operators), geometry in PDF
+    bottom-left coordinates — the oracle applies the same
+    pageHeight-minus-y flip the reference applies per annotation."""
+    from pyspark.sql import functions as F
+
+    from .. import engine, fixtures
+
+    pages = _make_pages_df(spark, fixtures.build_corpus(
+        N_JSONL_FIG_DOCS, families=JSONL_FIG_FAMILIES))
+    out = engine.extract_pages(pages, num_partitions=8,
+                               pdf_units=("figures", "shapes"))
+    rect_rx = (r'/Elem <</Id \(([a-z]+-\d+-\d+)\)>> BDC\n'
+               r'([-\d.]+) ([-\d.]+) ([-\d.]+) ([-\d.]+) re S')
+    rects = (out.select(
+        "url",
+        F.posexplode(F.regexp_extract_all("pdf", F.lit(rect_rx), F.lit(0)))
+        .alias("pos", "rect")))
+    return rects.select(
+        "url", "pos",
+        F.regexp_extract("rect", rect_rx, 1).alias("elem_id"),
+        F.regexp_extract("rect", rect_rx, 2).cast("double").alias("x"),
+        F.regexp_extract("rect", rect_rx, 3).cast("double").alias("y"),
+        F.regexp_extract("rect", rect_rx, 4).cast("double").alias("w"),
+        F.regexp_extract("rect", rect_rx, 5).cast("double").alias("h"))
+
+
+def extract_visualization_pdf_oracle_sql() -> str:
+    """VALUES oracle from construction-time page geometry with the PDF
+    writer's y flip (y_pdf = clip_lower_y - lower_y) and %.1f number
+    formatting reproduced exactly; emit order matches the writer (pages
+    outer, figures-then-shapes inner)."""
+    import random
+
+    from .. import fixtures
+
+    values = []
+    for i in range(N_JSONL_FIG_DOCS):
+        family = JSONL_FIG_FAMILIES[i % len(JSONL_FIG_FAMILIES)]
+        rng = random.Random(42 * 1000003 + i)  # build_corpus's per-doc rng
+        _, _, pages = fixtures.build_family_pages(family, rng)
+        url = "https://fixture.test/%s/doc-%05d" % (family, i)
+        pos = 0
+        for page in pages:
+            page_h = page["clip"][3]
+            for kind_key, kind in (("figures", "figure"), ("shapes", "shape")):
+                for j, (lx, uy, rx, ly) in enumerate(page.get(kind_key, [])):
+                    values.append(
+                        "('%s', %d, '%s-%d-%d', %r, %r, %r, %r)"
+                        % (url, pos, kind, page["page_num"], j,
+                           float("%.1f" % lx), float("%.1f" % (page_h - ly)),
+                           float("%.1f" % (rx - lx)),
+                           float("%.1f" % (ly - uy))))
+                    pos += 1
+    return ("SELECT url, pos, elem_id, CAST(x AS DOUBLE) AS x,"
+            " CAST(y AS DOUBLE) AS y, CAST(w AS DOUBLE) AS w,"
+            " CAST(h AS DOUBLE) AS h"
+            " FROM (VALUES\n%s\n) AS t(url, pos, elem_id, x, y, w, h)"
+            % ",\n".join(values))
+
+
 N_ROLE_DOCS = 16
 
 
@@ -896,6 +960,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
                                 chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
+    # round 6: S8's annotated-PDF form (the reference's literal artifact
+    # shape); tail — the SVG form (head) covers the same layer content,
+    # this adds the PDF writer + content-stream parse-back surface
+    "extract_visualization_pdf": (extract_visualization_pdf, None),
 }
 
 
@@ -921,6 +989,8 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_jsonl_figures"] = extract_jsonl_figures_oracle_sql()
     oracles["extract_jsonl_shapes"] = extract_jsonl_shapes_oracle_sql()
     oracles["extract_visualization"] = extract_visualization_oracle_sql()
+    oracles["extract_visualization_pdf"] = \
+        extract_visualization_pdf_oracle_sql()
     oracles["extract_roles"] = extract_roles_oracle_sql()
     oracles["extract_roles_model"] = extract_roles_oracle_sql()
     oracles["extract_text_role_filtered"] = \

@@ -51,7 +51,7 @@ BLOCK_SPAN_TYPE = pa.struct([
 
 
 def _arrow_schema(with_spans: bool, with_jsonl: bool = False,
-                  with_svg: bool = False) -> pa.Schema:
+                  with_svg: bool = False, with_pdf: bool = False) -> pa.Schema:
     fields = [
         ("url", pa.string()),
         ("extracted_text", pa.string()),
@@ -72,11 +72,13 @@ def _arrow_schema(with_spans: bool, with_jsonl: bool = False,
         fields.append(("jsonl", pa.string()))
     if with_svg:
         fields.append(("svg", pa.string()))
+    if with_pdf:
+        fields.append(("pdf", pa.string()))
     return pa.schema(fields)
 
 
 def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False,
-                      with_svg: bool = False) -> str:
+                      with_svg: bool = False, with_pdf: bool = False) -> str:
     ddl = ("url string, extracted_text string, extracted_text_extended string, "
            "parse_failure_code int, n_pages int, n_chars int, n_words int, "
            "n_lines int, n_blocks int, payload_bytes bigint, part_id int, "
@@ -89,6 +91,8 @@ def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False,
         ddl += ", jsonl string"
     if with_svg:
         ddl += ", svg string"
+    if with_pdf:
+        ddl += ", pdf string"
     return ddl
 
 
@@ -97,8 +101,10 @@ def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False,
 # ---------------------------------------------------------------------------
 
 def _make_kernel(config: PipelineConfig, with_spans: bool,
-                 roles=None, jsonl_units=None, svg_units=None):
-    schema = _arrow_schema(with_spans, bool(jsonl_units), bool(svg_units))
+                 roles=None, jsonl_units=None, svg_units=None,
+                 pdf_units=None):
+    schema = _arrow_schema(with_spans, bool(jsonl_units), bool(svg_units),
+                           bool(pdf_units))
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -118,11 +124,12 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
             spans = [] if with_spans else None
             jsonls = [] if jsonl_units else None
             svgs = [] if svg_units else None
+            pdfs = [] if pdf_units else None
             for i in range(n):
                 t0 = time.perf_counter()
                 res = extract(htmls[i], config, with_spans=with_spans,
                               roles=roles, jsonl_units=jsonl_units,
-                              svg_units=svg_units)
+                              svg_units=svg_units, pdf_units=pdf_units)
                 dt = (time.perf_counter() - t0) * 1000.0
                 texts.append(res.extracted_text)
                 texts_ext.append(res.extracted_text_extended)
@@ -144,6 +151,8 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
                     jsonls.append(res.jsonl)
                 if svg_units:
                     svgs.append(res.svg)
+                if pdf_units:
+                    pdfs.append(res.pdf)
 
             arrays = [
                 pa.array(urls, pa.string()),
@@ -165,6 +174,8 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
                 arrays.append(pa.array(jsonls, pa.string()))
             if svg_units:
                 arrays.append(pa.array(svgs, pa.string()))
+            if pdf_units:
+                arrays.append(pa.array(pdfs, pa.string()))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return kernel
@@ -200,12 +211,14 @@ def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
                   salted: bool = True,
                   roles=None,
                   jsonl_units=None,
-                  svg_units=None):
+                  svg_units=None,
+                  pdf_units=None):
     """pages DataFrame -> extraction DataFrame (one row per url).
 
-    ``roles`` / ``jsonl_units`` / ``svg_units`` mirror the reference CLI's
-    --role / --type / --visualize-* options (serializer-level filtering,
-    the JSONL sink, and the S8 visualization sink)."""
+    ``roles`` / ``jsonl_units`` / ``svg_units`` / ``pdf_units`` mirror the
+    reference CLI's --role / --type / --visualize-* options
+    (serializer-level filtering, the JSONL sink, and the S8 visualization
+    sink in its SVG and annotated-PDF forms)."""
     projected = df.select("url", "html")  # column pruning reaches the scan
     if salted:
         projected = salted_repartition(projected, num_partitions)
@@ -214,9 +227,12 @@ def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
     roles = frozenset(roles) if roles else None
     jsonl_units = tuple(jsonl_units) if jsonl_units else None
     svg_units = tuple(svg_units) if svg_units else None
+    pdf_units = tuple(pdf_units) if pdf_units else None
     return projected.mapInArrow(
-        _make_kernel(config, with_spans, roles, jsonl_units, svg_units),
-        _spark_schema_ddl(with_spans, bool(jsonl_units), bool(svg_units)))
+        _make_kernel(config, with_spans, roles, jsonl_units, svg_units,
+                     pdf_units),
+        _spark_schema_ddl(with_spans, bool(jsonl_units), bool(svg_units),
+                          bool(pdf_units)))
 
 
 def lineage_frame(result_df):

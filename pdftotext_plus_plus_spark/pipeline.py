@@ -50,6 +50,7 @@ class ExtractionResult:
     timings_ms: Dict[str, float] = field(default_factory=dict)
     jsonl: str = ""
     svg: str = ""
+    pdf: str = ""
     doc: Optional[Doc] = None
 
 
@@ -60,14 +61,17 @@ def extract(payload: Optional[bytes],
             with_timings: bool = False,
             roles=None,
             jsonl_units=None,
-            svg_units=None) -> ExtractionResult:
+            svg_units=None,
+            pdf_units=None) -> ExtractionResult:
     """Run decode -> 13-stage pipeline -> serializers on one payload.
 
     ``roles`` filters serialized blocks like the reference's --role option
     (PlainTextSerializer.cpp:47-49); ``jsonl_units`` additionally produces
     the JSONL serialization for the requested element types (--type);
     ``svg_units`` produces the S8 visualization SVG for the requested
-    layers (the reference's --visualize-* family, visualization.py).
+    layers (the reference's --visualize-* family, visualization.py);
+    ``pdf_units`` produces the annotated-PDF form of the same layers
+    (the reference's literal artifact shape, pdfviz.py).
     """
     result = ExtractionResult()
 
@@ -93,6 +97,9 @@ def extract(payload: Optional[bytes],
     if svg_units:
         from . import visualization
         result.svg = visualization.serialize_svg(doc, svg_units)
+    if pdf_units:
+        from . import pdfviz
+        result.pdf = pdfviz.serialize_pdf(doc, pdf_units)
     if with_timings:
         result.timings_ms[STAGE_SERIALIZE] = (time.perf_counter() - t2) * 1000.0
 

@@ -473,3 +473,42 @@ def test_jpeg_codec_general_path():
         jp.decode_gray_jpeg(bytes(bad))
     except ValueError:
         pass
+
+
+def test_jpeg_external_file_shapes():
+    """Marker framing found in externally produced baseline files decodes
+    correctly: DRI + RST0-7 restart intervals (byte-aligned segments, DC
+    predictor reset), 0xFF fill bytes before markers, and length-less TEM
+    markers in the walk (ADVICE r5: the old walk misframed these)."""
+    import numpy as np
+
+    from pdftotext_plus_plus_spark.datapipe import jpeg as jp
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (24, 40)).astype(np.uint8)   # 15 blocks
+    plain = jp.decode_gray_jpeg(jp.encode_gray_jpeg(img))
+    for interval in (1, 4, 7):
+        blob = jp.encode_gray_jpeg(img, restart_interval=interval)
+        assert b"\xff\xdd" in blob                          # DRI emitted
+        assert blob.count(b"\xff\xd0") >= (1 if interval <= 7 else 0)
+        dec = jp.decode_gray_jpeg(blob)
+        # restart framing is exact: same pixels as the plain encoding
+        assert np.array_equal(dec, plain)
+
+    # fill bytes (0xFF padding) before a marker + a TEM marker: both are
+    # skippable per T.81 B.1.1.2 and must not be misread as length fields
+    blob = jp.encode_gray_jpeg(img)
+    soi, rest = blob[:2], blob[2:]
+    padded = soi + b"\xff" + b"\xff\x01" + rest   # fill byte, TEM, APP0...
+    assert np.array_equal(jp.decode_gray_jpeg(padded), plain)
+
+    # block-constant family stays exactly lossless under restarts
+    exact = jp.synth_block_gray(9, 32, 16)
+    dec = jp.decode_gray_jpeg(jp.encode_gray_jpeg(exact, restart_interval=2))
+    assert np.array_equal(dec, exact)
+
+    # truncated restart stream raises, never crashes
+    blob = jp.encode_gray_jpeg(img, restart_interval=2)
+    cut = blob[:blob.index(b"\xff\xd1")] + b"\xff\xd9"
+    with pytest.raises(ValueError):
+        jp.decode_gray_jpeg(cut)
