@@ -197,6 +197,23 @@ def test_ivf_plan_broadcasts_centroids_no_cartesian(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ivf2_plan_broadcasts_both_levels_no_cartesian(spark):
+    """Two-level IVF: the super table and the routed fine-centroid table
+    are both broadcast (bounded at K1 resp. K <= IVF_K_CAP rows); the
+    per-vector assignment argmaxes are aggregates with map-side partials
+    (struct-max compiles to SortAggregate — still partial-then-final, no
+    window over the N x K1 frame); never a shuffled cartesian."""
+    from pdftotext_plus_plus_spark.datapipe import similarity
+
+    df = similarity.ann_ivf2_topk(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert ("BroadcastNestedLoopJoin" in plan
+            or "BroadcastHashJoin" in plan)
+    # argmax stages fold through partial aggregation (partial+final pairs)
+    assert (plan.count("SortAggregate") + plan.count("HashAggregate")) >= 4
+
+
 def test_vocab_topk_is_take_ordered(spark):
     """vocab_top_tokens must compile to TakeOrderedAndProject (per-partition
     heaps merged on the driver), not a global Sort materialization."""
