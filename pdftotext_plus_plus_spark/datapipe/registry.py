@@ -811,12 +811,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the FIRST 50 registered queries (r03 stopped at exactly 50 and dropped the
 # last two registered).  Round-5 rotation (VERDICT r4 item #7): `simhash`
 # and `minhash_signatures` — whose transitive-coverage argument was the
-# weakest (banding vs signature surface) — are promoted into the first 50
-# so they get driver-artifact rows; demoted in exchange are the two
+# weakest (banding vs signature surface) — were promoted into the first 50
+# so they get driver-artifact rows; demoted in exchange were the two
 # extraction variants whose oracle SQL is shared verbatim with an earlier
 # entry (`extract_roles_model` reuses extract_roles' oracle,
 # `stream_extract_equivalence` reuses extract_text's oracle — the streaming
 # path additionally has dedicated pytest coverage in test_streaming.py).
+# Round-6 rotation: the NEW `ann_ivf2_topk` enters the head (first driver
+# row this round); `minhash_signatures`, green r5 row in hand, returns to
+# the tail.  The new `extract_visualization_pdf` starts at the tail: its
+# layer content is the same as head entry `extract_visualization` (SVG
+# form), its unique surface (PDF writer + content-stream parse-back) is
+# pytest- and ORACLE_PARITY-covered.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint

@@ -186,12 +186,20 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
 # ---------------------------------------------------------------------------
 
 def salted_repartition(df, num_partitions: Optional[int] = None,
-                       salt_buckets: int = 64):
+                       salt_buckets: int = 1024):
     """Repartition by (payload-size bucket, salt of url).
 
     Documents land in log2-size buckets; the salt spreads each bucket across
     partitions so jumbo documents cannot pile into one task (north-rule skew
     handling).  At 100 TB this is the only shuffle in the job.
+
+    ``salt_buckets`` must be >> the task count: hash partitioning lumps
+    whole (bucket, salt) KEYS into tasks, so each key's population rides
+    together — with 64 salts a 10x bench corpus put ~9 jumbo documents in
+    every jumbo-bucket key and the busiest task ran 3.8x the median; at
+    1024 salts the same corpus measured 2.1x and -29% wall (round-6
+    straggler probe, BASELINE.md).  Keys are free; 1024 stays tiny vs the
+    shuffle itself at any scale.
     """
     from pyspark.sql import functions as F
 
