@@ -531,3 +531,79 @@ SELECT d.doc_id,
 FROM documents d LEFT JOIN hits h ON h.doc_id = d.doc_id
 WHERE d.doc_id % {DECON_BENCH_EVERY} != 0
 """
+
+
+# ---------------------------------------------------------------------------
+# exact duplicated-ngram spans (substring-level dedup signal)
+# ---------------------------------------------------------------------------
+
+# Span-level exact dedup in the style of Lee et al. 2022 ("Deduplicating
+# Training Data Makes Language Models Better"): a token n-gram whose corpus
+# frequency exceeds 1 is a duplicated span; documents are scored by the
+# fraction of their grams that are duplicated.  The paper builds a suffix
+# array; the Spark-first shape is gram-explode -> gram-frequency hash agg
+# -> N:1 frequency join back -> per-doc agg.  DUPNGRAM_N is 5 here (the
+# fixture docs are 10-99 tokens); production pipelines use 50.
+DUPNGRAM_N = 5
+DUPNGRAM_DROP_FRACTION = 0.5   # docs above this are candidates for removal
+
+
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document duplicated-ngram fraction (exact, occurrence-level).
+
+    Scale shape at 100 TB: the gram explode is a narrow projection; gram
+    frequencies are ONE hash aggregate with map-side partials (the
+    all-distinct long tail combines locally); the frequency join back is
+    shuffle-on-gram with flat keys (a gram's fan-out IS its frequency, and
+    the scoring only needs `gf > 1`, so a production variant can pre-filter
+    the frequency table to gf > 1 and left-join — the tail never shuffles
+    twice).  No windows, no self-join, nothing quadratic.
+    """
+    docs = _documents(spark, sf_dir)
+    toked = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
+        .alias("toks"))
+    grams = (toked.filter(F.size("toks") >= DUPNGRAM_N)
+             .select("doc_id",
+                     F.explode(F.expr(
+                         f"transform(sequence(1, size(toks) - {DUPNGRAM_N - 1}),"
+                         f" i -> array_join(slice(toks, i, {DUPNGRAM_N}), ' '))"))
+                     .alias("gram")))
+    gf = grams.groupBy("gram").agg(F.count("*").alias("gf"))
+    per_doc = (grams.join(gf, "gram")
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_grams"),
+                    F.sum((F.col("gf") > 1).cast("int")).alias("n_dup_grams")))
+    dup_frac = F.round(F.col("n_dup_grams") / F.col("n_grams"), 6)
+    return per_doc.select(
+        "doc_id", "n_grams", "n_dup_grams", dup_frac.alias("dup_fraction"),
+        (dup_frac > DUPNGRAM_DROP_FRACTION).cast("int").alias("drop_candidate"))
+
+
+DUPLICATE_NGRAM_SPANS_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text, ' '), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(toks[i:i+{DUPNGRAM_N - 1}], ' ') AS gram
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - {DUPNGRAM_N - 1})) AS i
+        FROM toked
+        WHERE len(toks) >= {DUPNGRAM_N})
+), gf AS (
+  SELECT gram, count(*) AS gf FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, count(*) AS n_grams,
+         sum(CASE WHEN f.gf > 1 THEN 1 ELSE 0 END) AS n_dup_grams
+  FROM grams g JOIN gf f ON f.gram = g.gram
+  GROUP BY g.doc_id
+)
+SELECT doc_id, n_grams, CAST(n_dup_grams AS BIGINT) AS n_dup_grams,
+       round(n_dup_grams / n_grams, 6) AS dup_fraction,
+       CASE WHEN round(n_dup_grams / n_grams, 6) > {DUPNGRAM_DROP_FRACTION}
+            THEN 1 ELSE 0 END AS drop_candidate
+FROM per_doc
+"""

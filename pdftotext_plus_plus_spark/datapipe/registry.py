@@ -819,7 +819,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # path additionally has dedicated pytest coverage in test_streaming.py).
 # Round-6 rotation: the NEW `ann_ivf2_topk` enters the head (first driver
 # row this round); `minhash_signatures`, green r5 row in hand, returns to
-# the tail.  The new `extract_visualization_pdf` starts at the tail: its
+# the tail.  Round-6 rotation #2 (late-round operator batch): the four
+# brand-new ops `duplicate_ngram_spans`, `semdedup_prune`,
+# `c4_quality_filter`, `bigram_surprisal` enter the head so their first
+# round gets driver rows; demoted in exchange — each with a green r5
+# driver row in hand and a head sibling covering its unique surface —
+# are `simhash` (simhash_near_pairs runs the same one-groupBy fold plus
+# banding), `audio_meta` (audio_energy_fingerprint runs the same WAV
+# decode plus framing), `vocab_top_tokens` (tfidf_keywords runs the same
+# token-df agg plus ranking), and `per_source_topk` (its window-topk
+# shape is tfidf_keywords' ranking window; its source dim is
+# source_mix_weights', both head).
+# The new `extract_visualization_pdf` starts at the tail: its
 # layer content is the same as head entry `extract_visualization` (SVG
 # form), its unique surface (PDF writer + content-stream parse-back) is
 # pytest- and ORACLE_PARITY-covered.
@@ -878,11 +889,16 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                             dedup.NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
-    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
     "simhash_near_pairs": (dedup.simhash_near_pairs,
                            dedup.SIMHASH_NEAR_PAIRS_SQL),
     "embedding_near_dup": (dedup.embedding_near_dup,
                            dedup.EMBEDDING_NEAR_DUP_SQL),
+    # round 6 batch #2: exact duplicated-span signal (Lee et al. 2022)
+    "duplicate_ngram_spans": (dedup.duplicate_ngram_spans,
+                              dedup.DUPLICATE_NGRAM_SPANS_SQL),
+    # round 6 batch #2: SemDeDup-style cluster-then-prune (Abbas et al.)
+    "semdedup_prune": (similarity.semdedup_prune,
+                       similarity.SEMDEDUP_PRUNE_SQL),
     # similarity search
     "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
                             similarity.ANN_BRUTEFORCE_SQL),
@@ -909,18 +925,19 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                               textstats.GOPHER_QUALITY_FILTER_SQL),
     "unigram_surprisal": (textstats.unigram_surprisal,
                           textstats.UNIGRAM_SURPRISAL_SQL),
-    "vocab_top_tokens": (textstats.vocab_top_tokens,
-                         textstats.VOCAB_TOP_TOKENS_SQL),
+    # round 6 batch #2: conditional-LM perplexity proxy
+    "bigram_surprisal": (textstats.bigram_surprisal,
+                         textstats.BIGRAM_SURPRISAL_SQL),
+    # round 6 batch #2: C4 line/document rules (Raffel et al. 2020);
+    # oracle is lazily built (VALUES of the raw line-structured corpus)
+    "c4_quality_filter": (textstats.c4_quality_filter, None),
     "tfidf_keywords": (textstats.tfidf_keywords,
                        textstats.TFIDF_KEYWORDS_SQL),
-    "per_source_topk": (textstats.per_source_topk,
-                        textstats.PER_SOURCE_TOPK_SQL),
     # multimodal plumbing
     "image_resize_meta": (multimodal.image_resize_meta,
                           multimodal.IMAGE_RESIZE_SQL),
     "video_frame_sample": (multimodal.video_frame_sample,
                            multimodal.VIDEO_FRAME_SAMPLE_SQL),
-    "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     # multimodal dedup primitives over DECODED content (round 5: the
     # real codecs make these possible — LAION-style image/audio near-dup
     # signatures)
@@ -966,6 +983,14 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
                                 chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
+    # round-6 rotation #2 demotions (green r5 driver rows in hand; head
+    # siblings cover their unique surfaces — see ORDERING note)
+    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
+    "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
+    "vocab_top_tokens": (textstats.vocab_top_tokens,
+                         textstats.VOCAB_TOP_TOKENS_SQL),
+    "per_source_topk": (textstats.per_source_topk,
+                        textstats.PER_SOURCE_TOPK_SQL),
     # round 6: S8's annotated-PDF form (the reference's literal artifact
     # shape); tail — the SVG form (head) covers the same layer content,
     # this adds the PDF writer + content-stream parse-back surface
@@ -986,6 +1011,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()
+    oracles["c4_quality_filter"] = textstats.c4_quality_filter_oracle_sql()
     oracles["extract_word_counts"] = extract_word_counts_oracle_sql()
     oracles["extract_text_extended"] = extract_text_extended_oracle_sql()
     oracles["extract_jsonl"] = extract_jsonl_oracle_sql()

@@ -752,3 +752,125 @@ WITH elems AS (
 )
 SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 """
+
+
+# ---------------------------------------------------------------------------
+# semantic dedup (SemDeDup-style cluster-then-prune)
+# ---------------------------------------------------------------------------
+
+# Embedding-space semantic dedup in the style of Abbas et al. 2023
+# ("SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): cluster the embeddings, then within each cluster drop
+# every vector that is near-identical (cosine >= tau) to a cluster-mate,
+# keeping one representative.  The paper clusters with k-means; here the
+# clustering is the SAME deterministic stride quantizer as ann_ivf_topk
+# (seeds at vec_id % stride == 0, nearest-centroid assignment), so the
+# identical clusters are expressible in ANSI SQL and the pairwise stage
+# stays a bounded cluster-equi self-join — never an all-pairs cross join.
+# tau reuses the corpus-calibrated cosine threshold of embedding_near_dup.
+SEMDEDUP_TAU = 0.38
+
+
+def semdedup_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector (cluster_id, keep) verdict: keep=0 iff a LOWER-id member
+    of the same cluster is within cosine >= SEMDEDUP_TAU (single-hop rule
+    — the survivor of a duplicate neighborhood is its minimum vec_id).
+
+    Scale shape at 100 TB: centroid assignment is the ann_ivf_topk plan
+    (broadcast of <= IVF_K_CAP centroid rows, argmax as ONE hash agg);
+    the pairwise stage shuffles once on cluster_id and compares only
+    within clusters of expected size N/K ~ sqrt(N) (capped in practice by
+    cluster-size limits in production SemDeDup).  Nothing quadratic in N.
+    """
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    stride = ivf_stride(emb.count())
+    cents = (emb.filter(F.col("vec_id") % stride == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("norm").alias("c_norm")))
+    cdot = F.aggregate(
+        F.zip_with("embedding", "c_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    csim = (emb.crossJoin(F.broadcast(cents))
+            .withColumn("sim", F.round(cdot / (F.col("norm") * F.col("c_norm")), 4))
+            .select("vec_id", "cent_id", "sim"))
+    assigned = (csim.groupBy("vec_id")
+                .agg(F.max(F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"))).alias("m"))
+                .select("vec_id", (-F.col("m.neg_cent")).alias("cluster_id")))
+    members = assigned.join(emb.select("vec_id", "embedding", "norm"),
+                            "vec_id")
+    a = members.select(F.col("cluster_id"),
+                       F.col("vec_id").alias("id_a"),
+                       F.col("embedding").alias("emb_a"),
+                       F.col("norm").alias("norm_a"))
+    b = members.select(F.col("cluster_id"),
+                       F.col("vec_id").alias("id_b"),
+                       F.col("embedding").alias("emb_b"),
+                       F.col("norm").alias("norm_b"))
+    pdot = F.aggregate(
+        F.zip_with("emb_a", "emb_b",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    dups = (a.join(b, "cluster_id")
+            .filter(F.col("id_a") < F.col("id_b"))
+            .withColumn("cosine",
+                        F.round(pdot / (F.col("norm_a") * F.col("norm_b")), 4))
+            .filter(F.col("cosine") >= SEMDEDUP_TAU)
+            .select(F.col("id_b").alias("vec_id")).distinct()
+            .withColumn("dup", F.lit(1)))
+    return (assigned.join(dups, "vec_id", "left")
+            .select("vec_id", "cluster_id",
+                    F.when(F.col("dup").isNull(), F.lit(1)).otherwise(F.lit(0))
+                    .alias("keep")))
+
+
+SEMDEDUP_PRUNE_SQL = f"""
+WITH elems AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT e.vec_id, e.embedding,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e)
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
+), stride AS (
+  SELECT greatest(1, CAST(ceil(count(*) /
+           least({IVF_K_CAP}, CAST(ceil(sqrt(CAST(count(*) AS DOUBLE)))
+                                   AS BIGINT))::DOUBLE) AS BIGINT)) AS s
+  FROM embeddings
+), cdots AS (
+  SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
+  FROM elems v JOIN elems c ON c.i = v.i
+       AND c.vec_id % (SELECT s FROM stride) = 0
+  GROUP BY v.vec_id, c.vec_id
+), csim AS (
+  SELECT d.vec_id, d.cent_id,
+         round(d.dot / (nv.norm * nc.norm), 4) AS sim,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY round(d.dot / (nv.norm * nc.norm), 4)
+                                     DESC, d.cent_id ASC) AS rn
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cent_id
+), assigned AS (
+  SELECT vec_id, cent_id AS cluster_id FROM csim WHERE rn = 1
+), pdots AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b, sum(ea.x * eb.x) AS dot
+  FROM assigned a
+  JOIN assigned b ON b.cluster_id = a.cluster_id AND a.vec_id < b.vec_id
+  JOIN elems ea ON ea.vec_id = a.vec_id
+  JOIN elems eb ON eb.vec_id = b.vec_id AND eb.i = ea.i
+  GROUP BY a.vec_id, b.vec_id
+), dups AS (
+  SELECT DISTINCT p.id_b AS vec_id
+  FROM pdots p
+  JOIN norms na ON na.vec_id = p.id_a
+  JOIN norms nb ON nb.vec_id = p.id_b
+  WHERE round(p.dot / (na.norm * nb.norm), 4) >= {SEMDEDUP_TAU}
+)
+SELECT a.vec_id, a.cluster_id,
+       CASE WHEN d.vec_id IS NULL THEN 1 ELSE 0 END AS keep
+FROM assigned a LEFT JOIN dups d ON d.vec_id = a.vec_id
+"""

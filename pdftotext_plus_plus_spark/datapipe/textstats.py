@@ -723,3 +723,215 @@ SELECT doc_id,
             THEN 1 ELSE 0 END AS keep
 FROM per_doc
 """
+
+
+# ---------------------------------------------------------------------------
+# bigram surprisal (conditional-LM perplexity proxy)
+# ---------------------------------------------------------------------------
+
+# The bigram extension of unigram_surprisal: token surprisal conditioned on
+# the previous token, -log2 P(cur | prev) with P = c(prev,cur) / c(prev,*)
+# counted over the corpus itself (train-free, like a CCNet perplexity
+# filter whose LM is the corpus's own bigram table).  Same INTEGER-EXACT
+# construction: surprisal bits = bit-length of c(prev,*) // c(prev,cur),
+# so the DuckDB oracle matches to the hash with no float log anywhere.
+# Band calibrated to the synthetic corpus like SURPRISAL_KEEP_*.
+BIGRAM_KEEP_LO = 515
+BIGRAM_KEEP_HI = 545
+
+
+def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean bigram surprisal in integer centibits.
+
+    Plan shape at scale: ONE narrow bigram projection feeds (a) the
+    (prev, cur) hash agg and (b) the per-doc agg; the context count
+    c(prev,*) is a second hash agg over the first's output (tiny — the
+    distinct-bigram table), then two N:1 dim joins back onto the bigram
+    stream — the unigram_surprisal plan with one extra bounded join.
+    """
+    docs = _documents(spark, sf_dir)
+    toked = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
+        .alias("toks"))
+    bigrams = (toked.filter(F.size("toks") >= 2)
+               .select("doc_id",
+                       F.explode(F.expr(
+                           "transform(sequence(1, size(toks) - 1),"
+                           " i -> struct(element_at(toks, i) AS prev,"
+                           "             element_at(toks, i + 1) AS cur))"))
+                       .alias("bg"))
+               .select("doc_id", "bg.prev", "bg.cur"))
+    c2 = bigrams.groupBy("prev", "cur").agg(F.count("*").alias("c2"))
+    c1 = c2.groupBy("prev").agg(F.sum("c2").alias("c1"))
+    bits = (c2.join(c1, "prev")
+            .withColumn("bits", F.length(F.bin(F.expr("div(c1, c2)"))))
+            .select("prev", "cur", "bits"))
+    per_doc = (bigrams.join(bits, ["prev", "cur"])
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_bigrams"),
+                    F.sum("bits").alias("sum_bits")))
+    return (per_doc
+            .withColumn("mean_centibits",
+                        F.expr("div(sum_bits * 100, n_bigrams)"))
+            .withColumn("keep", ((F.col("mean_centibits") >= BIGRAM_KEEP_LO)
+                                 & (F.col("mean_centibits") <= BIGRAM_KEEP_HI))
+                        .cast("int"))
+            .select("doc_id", "n_bigrams", "sum_bits", "mean_centibits",
+                    "keep"))
+
+
+BIGRAM_SURPRISAL_SQL = f"""
+WITH toked AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text, ' '), '\\s+'),
+                     x -> length(x) > 0) AS toks
+  FROM documents
+), bigrams AS (
+  SELECT doc_id, toks[i] AS prev, toks[i + 1] AS cur
+  FROM (SELECT doc_id, toks,
+               unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM toked WHERE len(toks) >= 2)
+), c2 AS (
+  SELECT prev, cur, count(*) AS c2 FROM bigrams GROUP BY prev, cur
+), c1 AS (
+  SELECT prev, sum(c2) AS c1 FROM c2 GROUP BY prev
+), bits AS (
+  SELECT c2.prev, c2.cur,
+         length(printf('%b', CAST(c1.c1 // c2.c2 AS BIGINT))) AS bits
+  FROM c2 JOIN c1 ON c1.prev = c2.prev
+), per_doc AS (
+  SELECT b.doc_id, count(*) AS n_bigrams, sum(t.bits) AS sum_bits
+  FROM bigrams b JOIN bits t ON t.prev = b.prev AND t.cur = b.cur
+  GROUP BY b.doc_id
+)
+SELECT doc_id, n_bigrams,
+       CAST(sum_bits AS BIGINT) AS sum_bits,
+       CAST(sum_bits * 100 // n_bigrams AS BIGINT) AS mean_centibits,
+       CASE WHEN sum_bits * 100 // n_bigrams BETWEEN {BIGRAM_KEEP_LO}
+                 AND {BIGRAM_KEEP_HI}
+            THEN 1 ELSE 0 END AS keep
+FROM per_doc
+"""
+
+
+# ---------------------------------------------------------------------------
+# C4-style line/document quality filter
+# ---------------------------------------------------------------------------
+
+# The line- and document-level heuristics of Raffel et al. 2020 (C4,
+# section 2.2) expressible without a badwords list: keep only lines that
+# end in a terminal punctuation mark AND have >= 5 words; drop any page
+# with fewer than 3 retained lines, any page containing '{' (code), and
+# any page containing the phrase 'lorem ipsum'.  The driver `documents`
+# fixture has no line structure, so — like the htmlstrip corpus — a
+# deterministic line-structured web-text corpus feeds the query; the
+# DuckDB oracle receives the same RAW corpus as a VALUES table and
+# re-derives every rule in SQL (a second implementation, not a golden).
+C4_N_DOCS = 60
+C4_MIN_WORDS_PER_LINE = 5
+C4_MIN_KEPT_LINES = 3
+
+_C4_WORDS = ["web", "page", "corpus", "crawl", "filter", "spark", "scale",
+             "tokens", "data", "quality", "line", "text", "batch", "clean"]
+
+
+def build_c4_corpus(n_docs: int = C4_N_DOCS, seed: int = 11):
+    """Deterministic (url, text) pages with newline-separated lines of
+    varying length/punctuation; ~8% get a '{' code line, ~8% a lorem-ipsum
+    prefix, so every rule fires on some page and spares others."""
+    import random
+
+    rows = []
+    for i in range(n_docs):
+        rng = random.Random(seed * 9973 + i)
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            words = [rng.choice(_C4_WORDS) for _ in range(rng.randint(2, 12))]
+            line = " ".join(words)
+            r = rng.random()
+            if r < 0.55:
+                line += "."
+            elif r < 0.70:
+                line += "!"
+            elif r < 0.78:
+                line += "?"
+            lines.append(line)
+        text = "\n".join(lines)
+        if rng.random() < 0.08:
+            text += "\nvar config = { key: 1 };"
+        if rng.random() < 0.08:
+            text = "Lorem ipsum dolor sit amet.\n" + text
+        rows.append(("https://c4.test/doc-%04d" % i, text))
+    return rows
+
+
+def _c4_line_words(line_col):
+    return F.filter(F.split(F.trim(line_col), r"\s+"),
+                    lambda w: F.length(w) > 0)
+
+
+def c4_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4 rules as pure JVM higher-order functions — runs at scan speed.
+
+    Plan shape at 100 TB: a single narrow map over (url, text), zero
+    shuffles, zero UDFs — exactly the gate C4 runs over Common Crawl
+    before any expensive stage.
+    """
+    df = spark.createDataFrame(build_c4_corpus(), "url string, text string")
+    lines = F.split(F.col("text"), "\n")
+    kept = F.filter(
+        lines,
+        lambda l: l.rlike("[.!?]$")
+        & (F.size(_c4_line_words(l)) >= C4_MIN_WORDS_PER_LINE))
+    d = df.select(
+        "url", "text",
+        F.size(lines).alias("n_lines"),
+        F.size(kept).alias("n_kept_lines"),
+        F.aggregate(kept, F.lit(0),
+                    lambda acc, l: acc + F.size(_c4_line_words(l)))
+        .alias("n_kept_words"))
+    keep = ((F.col("n_kept_lines") >= C4_MIN_KEPT_LINES)
+            & ~F.col("text").contains("{")
+            & ~F.lower(F.col("text")).contains("lorem ipsum"))
+    return d.select("url", "n_lines", "n_kept_lines", "n_kept_words",
+                    keep.cast("int").alias("keep"))
+
+
+def c4_quality_filter_oracle_sql() -> str:
+    """VALUES table of the RAW corpus + full SQL re-derivation of the
+    rules (newlines encoded as chr(10) concatenations)."""
+    def lit(text):
+        parts = text.split("\n")
+        return " || chr(10) || ".join(
+            "'%s'" % p.replace("'", "''") for p in parts)
+
+    values = ",\n".join("('%s', %s)" % (url, lit(text))
+                        for url, text in build_c4_corpus())
+    return f"""
+WITH raw(url, text) AS (VALUES
+{values}
+), lined AS (
+  SELECT url, text,
+         string_split(text, chr(10)) AS lines,
+         list_filter(string_split(text, chr(10)),
+                     l -> regexp_matches(l, '[.!?]$')
+                          AND len(list_filter(
+                                string_split_regex(trim(l, ' '), '\\s+'),
+                                w -> length(w) > 0)) >= {C4_MIN_WORDS_PER_LINE})
+           AS kept
+  FROM raw
+)
+SELECT url,
+       len(lines) AS n_lines,
+       len(kept) AS n_kept_lines,
+       CAST(COALESCE(list_sum(list_transform(kept,
+              l -> len(list_filter(string_split_regex(trim(l, ' '), '\\s+'),
+                                   w -> length(w) > 0)))), 0) AS INTEGER)
+         AS n_kept_words,
+       CASE WHEN len(kept) >= {C4_MIN_KEPT_LINES}
+             AND NOT contains(text, '{{')
+             AND NOT contains(lower(text), 'lorem ipsum')
+            THEN 1 ELSE 0 END AS keep
+FROM lined
+"""

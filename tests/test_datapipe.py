@@ -512,3 +512,107 @@ def test_jpeg_external_file_shapes():
     cut = blob[:blob.index(b"\xff\xd1")] + b"\xff\xd9"
     with pytest.raises(ValueError):
         jp.decode_gray_jpeg(cut)
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch #2 operators: behavior checks beyond the oracle rows
+# ---------------------------------------------------------------------------
+
+
+def _write_docs(spark, tmp_path, rows):
+    """Materialize a tiny documents table shaped like the testdata one."""
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ])
+    df = spark.createDataFrame(
+        [(i, t, "en", "unit", len(t)) for i, t in rows], schema)
+    sf_dir = str(tmp_path / "docs_sf")
+    df.write.parquet(f"{sf_dir}/documents.parquet")
+    return sf_dir
+
+
+def test_duplicate_ngram_spans_verbatim_copy(spark, tmp_path):
+    """A verbatim duplicate pair scores dup_fraction 1.0 on BOTH copies
+    (occurrence-level counting, like Lee et al.'s suffix-array spans); a
+    document sharing no 5-gram with anything scores 0.0."""
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(1, shared), (2, shared),
+            (3, "one two three four five six seven eight")]
+    out = {r["doc_id"]: r for r in dedup.duplicate_ngram_spans(
+        spark, _write_docs(spark, tmp_path, rows)).collect()}
+    assert out[1]["dup_fraction"] == 1.0 and out[2]["dup_fraction"] == 1.0
+    assert out[1]["drop_candidate"] == 1
+    assert out[3]["dup_fraction"] == 0.0 and out[3]["drop_candidate"] == 0
+    # 8 tokens -> 4 grams of 5
+    assert out[3]["n_grams"] == 4
+
+
+def test_bigram_surprisal_integer_exact_tiny(spark, tmp_path):
+    """Hand-computed c(prev,*)//c(prev,cur) bit-lengths on a 2-doc corpus:
+    the integer-exact construction (no float log anywhere) is what lets
+    the DuckDB oracle hash-match."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    rows = [(1, "x y x y"), (2, "x y z")]
+    out = {r["doc_id"]: r for r in textstats.bigram_surprisal(
+        spark, _write_docs(spark, tmp_path, rows)).collect()}
+    # c2: (x,y)=3 (y,x)=1 (y,z)=1 ; c1: x*=3 y*=2
+    # bits: (x,y)=bitlen(3//3)=1 (y,x)=bitlen(2//1)=2 (y,z)=bitlen(2//1)=2
+    assert out[1]["n_bigrams"] == 3 and out[1]["sum_bits"] == 4
+    assert out[1]["mean_centibits"] == 400 // 3
+    assert out[2]["n_bigrams"] == 2 and out[2]["sum_bits"] == 3
+    assert out[2]["mean_centibits"] == 150
+
+
+def test_semdedup_cluster_keep_invariants(spark):
+    """SemDeDup verdicts: every cluster keeps its minimum vec_id (the
+    single-hop survivor rule), every cluster keeps at least one member,
+    and a keep=0 verdict implies a LOWER-id cluster-mate exists."""
+    from collections import defaultdict
+
+    from pdftotext_plus_plus_spark.datapipe import similarity
+
+    rows = similarity.semdedup_prune(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    clusters = defaultdict(list)
+    for r in rows:
+        clusters[r["cluster_id"]].append(r)
+    for cid, members in clusters.items():
+        kept = [m for m in members if m["keep"] == 1]
+        assert kept, f"cluster {cid} kept nothing"
+        min_id = min(m["vec_id"] for m in members)
+        assert any(m["vec_id"] == min_id for m in kept), \
+            f"cluster {cid} dropped its min vec_id"
+        for m in members:
+            if m["keep"] == 0:
+                assert m["vec_id"] > min_id
+
+
+def test_c4_rules_fire_and_spare(spark):
+    """Every C4 rule must fire on some page and spare others; structural
+    invariants hold on all pages."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    out = {r["url"]: r for r in
+           textstats.c4_quality_filter(spark, SF_DIR).collect()}
+    raw = dict(textstats.build_c4_corpus())
+    assert set(out) == set(raw)
+    kept = sum(r["keep"] for r in out.values())
+    assert 0 < kept < len(out)
+    for url, r in out.items():
+        text = raw[url]
+        assert r["n_kept_lines"] <= r["n_lines"]
+        if "{" in text or "lorem ipsum" in text.lower():
+            assert r["keep"] == 0, url
+        if r["n_kept_lines"] < textstats.C4_MIN_KEPT_LINES:
+            assert r["keep"] == 0, url
+    # the terminal-punctuation + min-words line rule discards lines
+    assert any(r["n_kept_lines"] < r["n_lines"] for r in out.values())

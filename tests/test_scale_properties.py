@@ -268,3 +268,39 @@ def test_pii_and_gopher_are_shuffle_free(spark):
         plan = fn(spark, "/root/testdata/sf0.001") \
             ._jdf.queryExecution().executedPlan().toString()
         assert "Exchange" not in plan, fn.__name__
+
+
+def test_duplicate_ngram_and_bigram_no_cartesian(spark):
+    """The span-dedup and bigram-surprisal frequency joins are shuffled
+    equi-joins on flat gram keys — never a cartesian, and every aggregate
+    folds through a map-side partial."""
+    from pdftotext_plus_plus_spark.datapipe import dedup, textstats
+
+    for fn in (dedup.duplicate_ngram_spans, textstats.bigram_surprisal):
+        plan = fn(spark, "/root/testdata/sf0.001") \
+            ._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, fn.__name__
+        assert "HashAggregate" in plan, fn.__name__
+
+
+def test_semdedup_plan_broadcasts_centroids_no_cartesian(spark):
+    """SemDeDup assignment reuses the IVF shape: centroid side broadcast
+    (bounded by IVF_K_CAP), pairwise stage a cluster-equi self-join; the
+    only nested-loop joins are broadcast ones."""
+    from pdftotext_plus_plus_spark.datapipe import similarity
+
+    df = similarity.semdedup_prune(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_c4_filter_is_shuffle_free(spark):
+    """The C4 gate is a single narrow map over (url, text): zero Exchange
+    operators, zero Python UDFs — it must run at scan speed."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    plan = textstats.c4_quality_filter(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
