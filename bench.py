@@ -96,7 +96,12 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  "unigram_surprisal",
                  # round 6: the two-level IVF quantizer beside the
                  # single-level one, so their cost ratio is on record
-                 "ann_ivf2_topk"]
+                 "ann_ivf2_topk",
+                 # round-6 batch #2: span-level dedup, semantic dedup,
+                 # conditional surprisal, C4 gate (the last over its own
+                 # fixed 60-page corpus — a constant-work floor check)
+                 "duplicate_ngram_spans", "semdedup_prune",
+                 "bigram_surprisal", "c4_quality_filter"]
 
 
 def ensure_corpus() -> int:
@@ -294,7 +299,17 @@ def _mp_chunk(payloads) -> int:
 # ngram_jaccard excluded as in BENCH_QUERIES
 SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        "ann_ivf_topk", "ann_ivf2_topk", "tfidf_keywords",
-                       "token_counts"]
+                       "token_counts",
+                       # round-6 batch #2: both are gram hash-agg + N:1
+                       # frequency-join shapes and must stay near-linear.
+                       # semdedup_prune is excluded like embedding_near_dup:
+                       # the probe replicates embeddings with IDENTICAL
+                       # vectors, so every cluster gets 10x members and the
+                       # within-cluster pairwise stage is O(m^2) BY DESIGN
+                       # (SemDeDup's paper caps cluster sizes for the same
+                       # reason) — the exponent would measure the synthetic
+                       # replication, not the operator.
+                       "duplicate_ngram_spans", "bigram_surprisal"]
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "10"))
 
 
