@@ -56,6 +56,8 @@ EDGE_QUERIES = [
     "lang_id", "lang_id_trigram", "quality_score", "token_counts",
     "fingerprint", "repetition_stats", "gopher_quality_filter",
     "unigram_surprisal",
+    # round-6 batch #2 (documents-only members)
+    "duplicate_ngram_spans", "bigram_surprisal",
     "pii_scrub", "source_mix_weights", "vocab_top_tokens",
     "tfidf_keywords", "per_source_topk",
     "chunk_documents", "dedup_clusters", "dedup_clusters_fixpoint",
