@@ -101,7 +101,10 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # conditional surprisal, C4 gate (the last over its own
                  # fixed 60-page corpus — a constant-work floor check)
                  "duplicate_ngram_spans", "semdedup_prune",
-                 "bigram_surprisal", "c4_quality_filter"]
+                 "bigram_surprisal", "c4_quality_filter",
+                 # round-6 batch #3: the sampling/mixing/packing layer
+                 "stratified_sample", "dsir_importance_weights",
+                 "sequence_packing", "c4_line_dedup"]
 
 
 def ensure_corpus() -> int:
@@ -309,7 +312,12 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # (SemDeDup's paper caps cluster sizes for the same
                        # reason) — the exponent would measure the synthetic
                        # replication, not the operator.
-                       "duplicate_ngram_spans", "bigram_surprisal"]
+                       "duplicate_ngram_spans", "bigram_surprisal",
+                       # round-6 batch #3: the single-token-pass dim-join
+                       # shape (dsir) and the per-shard packing window —
+                       # the window's 10x behavior is the evidence that
+                       # packing never needs a global sort.
+                       "dsir_importance_weights", "sequence_packing"]
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "10"))
 
 

@@ -14,7 +14,7 @@ from typing import Callable, Dict, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (chunking, dedup, events, htmlstrip, multimodal, relational,
-               similarity, textstats)
+               sampling, similarity, textstats)
 
 N_EXTRACT_DOCS = 48
 
@@ -830,6 +830,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # token-df agg plus ranking), and `per_source_topk` (its window-topk
 # shape is tfidf_keywords' ranking window; its source dim is
 # source_mix_weights', both head).
+# Round-6 rotation #3 (sampling layer batch): `c4_line_dedup`,
+# `stratified_sample`, `dsir_importance_weights`, `sequence_packing`
+# enter the head; demoted in exchange (green r5 rows + head siblings,
+# rationale at the tail entries) are `quality_score`,
+# `source_mix_weights`, `image_phash`, `audio_energy_fingerprint`.
 # The new `extract_visualization_pdf` starts at the tail: its
 # layer content is the same as head entry `extract_visualization` (SVG
 # form), its unique surface (PDF writer + content-stream parse-back) is
@@ -911,15 +916,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # text analysis
     "lang_id_trigram": (textstats.lang_id_trigram,
                         textstats.LANG_ID_TRIGRAM_SQL),
-    "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
     "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
     "repetition_stats": (textstats.repetition_stats,
                          textstats.REPETITION_STATS_SQL),
     "benchmark_decontaminate": (dedup.benchmark_decontaminate,
                                 dedup.BENCHMARK_DECONTAMINATE_SQL),
-    "source_mix_weights": (textstats.source_mix_weights,
-                           textstats.SOURCE_MIX_WEIGHTS_SQL),
     "pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
     "gopher_quality_filter": (textstats.gopher_quality_filter,
                               textstats.GOPHER_QUALITY_FILTER_SQL),
@@ -931,6 +933,16 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 6 batch #2: C4 line/document rules (Raffel et al. 2020);
     # oracle is lazily built (VALUES of the raw line-structured corpus)
     "c4_quality_filter": (textstats.c4_quality_filter, None),
+    # round 6 batch #3: C4's cross-page exact-span dedup (line unit,
+    # first occurrence wins); oracle lazily built from the raw corpus
+    "c4_line_dedup": (textstats.c4_line_dedup, None),
+    # round 6 batch #3: sampling / mixing / packing layer
+    "stratified_sample": (sampling.stratified_sample,
+                          sampling.STRATIFIED_SAMPLE_SQL),
+    "dsir_importance_weights": (sampling.dsir_importance_weights,
+                                sampling.DSIR_IMPORTANCE_SQL),
+    "sequence_packing": (sampling.sequence_packing,
+                         sampling.SEQUENCE_PACKING_SQL),
     "tfidf_keywords": (textstats.tfidf_keywords,
                        textstats.TFIDF_KEYWORDS_SQL),
     # multimodal plumbing
@@ -938,12 +950,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           multimodal.IMAGE_RESIZE_SQL),
     "video_frame_sample": (multimodal.video_frame_sample,
                            multimodal.VIDEO_FRAME_SAMPLE_SQL),
-    # multimodal dedup primitives over DECODED content (round 5: the
-    # real codecs make these possible — LAION-style image/audio near-dup
-    # signatures)
-    "image_phash": (multimodal.image_phash, multimodal.IMAGE_PHASH_SQL),
-    "audio_energy_fingerprint": (multimodal.audio_energy_fingerprint,
-                                 multimodal.AUDIO_ENERGY_FP_SQL),
     # HTML boilerplate strip (north-rule raw-HTML surface)
     "boilerplate_strip": (
         lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
@@ -986,6 +992,19 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round-6 rotation #2 demotions (green r5 driver rows in hand; head
     # siblings cover their unique surfaces — see ORDERING note)
     "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
+    # round-6 rotation #3 demotions (batch-3 promotions displace four
+    # more r5-green rows): quality_score's length/punct gate is covered
+    # by head gopher_quality_filter + c4_quality_filter; source_mix_weights'
+    # count-agg shape is stratified_sample's rate dim (head); the two
+    # decoded-content signatures ride the same codecs as head
+    # image_resize_meta / video_frame_sample and got their first driver
+    # rows in r5
+    "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
+    "source_mix_weights": (textstats.source_mix_weights,
+                           textstats.SOURCE_MIX_WEIGHTS_SQL),
+    "image_phash": (multimodal.image_phash, multimodal.IMAGE_PHASH_SQL),
+    "audio_energy_fingerprint": (multimodal.audio_energy_fingerprint,
+                                 multimodal.AUDIO_ENERGY_FP_SQL),
     "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "vocab_top_tokens": (textstats.vocab_top_tokens,
                          textstats.VOCAB_TOP_TOKENS_SQL),
@@ -1012,6 +1031,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()
     oracles["c4_quality_filter"] = textstats.c4_quality_filter_oracle_sql()
+    oracles["c4_line_dedup"] = textstats.c4_line_dedup_oracle_sql()
     oracles["extract_word_counts"] = extract_word_counts_oracle_sql()
     oracles["extract_text_extended"] = extract_text_extended_oracle_sql()
     oracles["extract_jsonl"] = extract_jsonl_oracle_sql()

@@ -935,3 +935,95 @@ SELECT url,
             THEN 1 ELSE 0 END AS keep
 FROM lined
 """
+
+
+# ---------------------------------------------------------------------------
+# C4 cross-page span dedup (line-level, first occurrence wins)
+# ---------------------------------------------------------------------------
+
+# C4's other dedup stage (Raffel et al. 2020 §2.2): any span repeated
+# verbatim across the corpus is kept ONCE, at its first occurrence, and
+# removed everywhere else.  The span unit here is the line (the corpus's
+# natural sentence unit); first occurrence = lexicographically smallest
+# (url, line_idx), encoded as a fixed-width sort key so Spark and DuckDB
+# agree bytewise.  Runs over the same deterministic line-structured
+# corpus as c4_quality_filter.
+
+
+def _c4_first_key():
+    return F.concat(F.col("url"), F.lit("|"),
+                    F.lpad(F.col("idx").cast("string"), 6, "0"))
+
+
+def c4_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page line-dedup outcome: total lines, surviving lines, and an
+    md5 of the surviving text (so the oracle checks CONTENT, not counts).
+
+    Plan shape at 100 TB: line explode (narrow) -> ONE hash agg taking
+    the min first-occurrence key per distinct line (map-side partials
+    absorb the duplicate mass) -> N:1 join back on the line -> per-page
+    agg.  The suffix-free exact-span dedup shape — no window, no
+    self-join; the gram-frequency plan of duplicate_ngram_spans with
+    min() instead of count().
+    """
+    df = spark.createDataFrame(build_c4_corpus(), "url string, text string")
+    lines = df.select("url", F.posexplode(F.split("text", "\n"))
+                      .alias("idx", "line"))
+    first = (lines.select("line", _c4_first_key().alias("k"))
+             .groupBy("line").agg(F.min("k").alias("first_k")))
+    kept = (lines.join(first, "line")
+            .filter(_c4_first_key() == F.col("first_k")))
+    n_all = lines.groupBy("url").agg(F.count("*").alias("n_lines"))
+    n_kept = (kept.groupBy("url")
+              .agg(F.count("*").alias("n_kept_lines"),
+                   F.md5(F.array_join(
+                       F.transform(
+                           F.array_sort(F.collect_list(
+                               F.struct("idx", "line"))),
+                           lambda s: s["line"]),
+                       "\n")).alias("kept_md5")))
+    return (n_all.join(n_kept, "url", "left")
+            .select("url", "n_lines",
+                    F.coalesce("n_kept_lines", F.lit(0)).alias("n_kept_lines"),
+                    F.coalesce("kept_md5", F.md5(F.lit(""))).alias("kept_md5")))
+
+
+def c4_line_dedup_oracle_sql() -> str:
+    """Raw VALUES corpus + SQL re-derivation: same fixed-width first-key,
+    string_agg ordered by line index, md5 over the surviving text."""
+    def lit(text):
+        parts = text.split("\n")
+        return " || chr(10) || ".join(
+            "'%s'" % p.replace("'", "''") for p in parts)
+
+    values = ",\n".join("('%s', %s)" % (url, lit(text))
+                        for url, text in build_c4_corpus())
+    return f"""
+WITH raw(url, text) AS (VALUES
+{values}
+), ls AS (
+  SELECT url, string_split(text, chr(10)) AS ls FROM raw
+), lines AS (
+  SELECT url, i - 1 AS idx, ls[i] AS line
+  FROM (SELECT url, ls, unnest(generate_series(1, len(ls))) AS i FROM ls)
+), keyed AS (
+  SELECT url, idx, line,
+         url || '|' || lpad(CAST(idx AS VARCHAR), 6, '0') AS k
+  FROM lines
+), first AS (
+  SELECT line, min(k) AS first_k FROM keyed GROUP BY line
+), kept AS (
+  SELECT k.url, k.idx, k.line
+  FROM keyed k JOIN first f ON f.line = k.line AND f.first_k = k.k
+), n_all AS (
+  SELECT url, count(*) AS n_lines FROM lines GROUP BY url
+), n_kept AS (
+  SELECT url, count(*) AS n_kept_lines,
+         md5(string_agg(line, chr(10) ORDER BY idx)) AS kept_md5
+  FROM kept GROUP BY url
+)
+SELECT a.url, a.n_lines,
+       COALESCE(k.n_kept_lines, 0) AS n_kept_lines,
+       COALESCE(k.kept_md5, md5('')) AS kept_md5
+FROM n_all a LEFT JOIN n_kept k ON k.url = a.url
+"""

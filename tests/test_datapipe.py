@@ -616,3 +616,92 @@ def test_c4_rules_fire_and_spare(spark):
             assert r["keep"] == 0, url
     # the terminal-punctuation + min-words line rule discards lines
     assert any(r["n_kept_lines"] < r["n_lines"] for r in out.values())
+
+
+# ---------------------------------------------------------------------------
+# round-6 batch #3: sampling / mixing / packing layer
+# ---------------------------------------------------------------------------
+
+
+def test_stratified_sample_balances_languages(spark):
+    """The smallest language keeps everything (rate 10000 bp); every other
+    language's kept fraction lands near its basis-point rate (the
+    hash-threshold form is exact in expectation, not per-stratum count)."""
+    from collections import defaultdict
+
+    from pdftotext_plus_plus_spark.datapipe import sampling
+
+    rows = sampling.stratified_sample(spark, SF_DIR).collect()
+    by_lang = defaultdict(list)
+    for r in rows:
+        by_lang[r["lang"]].append(r)
+    rates = {l: rs[0]["rate_bp"] for l, rs in by_lang.items()}
+    assert max(rates.values()) == 10000          # min stratum keeps all
+    assert all(r <= 10000 for r in rates.values())
+    smallest = min(by_lang, key=lambda l: len(by_lang[l]))
+    assert rates[smallest] == 10000
+    assert all(r["keep"] == 1 for r in by_lang[smallest])
+    for lang, rs in by_lang.items():
+        kept = sum(r["keep"] for r in rs)
+        expect = rates[lang] / 10000 * len(rs)
+        assert abs(kept - expect) <= 0.25 * len(rs) + 3, (lang, kept, expect)
+
+
+def test_dsir_weights_favor_target_domain(spark):
+    """DSIR's entire point: documents from the target domain (lang='en')
+    must average a higher importance weight than the rest of the corpus."""
+    from pdftotext_plus_plus_spark.datapipe import sampling
+
+    rows = sampling.dsir_importance_weights(spark, SF_DIR).collect()
+    en = [r["weight_centibits"] for r in rows if r["lang"] == "en"]
+    rest = [r["weight_centibits"] for r in rows if r["lang"] != "en"]
+    assert en and rest
+    assert sum(en) / len(en) > sum(rest) / len(rest)
+
+
+def test_sequence_packing_placement_chain(spark):
+    """Placements must reproduce the per-shard running token total:
+    start_bin * CTX + start_offset == sum of token counts of all earlier
+    docs in the shard, and end_bin covers the document's last token."""
+    from collections import defaultdict
+
+    from pdftotext_plus_plus_spark.datapipe import sampling
+
+    rows = sampling.sequence_packing(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    ctx = sampling.PACK_CTX
+    shards = defaultdict(list)
+    for r in rows:
+        shards[r["lang"]].append(r)
+    for lang, rs in shards.items():
+        rs.sort(key=lambda r: r["doc_id"])
+        cum = 0
+        for r in rs:
+            assert r["start_bin"] * ctx + r["start_offset"] == cum, r
+            if r["n_tokens"] == 0:
+                assert r["end_bin"] == r["start_bin"]
+            else:
+                assert r["end_bin"] == (cum + r["n_tokens"] - 1) // ctx
+            cum += r["n_tokens"]
+    # packing actually splits docs across window boundaries sometimes
+    assert any(r["end_bin"] > r["start_bin"] for r in rows)
+
+
+def test_c4_line_dedup_first_occurrence_wins(spark):
+    """Corpus-wide: the number of surviving line occurrences equals the
+    number of DISTINCT lines; pages never gain lines; some page loses a
+    line (duplicates exist by construction)."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    out = {r["url"]: r for r in
+           textstats.c4_line_dedup(spark, SF_DIR).collect()}
+    raw = dict(textstats.build_c4_corpus())
+    assert set(out) == set(raw)
+    all_lines = [l for t in raw.values() for l in t.split("\n")]
+    n_distinct = len(set(all_lines))
+    assert sum(r["n_kept_lines"] for r in out.values()) == n_distinct
+    assert all(r["n_kept_lines"] <= r["n_lines"] for r in out.values())
+    assert any(r["n_kept_lines"] < r["n_lines"] for r in out.values())
+    # the first page in url order never loses its first line
+    first_url = min(raw)
+    assert out[first_url]["n_kept_lines"] >= 1

@@ -58,6 +58,8 @@ EDGE_QUERIES = [
     "unigram_surprisal",
     # round-6 batch #2 (documents-only members)
     "duplicate_ngram_spans", "bigram_surprisal",
+    # round-6 batch #3 (documents-only members)
+    "stratified_sample", "dsir_importance_weights", "sequence_packing",
     "pii_scrub", "source_mix_weights", "vocab_top_tokens",
     "tfidf_keywords", "per_source_topk",
     "chunk_documents", "dedup_clusters", "dedup_clusters_fixpoint",

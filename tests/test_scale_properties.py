@@ -304,3 +304,40 @@ def test_c4_filter_is_shuffle_free(spark):
         ._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_stratified_sample_is_broadcast_gate_no_window(spark):
+    """The sampling gate must be a broadcast of the k-row rate dim plus
+    arithmetic — no rank window over the fact, no shuffled join."""
+    from pdftotext_plus_plus_spark.datapipe import sampling
+
+    plan = sampling.stratified_sample(spark, "/root/testdata/sf0.001") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dsir_no_cartesian_single_token_pass(spark):
+    """DSIR computes raw AND target counts in ONE token aggregation (a
+    conditional sum), so the token stream is aggregated exactly once
+    before the dim join — and nothing is a cartesian."""
+    from pdftotext_plus_plus_spark.datapipe import sampling
+
+    df = sampling.dsir_importance_weights(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_sequence_packing_window_is_per_shard(spark):
+    """The running-sum window must partition by the shard key: exactly one
+    exchange (hash by lang) feeding the window sort — never a global
+    single-partition sort."""
+    from pdftotext_plus_plus_spark.datapipe import sampling
+
+    df = sampling.sequence_packing(spark, "/root/testdata/sf0.001")
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    assert plan.count("Exchange") == 1
