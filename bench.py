@@ -104,7 +104,9 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  "bigram_surprisal", "c4_quality_filter",
                  # round-6 batch #3: the sampling/mixing/packing layer
                  "stratified_sample", "dsir_importance_weights",
-                 "sequence_packing", "c4_line_dedup"]
+                 "sequence_packing", "c4_line_dedup",
+                 # the flagship end-to-end composition
+                 "training_mix_pipeline"]
 
 
 def ensure_corpus() -> int:

@@ -914,8 +914,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # straight into the head so its first round gets a driver row
     "ann_ivf2_topk": (similarity.ann_ivf2_topk, similarity.ANN_IVF2_SQL),
     # text analysis
-    "lang_id_trigram": (textstats.lang_id_trigram,
-                        textstats.LANG_ID_TRIGRAM_SQL),
     "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
     "repetition_stats": (textstats.repetition_stats,
@@ -943,6 +941,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 sampling.DSIR_IMPORTANCE_SQL),
     "sequence_packing": (sampling.sequence_packing,
                          sampling.SEQUENCE_PACKING_SQL),
+    # round 6 batch #3: the flagship composition — dedup + Gopher gate +
+    # surprisal band + stratified sample composed end to end; the oracle
+    # nests each component's own SQL as a CTE
+    "training_mix_pipeline": (sampling.training_mix_pipeline,
+                              sampling.TRAINING_MIX_SQL),
     "tfidf_keywords": (textstats.tfidf_keywords,
                        textstats.TFIDF_KEYWORDS_SQL),
     # multimodal plumbing
@@ -1002,6 +1005,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
     "source_mix_weights": (textstats.source_mix_weights,
                            textstats.SOURCE_MIX_WEIGHTS_SQL),
+    # rotation #4 (flagship promotion): lang_id_trigram has a green r5
+    # driver row; its stopword sibling lang_id sits here too and the
+    # trigram-profile surface stays pytest+parity covered
+    "lang_id_trigram": (textstats.lang_id_trigram,
+                        textstats.LANG_ID_TRIGRAM_SQL),
     "image_phash": (multimodal.image_phash, multimodal.IMAGE_PHASH_SQL),
     "audio_energy_fingerprint": (multimodal.audio_energy_fingerprint,
                                  multimodal.AUDIO_ENERGY_FP_SQL),

@@ -230,3 +230,79 @@ SELECT doc_id, lang, CAST(n_tokens AS INTEGER) AS n_tokens,
             END AS BIGINT) AS end_bin
 FROM placed
 """
+
+
+# ---------------------------------------------------------------------------
+# end-to-end training-mix pipeline (the flagship composition)
+# ---------------------------------------------------------------------------
+
+# What a user of this engine actually ships: the composed verdict of the
+# pipeline's stages over every document — exact dedup (first copy wins),
+# the Gopher quality gate, the surprisal band filter, and the stratified
+# language-mix sample.  The Spark side literally composes the registered
+# operators (no re-implementation); the oracle nests each operator's own
+# SQL as a CTE, so the composition is checked end to end, not re-derived.
+
+from . import dedup as _dedup          # noqa: E402  (section imports)
+from . import textstats as _textstats  # noqa: E402
+
+
+def training_mix_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document final keep verdict with per-stage breakdown.
+
+    Plan shape at 100 TB: every stage is its own scale-safe plan (hash
+    agg / map-side gate / broadcast dim); the composition adds only
+    doc_id equi-joins, which AQE plans as broadcast or co-partitioned
+    shuffles.  Stages run over the SAME scan thanks to Spark's plan
+    reuse; nothing is recomputed per stage on the driver.
+    """
+    docs = _documents(spark, sf_dir)
+    dd = (docs.select("doc_id", F.md5("text").alias("text_hash"))
+          .join(_dedup.exact_dedup(spark, sf_dir), "text_hash")
+          .select("doc_id",
+                  (F.col("doc_id") == F.col("keep_id")).cast("int")
+                  .alias("keep_dedup")))
+    gop = (_textstats.gopher_quality_filter(spark, sf_dir)
+           .select("doc_id", F.col("keep").alias("keep_quality")))
+    sur = (_textstats.unigram_surprisal(spark, sf_dir)
+           .select("doc_id", F.col("keep").alias("keep_surprisal")))
+    samp = (stratified_sample(spark, sf_dir)
+            .select("doc_id", F.col("keep").alias("keep_sample")))
+    out = (docs.select("doc_id", "lang")
+           .join(dd, "doc_id")
+           .join(gop, "doc_id")
+           .join(sur, "doc_id", "left")
+           .join(samp, "doc_id")
+           .withColumn("keep_surprisal",
+                       F.coalesce("keep_surprisal", F.lit(0))))
+    keep = ((F.col("keep_dedup") == 1) & (F.col("keep_quality") == 1)
+            & (F.col("keep_surprisal") == 1) & (F.col("keep_sample") == 1))
+    return out.select("doc_id", "lang", "keep_dedup", "keep_quality",
+                      "keep_surprisal", "keep_sample",
+                      keep.cast("int").alias("keep"))
+
+
+def training_mix_sql() -> str:
+    """Oracle = the component oracles nested verbatim as CTEs."""
+    return f"""
+WITH dd AS ({_dedup.EXACT_DEDUP_SQL}),
+gop AS ({_textstats.GOPHER_QUALITY_FILTER_SQL}),
+sur AS ({_textstats.UNIGRAM_SURPRISAL_SQL}),
+samp AS ({STRATIFIED_SAMPLE_SQL})
+SELECT d.doc_id, d.lang,
+       CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END AS keep_dedup,
+       g.keep AS keep_quality,
+       COALESCE(s.keep, 0) AS keep_surprisal,
+       p.keep AS keep_sample,
+       CASE WHEN d.doc_id = k.keep_id AND g.keep = 1
+             AND COALESCE(s.keep, 0) = 1 AND p.keep = 1
+            THEN 1 ELSE 0 END AS keep
+FROM documents d
+JOIN dd k ON k.text_hash = md5(d.text)
+JOIN gop g ON g.doc_id = d.doc_id
+LEFT JOIN sur s ON s.doc_id = d.doc_id
+JOIN samp p ON p.doc_id = d.doc_id
+"""
+
+
+TRAINING_MIX_SQL = training_mix_sql()

@@ -705,3 +705,34 @@ def test_c4_line_dedup_first_occurrence_wins(spark):
     # the first page in url order never loses its first line
     first_url = min(raw)
     assert out[first_url]["n_kept_lines"] >= 1
+
+
+def test_training_mix_composition_consistency(spark, duck):
+    """The flagship composition must agree stage-by-stage with the
+    standalone operators it composes, and its final verdict must be the
+    AND of the four stage verdicts."""
+    from pdftotext_plus_plus_spark.datapipe import sampling, textstats
+
+    rows = {r["doc_id"]: r for r in
+            sampling.training_mix_pipeline(spark, SF_DIR).collect()}
+    assert len(rows) == 500
+    for r in rows.values():
+        assert r["keep"] == (r["keep_dedup"] & r["keep_quality"]
+                             & r["keep_surprisal"] & r["keep_sample"])
+    gop = {r["doc_id"]: r["keep"] for r in
+           textstats.gopher_quality_filter(spark, SF_DIR).collect()}
+    samp = {r["doc_id"]: r["keep"] for r in
+            sampling.stratified_sample(spark, SF_DIR).collect()}
+    assert all(rows[d]["keep_quality"] == k for d, k in gop.items())
+    assert all(rows[d]["keep_sample"] == k for d, k in samp.items())
+    # the filter stages actually remove something; the dedup stage drops
+    # exactly the non-first copies (this corpus has no exact duplicates,
+    # so the count check is the meaningful form)
+    for stage in ("keep_quality", "keep_surprisal", "keep_sample"):
+        assert any(r[stage] == 0 for r in rows.values()), stage
+    n_dup_docs = duck.sql(
+        "SELECT count(*) - count(DISTINCT md5(text)) FROM documents"
+    ).fetchone()[0]
+    assert sum(1 - r["keep_dedup"] for r in rows.values()) == n_dup_docs
+    kept = sum(r["keep"] for r in rows.values())
+    assert 0 < kept < 500
