@@ -14,7 +14,7 @@ from typing import Callable, Dict, Optional, Tuple
 from pyspark.sql import DataFrame, SparkSession
 
 from . import (chunking, dedup, events, htmlstrip, multimodal, relational,
-               sampling, similarity, textstats)
+               sampling, similarity, textstats, webtext)
 
 N_EXTRACT_DOCS = 48
 
@@ -835,6 +835,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # enter the head; demoted in exchange (green r5 rows + head siblings,
 # rationale at the tail entries) are `quality_score`,
 # `source_mix_weights`, `image_phash`, `audio_energy_fingerprint`.
+# Round-6 rotation #5 (webtext batch-4): `url_normalize_dedup`,
+# `domain_stats`, `bloom_url_filter`, `perplexity_buckets`,
+# `link_pagerank` enter the head; demoted in exchange (green r5 rows +
+# head siblings, rationale at the tail entries) are `token_counts`,
+# `fingerprint`, `repetition_stats`, `pii_scrub`, `tfidf_keywords`.
 # The new `extract_visualization_pdf` starts at the tail: its
 # layer content is the same as head entry `extract_visualization` (SVG
 # form), its unique surface (PDF writer + content-stream parse-back) is
@@ -914,13 +919,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # straight into the head so its first round gets a driver row
     "ann_ivf2_topk": (similarity.ann_ivf2_topk, similarity.ANN_IVF2_SQL),
     # text analysis
-    "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
-    "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
-    "repetition_stats": (textstats.repetition_stats,
-                         textstats.REPETITION_STATS_SQL),
     "benchmark_decontaminate": (dedup.benchmark_decontaminate,
                                 dedup.BENCHMARK_DECONTAMINATE_SQL),
-    "pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
     "gopher_quality_filter": (textstats.gopher_quality_filter,
                               textstats.GOPHER_QUALITY_FILTER_SQL),
     "unigram_surprisal": (textstats.unigram_surprisal,
@@ -946,8 +946,16 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # nests each component's own SQL as a CTE
     "training_mix_pipeline": (sampling.training_mix_pipeline,
                               sampling.TRAINING_MIX_SQL),
-    "tfidf_keywords": (textstats.tfidf_keywords,
-                       textstats.TFIDF_KEYWORDS_SQL),
+    # round 6 batch #4: webtext provenance layer (URLs / domains / link
+    # graph) — see rotation #5 in the ORDERING note
+    "url_normalize_dedup": (webtext.url_normalize_dedup,
+                            webtext.URL_NORMALIZE_DEDUP_SQL),
+    "domain_stats": (webtext.domain_stats, webtext.DOMAIN_STATS_SQL),
+    "bloom_url_filter": (webtext.bloom_url_filter,
+                         webtext.BLOOM_URL_FILTER_SQL),
+    "perplexity_buckets": (webtext.perplexity_buckets,
+                           webtext.PERPLEXITY_BUCKETS_SQL),
+    "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
     # multimodal plumbing
     "image_resize_meta": (multimodal.image_resize_meta,
                           multimodal.IMAGE_RESIZE_SQL),
@@ -1022,6 +1030,19 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # shape); tail — the SVG form (head) covers the same layer content,
     # this adds the PDF writer + content-stream parse-back surface
     "extract_visualization_pdf": (extract_visualization_pdf, None),
+    # round-6 rotation #5 demotions (webtext batch-4 promotions displace
+    # five r5-green rows): token_counts / fingerprint / repetition_stats
+    # share the token hash-agg shape with head unigram/bigram_surprisal
+    # and dsir_importance_weights; pii_scrub's regexp-gate shape is head
+    # c4_quality_filter's; tfidf_keywords' df-agg + ranking window is
+    # per-document surprisal's dim plan plus perplexity_buckets' window.
+    "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
+    "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
+    "repetition_stats": (textstats.repetition_stats,
+                         textstats.REPETITION_STATS_SQL),
+    "pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
+    "tfidf_keywords": (textstats.tfidf_keywords,
+                       textstats.TFIDF_KEYWORDS_SQL),
 }
 
 

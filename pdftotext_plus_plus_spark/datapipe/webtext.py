@@ -1,0 +1,498 @@
+"""Webtext-layer operators: URLs, domains, Bloom pre-filters, CCNet
+perplexity bands, and the link graph.
+
+The ops a web-crawl training pipeline runs on document PROVENANCE rather
+than document text: URL canonicalization + URL-level dedup (the first
+dedup any CommonCrawl derivative applies, cf. CCNet / RefinedWeb),
+per-domain corpus accounting, a Bloom-filter URL blocklist pre-filter
+(broadcast a bitset instead of the blocklist itself), CCNet's
+head/middle/tail perplexity terciles per language, and an integer-exact
+fixed-iteration PageRank over the outlink graph (the classic
+quality-prior signal of web corpora).
+
+The driver's `documents` table carries no URL or link columns, so both
+are SYNTHESIZED DETERMINISTICALLY from (doc_id, source) — identically in
+the Spark query and in the DuckDB oracle — exercising messy real-world
+URL variation (casing, www, default ports, tracking params, trailing
+slashes, fragments) and a dense link graph.  Everything downstream of
+the synthesis is generic: the canonicalizer never inverts the
+construction, it applies the standard normalization rules to whatever
+string it gets.
+
+Every op is integer-exact (no float anywhere) so the DuckDB oracle
+matches to the value hash; PageRank in particular uses integer rank
+units because float summation order differs across engines.
+
+Reference parity note: the reference engine (pdftotext++) has no
+web/provenance layer — these belong to the task addendum's
+training-data surface, like datapipe/dedup.py and datapipe/sampling.py.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+
+def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+# ---------------------------------------------------------------------------
+# deterministic raw-URL synthesis (shared by the URL-family ops)
+# ---------------------------------------------------------------------------
+
+# Variation is keyed on doc_id residues so that canonicalization collapses
+# real groups: same (source, doc_id % 25) => same canonical page unless a
+# canonical-significant variant (https scheme, ?id= param) splits it.
+_RAW_URL_SPARK = """
+concat(
+  CASE WHEN doc_id % 19 = 0 THEN 'https' ELSE 'http' END, '://',
+  CASE WHEN doc_id % 5 = 0
+       THEN upper(concat(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+                         source, '.example.com'))
+       ELSE concat(CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END,
+                   source, '.example.com') END,
+  CASE WHEN doc_id % 7 = 0
+       THEN CASE WHEN doc_id % 19 = 0 THEN ':443' ELSE ':80' END
+       ELSE '' END,
+  '/p/', CAST(doc_id % 25 AS STRING),
+  CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END,
+  CASE WHEN doc_id % 17 = 0 AND doc_id % 2 = 0
+         THEN concat('?utm_source=feed&id=', CAST(doc_id % 9 AS STRING))
+       WHEN doc_id % 17 = 0
+         THEN concat('?id=', CAST(doc_id % 9 AS STRING))
+       WHEN doc_id % 2 = 0
+         THEN concat('?utm_source=feed&utm_campaign=c',
+                     CAST(doc_id % 4 AS STRING))
+       ELSE '' END,
+  CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END)
+"""
+
+# Identical construction in DuckDB dialect (|| concat, no CAST-to-STRING
+# needed: DuckDB || stringifies integers).
+_RAW_URL_DUCK = """
+  (CASE WHEN doc_id % 19 = 0 THEN 'https' ELSE 'http' END) || '://' ||
+  (CASE WHEN doc_id % 5 = 0
+        THEN upper((CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+                   || source || '.example.com')
+        ELSE (CASE WHEN doc_id % 3 = 0 THEN 'www.' ELSE '' END)
+             || source || '.example.com' END) ||
+  (CASE WHEN doc_id % 7 = 0
+        THEN CASE WHEN doc_id % 19 = 0 THEN ':443' ELSE ':80' END
+        ELSE '' END) ||
+  '/p/' || (doc_id % 25) ||
+  (CASE WHEN doc_id % 11 = 0 THEN '/' ELSE '' END) ||
+  (CASE WHEN doc_id % 17 = 0 AND doc_id % 2 = 0
+          THEN '?utm_source=feed&id=' || (doc_id % 9)
+        WHEN doc_id % 17 = 0 THEN '?id=' || (doc_id % 9)
+        WHEN doc_id % 2 = 0
+          THEN '?utm_source=feed&utm_campaign=c' || (doc_id % 4)
+        ELSE '' END) ||
+  (CASE WHEN doc_id % 13 = 0 THEN '#sec2' ELSE '' END)
+"""
+
+
+def _with_raw_url(docs: DataFrame) -> DataFrame:
+    return docs.select("doc_id", F.expr(_RAW_URL_SPARK).alias("raw_url"))
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization — generic string normalization, applied to raw_url
+# ---------------------------------------------------------------------------
+
+def _canon_col() -> F.Column:
+    """Canonical form of the ``raw_url`` column.
+
+    Standard crawl canonicalization: drop fragment, drop utm_* tracking
+    params (keep everything else, original order), lowercase scheme and
+    host, strip a leading ``www.``, strip the scheme's default port,
+    strip one trailing slash (but keep a bare ``/`` root path).  Pure
+    built-in string/regexp expressions — whole-stage codegen, no UDF.
+    """
+    u1 = F.regexp_replace("raw_url", r"#.*$", "")          # fragment
+    base = F.regexp_replace(u1, r"\?.*$", "")
+    q = F.regexp_extract(u1, r"\?(.*)$", 1)
+    kept = F.filter(F.split(q, "&"),
+                    lambda p: (F.length(p) > 0) & (F.substring(p, 1, 4) != "utm_"))
+    canon_q = F.when(F.size(kept) > 0,
+                     F.concat(F.lit("?"), F.array_join(kept, "&"))
+                     ).otherwise(F.lit(""))
+    scheme = F.lower(F.regexp_extract(base, r"^[a-zA-Z]+", 0))
+    rest = F.regexp_replace(base, r"^[a-zA-Z]+://", "")
+    hostport = F.lower(F.regexp_extract(rest, r"^[^/]*", 0))
+    path = F.regexp_replace(rest, r"^[^/]*", "")
+    host = F.when(scheme == "http", F.regexp_replace(hostport, r":80$", "")) \
+            .otherwise(F.regexp_replace(hostport, r":443$", ""))
+    host = F.regexp_replace(host, r"^www\.", "")
+    cpath = F.when(path.isin("", "/"), F.lit("/")) \
+             .otherwise(F.regexp_replace(path, r"/$", ""))
+    return F.concat(scheme, F.lit("://"), host, cpath, canon_q)
+
+
+# The same normalization in DuckDB SQL, as a CTE body over `documents`.
+# DuckDB string literals do not backslash-escape, so regexes are written
+# plainly.  list_filter/array_to_string mirror F.filter/F.array_join.
+CANON_URLS_SQL = f"""
+SELECT doc_id, raw_url,
+       lower(regexp_extract(base, '^[a-zA-Z]+', 0)) || '://' ||
+       regexp_replace(
+         CASE WHEN lower(regexp_extract(base, '^[a-zA-Z]+', 0)) = 'http'
+              THEN regexp_replace(lower(regexp_extract(rest, '^[^/]*', 0)),
+                                  ':80$', '')
+              ELSE regexp_replace(lower(regexp_extract(rest, '^[^/]*', 0)),
+                                  ':443$', '')
+         END, '^www\\.', '') ||
+       (CASE WHEN regexp_replace(rest, '^[^/]*', '') IN ('', '/') THEN '/'
+             ELSE regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/$', '')
+        END) ||
+       (CASE WHEN len(kept) > 0 THEN '?' || array_to_string(kept, '&')
+             ELSE '' END) AS canon_url
+FROM (
+  SELECT doc_id, raw_url,
+         regexp_replace(u1, '\\?.*$', '') AS base,
+         regexp_replace(regexp_replace(u1, '\\?.*$', ''),
+                        '^[a-zA-Z]+://', '') AS rest,
+         list_filter(string_split(regexp_extract(u1, '\\?(.*)$', 1), '&'),
+                     p -> length(p) > 0 AND substring(p, 1, 4) <> 'utm_')
+           AS kept
+  FROM (SELECT doc_id, {_RAW_URL_DUCK} AS raw_url,
+               regexp_replace({_RAW_URL_DUCK}, '#.*$', '') AS u1
+        FROM documents)
+)
+"""
+
+
+def _canon_urls(docs: DataFrame) -> DataFrame:
+    """(doc_id, raw_url, canon_url) — shared by the URL-family ops."""
+    return _with_raw_url(docs).withColumn("canon_url", _canon_col())
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup (first copy by doc_id wins)
+# ---------------------------------------------------------------------------
+
+def url_normalize_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize every document's URL and keep the first doc per page.
+
+    Plan shape at 100 TB: the synthesis + canonicalization is a pure
+    map-side projection (whole-stage codegen, no UDF), then ONE hash
+    aggregate on canon_url (map-side partial) and one equi-join back —
+    exactly the exact_dedup plan with a computed key.  No window, no
+    skew risk beyond ordinary hot-page keys, which AQE skew handling
+    splits.
+    """
+    docs = _documents(spark, sf_dir)
+    urls = _canon_urls(docs)
+    groups = urls.groupBy("canon_url").agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count("*").alias("group_size"))
+    return (urls.join(groups, "canon_url")
+            .select("doc_id", "raw_url", "canon_url", "group_size",
+                    (F.col("doc_id") == F.col("keep_id")).cast("int")
+                    .alias("keep")))
+
+
+URL_NORMALIZE_DEDUP_SQL = f"""
+WITH urls AS ({CANON_URLS_SQL}),
+groups AS (
+  SELECT canon_url, min(doc_id) AS keep_id, count(*) AS group_size
+  FROM urls GROUP BY canon_url
+)
+SELECT u.doc_id, u.raw_url, u.canon_url, g.group_size,
+       CASE WHEN u.doc_id = g.keep_id THEN 1 ELSE 0 END AS keep
+FROM urls u JOIN groups g ON g.canon_url = u.canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# per-domain corpus accounting
+# ---------------------------------------------------------------------------
+
+def domain_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain doc/char accounting with corpus share and size rank.
+
+    Plan shape at 100 TB: one hash aggregate over the domain key (the
+    cardinality of REGISTERED DOMAINS, millions not trillions), a 1-row
+    broadcast total, and a row_number window over the already-aggregated
+    domain frame — the window input is |domains| rows, never |docs|.
+    """
+    docs = _documents(spark, sf_dir)
+    dom = (docs
+           .select(F.concat(F.col("source"), F.lit(".example.com"))
+                   .alias("domain"), "lang", "n_chars")
+           .groupBy("domain")
+           .agg(F.count("*").alias("n_docs"),
+                F.sum("n_chars").alias("total_chars"),
+                F.countDistinct("lang").alias("n_langs")))
+    tot = dom.agg(F.sum("n_docs").alias("t"))
+    w = Window.orderBy(F.desc("n_docs"), F.asc("domain"))
+    return (dom.crossJoin(F.broadcast(tot))
+            .select("domain", "n_docs", "total_chars",
+                    F.expr("div(total_chars, n_docs)").alias("avg_chars"),
+                    "n_langs",
+                    F.expr("div(n_docs * 10000, t)").alias("share_bp"))
+            .withColumn("size_rank", F.row_number().over(w)))
+
+
+DOMAIN_STATS_SQL = """
+WITH dom AS (
+  SELECT source || '.example.com' AS domain,
+         count(*) AS n_docs,
+         sum(n_chars) AS total_chars,
+         count(DISTINCT lang) AS n_langs
+  FROM documents GROUP BY source
+)
+SELECT domain, n_docs, total_chars,
+       CAST(total_chars // n_docs AS BIGINT) AS avg_chars,
+       CAST(n_langs AS BIGINT) AS n_langs,
+       CAST(n_docs * 10000 // (SELECT sum(n_docs) FROM dom) AS BIGINT)
+         AS share_bp,
+       CAST(row_number() OVER (ORDER BY n_docs DESC, domain) AS INTEGER)
+         AS size_rank
+FROM dom
+"""
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter URL blocklist pre-filter
+# ---------------------------------------------------------------------------
+
+# Sandbox-sized filter (m = 128 bits, k = 4 md5-slice hashes) so the
+# false-positive path is actually exercised by the test corpus; a
+# production deployment sizes m in the billions of bits (still a few
+# hundred MB — broadcastable where the blocklist itself is not) for a
+# ~1e-4 FP rate.  The FP accounting column is the point: a Bloom
+# pre-filter must be followed by an exact check on the survivors only.
+BLOOM_M_BITS = 256
+BLOOM_K = 4
+# Every 17th doc's canonical URL is the deterministic stand-in blocklist.
+BLOOM_BLOCK_MOD = 17
+
+
+def bloom_url_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Bloom verdict vs a URL blocklist, with FP accounting.
+
+    Plan shape at 100 TB: the blocklist's bitset is a <=m-row distinct
+    agg broadcast to every task (the whole point — the blocklist itself
+    may be too big to broadcast); candidates explode to k=4 rows, probe
+    the broadcast, and fold back with one hash aggregate.  The exact
+    check joins ONLY for FP accounting and is dropped in production
+    (where the exact pass runs on the tiny bloom-positive slice).
+    """
+    docs = _documents(spark, sf_dir)
+    urls = _canon_urls(docs).select("doc_id", "canon_url")
+    md = F.md5("canon_url")
+    pos = [(F.conv(F.substring(md, 1 + 8 * j, 8), 16, 10).cast("long")
+            % BLOOM_M_BITS).alias("p%d" % j) for j in range(BLOOM_K)]
+    probes = urls.select("doc_id", "canon_url",
+                         F.explode(F.array(*pos)).alias("bit"))
+    block = (urls.filter(F.col("doc_id") % BLOOM_BLOCK_MOD == 0)
+             .select("canon_url").distinct())
+    bits = (block.select(F.explode(F.array(
+                *[(F.conv(F.substring(F.md5("canon_url"), 1 + 8 * j, 8),
+                          16, 10).cast("long") % BLOOM_M_BITS)
+                  for j in range(BLOOM_K)])).alias("bit"))
+            .distinct().withColumn("present", F.lit(1)))
+    hit = (probes.join(F.broadcast(bits), "bit", "left")
+           .groupBy("doc_id", "canon_url")
+           .agg((F.sum(F.coalesce("present", F.lit(0))) == BLOOM_K)
+                .cast("int").alias("bloom_hit")))
+    exact = block.withColumn("exact_hit", F.lit(1))
+    return (hit.join(F.broadcast(exact), "canon_url", "left")
+            .select("doc_id", "canon_url", "bloom_hit",
+                    F.coalesce("exact_hit", F.lit(0)).alias("exact_hit"),
+                    ((F.col("bloom_hit") == 1)
+                     & F.col("exact_hit").isNull()).cast("int")
+                    .alias("is_fp")))
+
+
+BLOOM_URL_FILTER_SQL = f"""
+WITH urls AS ({CANON_URLS_SQL}),
+probes AS (
+  SELECT doc_id, canon_url,
+         ('0x' || substr(md5(canon_url), 1 + 8 * j, 8))::BIGINT
+           % {BLOOM_M_BITS} AS bit
+  FROM urls CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)
+),
+block AS (
+  SELECT DISTINCT canon_url FROM urls WHERE doc_id % {BLOOM_BLOCK_MOD} = 0
+),
+bits AS (
+  SELECT DISTINCT ('0x' || substr(md5(canon_url), 1 + 8 * j, 8))::BIGINT
+           % {BLOOM_M_BITS} AS bit
+  FROM block CROSS JOIN (VALUES (0), (1), (2), (3)) AS t(j)
+),
+hit AS (
+  SELECT p.doc_id, p.canon_url,
+         CASE WHEN sum(CASE WHEN b.bit IS NULL THEN 0 ELSE 1 END)
+                   = {BLOOM_K} THEN 1 ELSE 0 END AS bloom_hit
+  FROM probes p LEFT JOIN bits b ON b.bit = p.bit
+  GROUP BY p.doc_id, p.canon_url
+)
+SELECT h.doc_id, h.canon_url, h.bloom_hit,
+       CASE WHEN k.canon_url IS NULL THEN 0 ELSE 1 END AS exact_hit,
+       CASE WHEN h.bloom_hit = 1 AND k.canon_url IS NULL THEN 1 ELSE 0 END
+         AS is_fp
+FROM hit h LEFT JOIN block k ON k.canon_url = h.canon_url
+"""
+
+
+# ---------------------------------------------------------------------------
+# CCNet head/middle/tail perplexity terciles per language
+# ---------------------------------------------------------------------------
+
+def perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style per-language perplexity terciles over unigram surprisal.
+
+    CCNet sorts each language's documents by LM perplexity and cuts the
+    corpus into head/middle/tail thirds; training mixes then upsample
+    the head.  The surprisal score is textstats.unigram_surprisal's
+    integer-exact mean_centibits (composed, not re-derived) and the cut
+    is ntile(3) — rank-based, so integer-exact, with (score, doc_id)
+    ordering making ties deterministic.
+
+    Plan shape at 100 TB: the surprisal plan (two hash aggs + a dim
+    join) followed by ONE per-language window — per-shard sort, never a
+    global one, the sequence_packing shape.  At extreme scale the
+    window is replaced by exact per-language tercile thresholds from a
+    sort-agg percentile (broadcast, then a map-side gate); ntile is the
+    integer-exact form the oracle can hash-match.
+    """
+    from . import textstats as _textstats
+    docs = _documents(spark, sf_dir)
+    sur = _textstats.unigram_surprisal(spark, sf_dir) \
+        .select("doc_id", "mean_centibits")
+    j = docs.select("doc_id", "lang").join(sur, "doc_id")
+    w = Window.partitionBy("lang").orderBy("mean_centibits", "doc_id")
+    out = j.withColumn("bucket", F.ntile(3).over(w))
+    return out.select(
+        "doc_id", "lang", "mean_centibits", "bucket",
+        F.when(F.col("bucket") == 1, F.lit("head"))
+        .when(F.col("bucket") == 2, F.lit("middle"))
+        .otherwise(F.lit("tail")).alias("band"))
+
+
+def _perplexity_buckets_sql() -> str:
+    from . import textstats as _textstats
+    return f"""
+WITH sur AS ({_textstats.UNIGRAM_SURPRISAL_SQL}),
+j AS (
+  SELECT d.doc_id, d.lang, s.mean_centibits
+  FROM documents d JOIN sur s ON s.doc_id = d.doc_id
+),
+b AS (
+  SELECT doc_id, lang, mean_centibits,
+         CAST(ntile(3) OVER (PARTITION BY lang
+                             ORDER BY mean_centibits, doc_id) AS INTEGER)
+           AS bucket
+  FROM j
+)
+SELECT doc_id, lang, mean_centibits, bucket,
+       CASE bucket WHEN 1 THEN 'head' WHEN 2 THEN 'middle'
+            ELSE 'tail' END AS band
+FROM b
+"""
+
+
+# ---------------------------------------------------------------------------
+# integer-exact fixed-iteration PageRank over the synthetic outlink graph
+# ---------------------------------------------------------------------------
+
+# doc i links to (7i + j) mod N for j in {1 .. 1 + i mod 3} (self-loops
+# removed) — a deterministic expander with VARYING out-degree 1-3, so
+# in-degrees (and hence ranks) spread instead of collapsing to the
+# uniform fixpoint.  Integer rank units (1e6 = rank 1.0) with
+# damping 0.85 as the exact recurrence
+#     r' = 150000 + (850 * sum(r_u // deg_u)) // 1000
+# make every iteration order-independent (integer sums commute exactly,
+# float sums do not), so a 3-CTE DuckDB oracle hashes identically.
+PAGERANK_ITERS = 3
+PAGERANK_UNIT = 1_000_000
+PAGERANK_FANOUT = 3
+
+
+def _edges(docs: DataFrame) -> DataFrame:
+    n = docs.agg(F.count("*").alias("n"))
+    js = F.array(*[F.lit(j + 1) for j in range(PAGERANK_FANOUT)])
+    e = (docs.select("doc_id").crossJoin(F.broadcast(n))
+         .select(F.col("doc_id").alias("src"),
+                 F.explode(js).alias("j"), "n")
+         .filter(F.col("j") <= 1 + F.col("src") % 3)
+         .select("src", F.expr("pmod(src * 7 + j, n)").alias("dst"))
+         .filter(F.col("src") != F.col("dst")))
+    return e
+
+
+def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three exact PageRank iterations over the synthetic outlink graph.
+
+    Plan shape at 100 TB: per iteration, one equi-join of the edge list
+    with the current rank vector on src and one hash aggregate on dst —
+    the canonical distributed PageRank shuffle pair, both keyed, both
+    AQE-skew-splittable.  Iterations chain as a fixed-depth DAG (3 here);
+    an open-ended fixpoint adds per-round localCheckpoint() exactly as
+    chunking.dedup_clusters_fixpoint does, so lineage stays bounded.
+    """
+    docs = _documents(spark, sf_dir)
+    edges = _edges(docs)
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    ranks = docs.select("doc_id",
+                        F.lit(PAGERANK_UNIT).cast("long").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (ed.join(ranks, ed.src == ranks.doc_id)
+                   .select("dst", F.expr("div(r, deg)").alias("c")))
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (docs.select("doc_id")
+                 .join(sums, F.col("doc_id") == F.col("dst"), "left")
+                 .select("doc_id",
+                         (F.lit(150_000)
+                          + F.expr("div(850 * coalesce(s, 0), 1000)"))
+                         .cast("long").alias("r")))
+    return (ranks
+            .join(deg, ranks.doc_id == deg.src, "left")
+            .join(indeg, ranks.doc_id == indeg.dst, "left")
+            .select("doc_id",
+                    F.coalesce("deg", F.lit(0)).alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).alias("in_deg"),
+                    F.col("r").alias("rank_ppm")))
+
+
+_PR_ITER_SQL = """
+SELECT d.doc_id,
+       CAST(150000 + (850 * COALESCE(s.s, 0)) // 1000 AS BIGINT) AS r
+FROM documents d LEFT JOIN (
+  SELECT e.dst, sum(r.r // g.deg) AS s
+  FROM edges e
+  JOIN {prev} r ON r.doc_id = e.src
+  JOIN deg g ON g.src = e.src
+  GROUP BY e.dst
+) s ON s.dst = d.doc_id
+"""
+
+LINK_PAGERANK_SQL = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j) % n.n AS dst
+  FROM documents d CROSS JOIN n
+  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
+  WHERE t.j <= 1 + d.doc_id % 3
+    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
+),
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+indeg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
+r0 AS (SELECT doc_id, CAST({PAGERANK_UNIT} AS BIGINT) AS r FROM documents),
+it1 AS ({_PR_ITER_SQL.format(prev="r0")}),
+it2 AS ({_PR_ITER_SQL.format(prev="it1")}),
+it3 AS ({_PR_ITER_SQL.format(prev="it2")})
+SELECT r.doc_id,
+       CAST(COALESCE(g.deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg,
+       r.r AS rank_ppm
+FROM it3 r
+LEFT JOIN deg g ON g.src = r.doc_id
+LEFT JOIN indeg i ON i.dst = r.doc_id
+"""
+
+PERPLEXITY_BUCKETS_SQL = _perplexity_buckets_sql()

@@ -1,0 +1,171 @@
+"""Webtext-layer behavior and plan-shape tests.
+
+Oracle agreement for the five registry entries is covered by
+test_datapipe.py's parametrized gate; here we pin the behaviors the
+oracle comparison can't see (canonicalization rules on crafted inputs,
+Bloom no-false-negative invariant, tercile balance, PageRank floors)
+and the plan shapes that make each op viable at 100 TB.
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from pdftotext_plus_plus_spark.datapipe import webtext
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _canon(spark, pairs):
+    df = spark.createDataFrame(pairs, "doc_id long, source string")
+    return {r["doc_id"]: (r["raw_url"], r["canon_url"])
+            for r in webtext._canon_urls(df).collect()}
+
+
+def test_canonicalization_rules_on_crafted_variants(spark):
+    # doc_ids chosen to hit each synthesis variant (see _RAW_URL_SPARK)
+    got = _canon(spark, [(30, "srca"), (7, "srcb"), (133, "srcc"),
+                         (34, "srcd"), (13, "srce"), (11, "srcf"),
+                         (1, "srcg")])
+    # 30: %2 utm, %3 www, %5 upper -> all normalized away
+    raw, canon = got[30]
+    assert raw == "http://WWW.SRCA.EXAMPLE.COM/p/5?utm_source=feed&utm_campaign=c2"
+    assert canon == "http://srca.example.com/p/5"
+    # 7: default port 80 stripped
+    raw, canon = got[7]
+    assert ":80" in raw and canon == "http://srcb.example.com/p/7"
+    # 133 = 7*19: https with default :443 stripped, scheme preserved
+    raw, canon = got[133]
+    assert raw.startswith("https://") and ":443" in raw
+    assert canon == "https://srcc.example.com/p/8"
+    # 34: utm param dropped but the id param KEPT
+    raw, canon = got[34]
+    assert "utm_source" in raw and canon == "http://srcd.example.com/p/9?id=7"
+    # 13: fragment stripped
+    raw, canon = got[13]
+    assert "#sec2" in raw and "#" not in canon
+    # 11: trailing slash stripped
+    raw, canon = got[11]
+    assert raw.endswith("/p/11/") and canon.endswith("/p/11")
+    # 1: no variants -> identity modulo nothing to normalize
+    raw, canon = got[1]
+    assert raw == canon == "http://srcg.example.com/p/1"
+
+
+def test_canonical_urls_are_fully_normalized_at_sf(spark):
+    urls = [r["canon_url"] for r in
+            webtext._canon_urls(
+                spark.read.parquet(f"{SF_DIR}/documents.parquet")).collect()]
+    assert urls
+    for u in urls:
+        assert "#" not in u and ":80" not in u and ":443" not in u
+        assert "utm_" not in u and "://www." not in u
+        assert u == u.lower() or "?id=" in u  # host/scheme lowered
+        assert not (u.endswith("/") and u.count("/") > 3)
+
+
+def test_url_dedup_first_doc_wins(spark):
+    rows = webtext.url_normalize_dedup(spark, SF_DIR).collect()
+    by_canon = {}
+    for r in rows:
+        by_canon.setdefault(r["canon_url"], []).append(r)
+    multi = [g for g in by_canon.values() if len(g) > 1]
+    assert multi, "synthetic corpus must contain URL-dup groups"
+    for g in by_canon.values():
+        keepers = [r for r in g if r["keep"] == 1]
+        assert len(keepers) == 1
+        assert keepers[0]["doc_id"] == min(r["doc_id"] for r in g)
+        assert all(r["group_size"] == len(g) for r in g)
+
+
+def test_bloom_filter_no_false_negatives_and_bounded_fp(spark):
+    rows = webtext.bloom_url_filter(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r["exact_hit"] == 1:      # Bloom filters never miss members
+            assert r["bloom_hit"] == 1
+        assert r["is_fp"] == int(r["bloom_hit"] == 1 and r["exact_hit"] == 0)
+    clean = [r for r in rows if r["exact_hit"] == 0]
+    fp_rate = sum(r["is_fp"] for r in clean) / max(1, len(clean))
+    assert fp_rate < 0.10  # m=256,k=4 at this blocklist size
+
+
+def test_perplexity_terciles_balanced_and_ordered(spark):
+    rows = webtext.perplexity_buckets(spark, SF_DIR).collect()
+    by_lang = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], []).append(r)
+    for lang, g in by_lang.items():
+        sizes = [sum(1 for r in g if r["bucket"] == b) for b in (1, 2, 3)]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        scores = {b: [r["mean_centibits"] for r in g if r["bucket"] == b]
+                  for b in (1, 2, 3)}
+        if scores[1] and scores[2]:
+            assert max(scores[1]) <= min(scores[2])
+        if scores[2] and scores[3]:
+            assert max(scores[2]) <= min(scores[3])
+        bands = {r["bucket"]: r["band"] for r in g}
+        assert all(bands.get(b, n) == n for b, n in
+                   ((1, "head"), (2, "middle"), (3, "tail")))
+
+
+def test_pagerank_floor_conservation_and_degrees(spark):
+    rows = webtext.link_pagerank(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    for r in rows:
+        assert r["rank_ppm"] >= 150_000          # teleport floor
+        assert 1 <= r["out_deg"] <= 3
+    total = sum(r["rank_ppm"] for r in rows)
+    # mass is conserved up to integer-floor leakage (and never created)
+    assert total <= n * webtext.PAGERANK_UNIT
+    assert total >= int(0.90 * n * webtext.PAGERANK_UNIT)
+    assert len({r["rank_ppm"] for r in rows}) > 10  # varying degrees spread
+
+
+# --- plan shapes -----------------------------------------------------------
+
+def test_url_dedup_plan_is_mapside_canon_plus_one_agg(spark):
+    plan = webtext.url_normalize_dedup(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "HashAggregate" in plan
+
+
+def test_domain_stats_window_is_over_aggregated_frame(spark):
+    plan = webtext.domain_stats(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the row_number window runs AFTER the domain aggregate (bounded rows)
+    assert plan.index("HashAggregate") > plan.index("Window")
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_bloom_plan_broadcasts_bitset(spark):
+    plan = webtext.bloom_url_filter(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_perplexity_window_is_per_language(spark):
+    plan = webtext.perplexity_buckets(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    # the ntile window itself partitions by lang (never a global sort);
+    # the only SinglePartition exchange allowed is the composed surprisal
+    # plan's bounded 1-row corpus-total broadcast
+    assert "windowspecdefinition(lang" in plan
+    win_line = next(l for l in plan.splitlines() if "windowspecdefinition" in l)
+    assert "SinglePartition" not in win_line
+
+
+def test_pagerank_plan_keyed_joins_only(spark):
+    df = webtext.link_pagerank(spark, SF_DIR)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
+    # every iteration is join + hash agg; the rank vector never collects
+    import inspect
+    assert ".collect()" not in inspect.getsource(webtext.link_pagerank)
