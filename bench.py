@@ -106,7 +106,10 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  "stratified_sample", "dsir_importance_weights",
                  "sequence_packing", "c4_line_dedup",
                  # the flagship end-to-end composition
-                 "training_mix_pipeline"]
+                 "training_mix_pipeline",
+                 # round-6 batch #4: the webtext provenance layer
+                 "url_normalize_dedup", "domain_stats", "bloom_url_filter",
+                 "perplexity_buckets", "link_pagerank"]
 
 
 def ensure_corpus() -> int:
@@ -319,7 +322,16 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # shape (dsir) and the per-shard packing window —
                        # the window's 10x behavior is the evidence that
                        # packing never needs a global sort.
-                       "dsir_importance_weights", "sequence_packing"]
+                       "dsir_importance_weights", "sequence_packing",
+                       # round-6 batch #4: the computed-key hash-agg dedup
+                       # (url), the broadcast-bitset probe (bloom — at 10x
+                       # the sandbox-sized 256-bit filter saturates, which
+                       # only makes the probe CHEAPER: the timing measures
+                       # the explode+probe+fold shape, not filter quality),
+                       # and the iterative join+agg pair (pagerank, 3
+                       # rounds over a 10x node/edge set — must be linear).
+                       "url_normalize_dedup", "bloom_url_filter",
+                       "link_pagerank"]
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "10"))
 
 

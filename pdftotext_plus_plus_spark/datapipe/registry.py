@@ -96,6 +96,70 @@ def stream_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def warc_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC-source ingestion == parquet-source extraction, driver-visible:
+    the fixture corpus is serialized as four spec-shaped ISO 28500 WARC
+    files (warcinfo head record + HTTP-framed response records), read
+    back through ``binaryFile`` + the Arrow-batched record splitter
+    (:mod:`..warc`), and run through the SAME 13-stage engine — checked
+    against the SAME intent-level golden oracle as ``extract_text``
+    (ref: the reference walks a directory of PDFs, pdftotext++.cpp;
+    WARC is this repo's crawl-native form of that S1 source surface)."""
+    import shutil
+    import tempfile
+
+    from .. import engine, fixtures
+    from .. import warc as warcmod
+
+    root = tempfile.mkdtemp(prefix="warc_equiv_")
+    try:
+        rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+        warcmod.write_warc_dir(rows, root, n_files=4)
+        pages = warcmod.read_warc(spark, root)
+        out = engine.extract_pages(pages, num_partitions=8)
+        return (out.select("url", "extracted_text")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def streaming_url_dedup_equivalence(spark: SparkSession,
+                                    sf_dir: str) -> DataFrame:
+    """Streaming stateful URL dedup == batch url_normalize_dedup keeps:
+    the documents table's canonical URLs are drained through
+    :func:`..streaming.streaming_url_dedup` (applyInPandasWithState,
+    emit-on-improvement suppression) in several micro-batches; min() over
+    the sink per URL must equal the batch keep set, which is what the
+    DuckDB oracle computes directly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from .. import streaming
+    from . import webtext as webtextmod
+
+    root = tempfile.mkdtemp(prefix="stream_urldedup_")
+    inp, outp, ckpt = f"{root}/in", f"{root}/out", f"{root}/ckpt"
+    try:
+        docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+        urls = webtextmod._canon_urls(docs).select("doc_id", "canon_url")
+        urls.repartition(4).write.parquet(inp)
+        streaming.streaming_url_dedup(spark, inp, outp, ckpt)
+        out = (spark.read.parquet(outp)
+               .groupBy("canon_url")
+               .agg(F.min("doc_id").alias("doc_id")))
+        return out.localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+STREAMING_URL_DEDUP_SQL = f"""
+WITH urls AS ({webtext.CANON_URLS_SQL})
+SELECT canon_url, min(doc_id) AS doc_id FROM urls GROUP BY canon_url
+"""
+
+
 def extract_blocks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Block spans in reading order: (url, pos, block_text, role).
 
@@ -840,6 +904,11 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `link_pagerank` enter the head; demoted in exchange (green r5 rows +
 # head siblings, rationale at the tail entries) are `token_counts`,
 # `fingerprint`, `repetition_stats`, `pii_scrub`, `tfidf_keywords`.
+# Round-6 rotation #6 (batch-5: crawl-native source + streaming dedup):
+# `robots_filter`, `warc_extract_equivalence`, `streaming_url_dedup`
+# enter the head; demoted in exchange (green r5 rows + head siblings,
+# rationale at the tail entries) are `video_frame_sample`,
+# `boilerplate_strip`, `benchmark_decontaminate`.
 # The new `extract_visualization_pdf` starts at the tail: its
 # layer content is the same as head entry `extract_visualization` (SVG
 # form), its unique surface (PDF writer + content-stream parse-back) is
@@ -919,8 +988,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # straight into the head so its first round gets a driver row
     "ann_ivf2_topk": (similarity.ann_ivf2_topk, similarity.ANN_IVF2_SQL),
     # text analysis
-    "benchmark_decontaminate": (dedup.benchmark_decontaminate,
-                                dedup.BENCHMARK_DECONTAMINATE_SQL),
     "gopher_quality_filter": (textstats.gopher_quality_filter,
                               textstats.GOPHER_QUALITY_FILTER_SQL),
     "unigram_surprisal": (textstats.unigram_surprisal,
@@ -956,15 +1023,15 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "perplexity_buckets": (webtext.perplexity_buckets,
                            webtext.PERPLEXITY_BUCKETS_SQL),
     "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
+    "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
+    # round 6 batch #5: crawl-native source + streaming dedup
+    "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
+    "streaming_url_dedup": (streaming_url_dedup_equivalence,
+                            STREAMING_URL_DEDUP_SQL),
     # multimodal plumbing
     "image_resize_meta": (multimodal.image_resize_meta,
                           multimodal.IMAGE_RESIZE_SQL),
-    "video_frame_sample": (multimodal.video_frame_sample,
-                           multimodal.VIDEO_FRAME_SAMPLE_SQL),
     # HTML boilerplate strip (north-rule raw-HTML surface)
-    "boilerplate_strip": (
-        lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
-        None),  # oracle filled in lazily below
     "main_content_blocks": (
         lambda spark, sf_dir: htmlstrip.main_content_blocks(spark, sf_dir),
         None),  # oracle filled in lazily below
@@ -1043,6 +1110,21 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
     "tfidf_keywords": (textstats.tfidf_keywords,
                        textstats.TFIDF_KEYWORDS_SQL),
+    # round-6 rotation #6 demotions (batch-5 promotions: robots_filter,
+    # warc_extract_equivalence, streaming_url_dedup): video_frame_sample
+    # rides the same MP4-demux+JPEG codec as head image_resize_meta's
+    # JPEG branch and got its green driver row in r5; boilerplate_strip's
+    # regexp-chain shape is head c4_quality_filter's and its HTML corpus
+    # is main_content_blocks' (head), green r5 row in hand;
+    # benchmark_decontaminate's broadcast-gram gate shape is head
+    # bloom_url_filter's broadcast-bitset probe, green r5 row in hand.
+    "video_frame_sample": (multimodal.video_frame_sample,
+                           multimodal.VIDEO_FRAME_SAMPLE_SQL),
+    "boilerplate_strip": (
+        lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
+        None),  # oracle filled in lazily below
+    "benchmark_decontaminate": (dedup.benchmark_decontaminate,
+                                dedup.BENCHMARK_DECONTAMINATE_SQL),
 }
 
 
@@ -1056,6 +1138,8 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_text"] = extract_text_oracle_sql()
     # streamed output must equal the batch path's golden, per url
     oracles["stream_extract_equivalence"] = extract_text_oracle_sql()
+    # WARC-ingested output must equal the same golden, per url
+    oracles["warc_extract_equivalence"] = extract_text_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()

@@ -338,6 +338,68 @@ FROM hit h LEFT JOIN block k ON k.canon_url = h.canon_url
 
 
 # ---------------------------------------------------------------------------
+# robots.txt disallow filter
+# ---------------------------------------------------------------------------
+
+# Each domain publishes one deterministic Disallow rule derived from its
+# source number: Disallow: /p/<src_num mod 7>.  Rule application is the
+# REAL robots semantics — string prefix match on the URL path — so
+# '/p/1' disallows '/p/1' AND '/p/10'..'/p/19' (paths here run 0..24),
+# exercising the prefix (not equality) behavior.
+
+
+def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document robots.txt verdict from a broadcast per-domain rule dim.
+
+    Plan shape at 100 TB: the rules table is per-DOMAIN (millions of
+    rows, a few hundred MB — the classic broadcast dim), the fact side
+    is a pure projection, and the verdict is one broadcast equi-join on
+    domain plus a startswith gate — zero fact shuffles.  The same plan
+    serves a real robots corpus; only the rule synthesis is sandbox.
+    """
+    docs = _documents(spark, sf_dir)
+    urls = _canon_urls(docs).select("doc_id", "canon_url")
+    facts = (docs.select("doc_id", "source").join(urls, "doc_id")
+             .select("doc_id",
+                     F.concat(F.col("source"), F.lit(".example.com"))
+                     .alias("domain"),
+                     F.regexp_extract("canon_url",
+                                      r"^[a-z]+://[^/]+(/[^?]*)", 1)
+                     .alias("path")))
+    rules = (docs.select("source").distinct()
+             .select(F.concat(F.col("source"), F.lit(".example.com"))
+                     .alias("domain"),
+                     F.concat(F.lit("/p/"),
+                              (F.expr("CAST(substring(source, 4, 10) AS INT)")
+                               % 7).cast("string"))
+                     .alias("disallow_prefix")))
+    return (facts.join(F.broadcast(rules), "domain")
+            .select("doc_id", "domain", "path", "disallow_prefix",
+                    (~F.col("path").startswith(F.col("disallow_prefix")))
+                    .cast("int").alias("allowed")))
+
+
+ROBOTS_FILTER_SQL = f"""
+WITH urls AS ({CANON_URLS_SQL}),
+facts AS (
+  SELECT d.doc_id, d.source || '.example.com' AS domain,
+         regexp_extract(u.canon_url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path
+  FROM documents d JOIN urls u ON u.doc_id = d.doc_id
+),
+rules AS (
+  SELECT DISTINCT source || '.example.com' AS domain,
+         '/p/' || (CAST(substring(source, 4, 10) AS INT) % 7)
+           AS disallow_prefix
+  FROM documents
+)
+SELECT f.doc_id, f.domain, f.path, r.disallow_prefix,
+       CASE WHEN starts_with(f.path, r.disallow_prefix) THEN 0 ELSE 1 END
+         AS allowed
+FROM facts f JOIN rules r ON r.domain = f.domain
+"""
+
+
+# ---------------------------------------------------------------------------
 # CCNet head/middle/tail perplexity terciles per language
 # ---------------------------------------------------------------------------
 

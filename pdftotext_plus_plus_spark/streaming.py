@@ -186,3 +186,55 @@ def windowed_event_counts(spark, input_path: str, output_path: str,
         query.awaitTermination()
         return query
     return writer.start()
+
+
+def streaming_url_dedup(spark, input_path: str, output_path: str,
+                        checkpoint_path: str, available_now: bool = True):
+    """Streaming URL-level dedup via ``applyInPandasWithState``: the
+    state per canonical URL is the best (smallest) doc_id seen so far;
+    a batch emits a row only when it IMPROVES the state — first sight
+    emits once, later duplicates are suppressed, and an out-of-order
+    earlier doc emits a correction row.  min() over the sink therefore
+    equals the batch :func:`~.datapipe.webtext.url_normalize_dedup`
+    keep set REGARDLESS of micro-batch arrival order — the emit-on-
+    improvement form of the classic streaming dedup/suppression state
+    pattern (state size = |distinct URLs|, bounded per key-group task).
+    """
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    stream = (spark.readStream
+              .schema("doc_id bigint, canon_url string")
+              .option("maxFilesPerTrigger", 1)
+              .format("parquet")
+              .load(input_path))
+
+    def dedupe(key, pdf_iter, state):
+        (canon_url,) = key
+        best = None
+        for pdf in pdf_iter:
+            for d in pdf["doc_id"]:
+                d = int(d)
+                if best is None or d < best:
+                    best = d
+        prev = state.get[0] if state.exists else None
+        if best is not None and (prev is None or best < prev):
+            state.update((best,))
+            yield pd.DataFrame({"canon_url": [canon_url],
+                                "doc_id": [best]})
+
+    out = (stream.groupBy("canon_url")
+           .applyInPandasWithState(dedupe,
+                                   "canon_url string, doc_id bigint",
+                                   "best bigint", "append",
+                                   GroupStateTimeout.NoTimeout))
+    writer = (out.writeStream
+              .outputMode("append")
+              .format("parquet")
+              .option("path", output_path)
+              .option("checkpointLocation", checkpoint_path))
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()

@@ -126,3 +126,58 @@ def test_stream_extract_batch_replay_idempotent(spark, pages_df, tmp_path):
     replayed = spark.read.parquet(output_path)
     assert replayed.count() == n
     assert replayed.select("url").distinct().count() == n
+
+
+def test_streaming_url_dedup_suppresses_and_corrects(spark, tmp_path):
+    """Stateful URL dedup: duplicates within and across micro-batches are
+    suppressed; an OUT-OF-ORDER earlier doc in a later batch emits a
+    correction row, and min() over the sink equals the batch keep set."""
+    import os
+
+    in_dir = str(tmp_path / "url_in")
+    out = str(tmp_path / "url_out")
+    ckpt = str(tmp_path / "url_ckpt")
+    os.makedirs(in_dir)
+
+    # three single-file micro-batches; URL "u1" arrives as doc 30, then a
+    # duplicate 40 (suppressed), then an out-of-order 10 (correction);
+    # "u2" arrives once per batch (later ones suppressed)
+    batches = [
+        [(30, "u1"), (5, "u2")],
+        [(40, "u1"), (6, "u2")],
+        [(10, "u1"), (7, "u2"), (99, "u3")],
+    ]
+    for i, rows in enumerate(batches):
+        spark.createDataFrame(rows, "doc_id long, canon_url string") \
+            .coalesce(1).write.parquet(f"{in_dir}/b{i}")
+    # register each directory as a file; the source reads files one per
+    # trigger in discovery order -> write them as three top-level files
+    import glob
+    import shutil
+    files = []
+    for i in range(3):
+        part = glob.glob(f"{in_dir}/b{i}/part-*.parquet")[0]
+        dst = f"{in_dir}/batch-{i}.parquet"
+        shutil.copy(part, dst)
+        files.append(dst)
+        shutil.rmtree(f"{in_dir}/b{i}")
+
+    streaming.streaming_url_dedup(spark, in_dir, out, ckpt)
+
+    rows = spark.read.parquet(out).collect()
+    emitted = {}
+    for r in rows:
+        emitted.setdefault(r["canon_url"], []).append(r["doc_id"])
+    # u1: first-seen 30 plus the correction 10 (order of arrival may vary
+    # with file discovery order, but every emission strictly improves)
+    assert set(emitted["u1"]) <= {30, 10} and 10 in emitted["u1"]
+    assert emitted["u2"] == [5]          # duplicates suppressed entirely
+    assert emitted["u3"] == [99]
+    # the decision rule: min over the sink == global min per URL
+    mins = {k: min(v) for k, v in emitted.items()}
+    assert mins == {"u1": 10, "u2": 5, "u3": 99}
+
+    # restart with the same checkpoint: no new files -> no new rows
+    n_before = len(rows)
+    streaming.streaming_url_dedup(spark, in_dir, out, ckpt)
+    assert len(spark.read.parquet(out).collect()) == n_before

@@ -122,6 +122,31 @@ def test_pagerank_floor_conservation_and_degrees(spark):
     assert len({r["rank_ppm"] for r in rows}) > 10  # varying degrees spread
 
 
+def test_canonicalizer_is_generic_on_arbitrary_urls(spark):
+    """The canonicalizer never inverts the synthesis — it must normalize
+    ARBITRARY messy URLs, including shapes the synthetic corpus never
+    produces."""
+    cases = [
+        ("HTTP://EXAMPLE.COM", "http://example.com/"),          # no path
+        ("https://www.a.org:443/x/", "https://a.org/x"),
+        ("http://a.org:8080/x", "http://a.org:8080/x"),         # odd port kept
+        ("http://a.org/x?utm_a=1&q=2&utm_b=3", "http://a.org/x?q=2"),
+        ("http://a.org/x?utm_a=1&utm_b=3", "http://a.org/x"),   # all tracking
+        ("http://a.org/?b=1#frag", "http://a.org/?b=1"),
+        ("http://www.www-site.net/p", "http://www-site.net/p"), # only prefix
+        ("http://a.org/x??y=1", "http://a.org/x??y=1"[:12] + "??y=1"),
+    ]
+    df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
+                               "doc_id long, raw_url string")
+    got = {r["doc_id"]: r["c"] for r in
+           df.select("doc_id", webtext._canon_col().alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases[:7]):
+        assert got[i] == want, (raw, got[i], want)
+    # double-? : everything after the FIRST ? is the query; the second ?
+    # lands inside a param token that is not utm_-prefixed, so it is kept
+    assert got[7] == "http://a.org/x??y=1"
+
+
 # --- plan shapes -----------------------------------------------------------
 
 def test_url_dedup_plan_is_mapside_canon_plus_one_agg(spark):
@@ -169,3 +194,24 @@ def test_pagerank_plan_keyed_joins_only(spark):
     # every iteration is join + hash agg; the rank vector never collects
     import inspect
     assert ".collect()" not in inspect.getsource(webtext.link_pagerank)
+
+
+def test_robots_prefix_semantics_and_verdicts(spark):
+    rows = webtext.robots_filter(spark, SF_DIR).collect()
+    assert rows
+    blocked = [r for r in rows if r["allowed"] == 0]
+    assert blocked, "rule set must block some documents"
+    for r in rows:
+        assert r["allowed"] == int(
+            not r["path"].startswith(r["disallow_prefix"]))
+    # the PREFIX (not equality) behavior must be exercised: some blocked
+    # path strictly longer than its disallow prefix (e.g. /p/1 vs /p/13)
+    assert any(len(r["path"]) > len(r["disallow_prefix"]) for r in blocked)
+
+
+def test_robots_plan_broadcasts_rules_dim(spark):
+    plan = webtext.robots_filter(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BatchEvalPython" not in plan
