@@ -32,7 +32,7 @@ crawl-native ingestion form of the same S1 source surface.
 from __future__ import annotations
 
 import datetime
-from typing import Iterable, List, Optional, Tuple
+from typing import Iterable, List, Tuple
 
 _CRLF = b"\r\n"
 _MAGIC = b"WARC/1.0\r\n"
@@ -94,7 +94,8 @@ def _parse_headers(blob: bytes, pos: int):
 
 
 def parse_warc(blob: bytes):
-    """Yield (url, warc_date, payload_bytes) per response record.
+    """Return ([(url, warc_date, payload_bytes) per response record],
+    n_corrupt).
 
     Tolerant: non-response records are skipped; malformed framing (bad
     header line, missing/garbled Content-Length, truncated payload)

@@ -7,9 +7,6 @@ Bloom no-false-negative invariant, tercile balance, PageRank floors)
 and the plan shapes that make each op viable at 100 TB.
 """
 
-import pytest
-from pyspark.sql import functions as F
-
 from pdftotext_plus_plus_spark.datapipe import webtext
 
 SF_DIR = "/root/testdata/sf0.001"
