@@ -123,6 +123,49 @@ def warc_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDX-style random-access index over the fixture WARC shards:
+    (url, warc_date, filename, offset, length) per response record,
+    with blob[offset:offset+length] a complete standalone record (the
+    contract is pytest-verified by fetching and byte-comparing payloads;
+    here the index itself is oracled against the deterministic
+    construction)."""
+    import shutil
+    import tempfile
+
+    from .. import fixtures
+    from .. import warc as warcmod
+
+    root = tempfile.mkdtemp(prefix="warc_cdx_")
+    try:
+        rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+        warcmod.write_warc_dir(rows, root, n_files=4)
+        return warcmod.cdx_index(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def warc_cdx_index_oracle_sql() -> str:
+    """VALUES oracle: the index computed from the same deterministic
+    encoding, without Spark."""
+    from .. import fixtures
+    from .. import warc as warcmod
+
+    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+    buckets = [[] for _ in range(4)]
+    for i, r in enumerate(rows):
+        buckets[i % 4].append((r["url"], r["warc_ts"], r["html"]))
+    values = []
+    for k, recs in enumerate(buckets):
+        name = "part-%02d.warc" % k
+        blob = warcmod.encode_warc(recs, filename=name)
+        for url, date, off, ln in warcmod.index_warc(blob):
+            values.append("('%s', '%s', '%s', %d, %d)"
+                          % (url, date, name, off, ln))
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, warc_date, filename,"
+            " \"offset\", length)" % ",\n".join(values))
+
+
 def streaming_url_dedup_equivalence(spark: SparkSession,
                                     sf_dir: str) -> DataFrame:
     """Streaming stateful URL dedup == batch url_normalize_dedup keeps:
@@ -970,8 +1013,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           dedup.MINHASH_LSH_PAIRS_SQL),
     "simhash_near_pairs": (dedup.simhash_near_pairs,
                            dedup.SIMHASH_NEAR_PAIRS_SQL),
-    "embedding_near_dup": (dedup.embedding_near_dup,
-                           dedup.EMBEDDING_NEAR_DUP_SQL),
     # round 6 batch #2: exact duplicated-span signal (Lee et al. 2022)
     "duplicate_ngram_spans": (dedup.duplicate_ngram_spans,
                               dedup.DUPLICATE_NGRAM_SPANS_SQL),
@@ -1026,6 +1067,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
+    "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
     "streaming_url_dedup": (streaming_url_dedup_equivalence,
                             STREAMING_URL_DEDUP_SQL),
     # multimodal plumbing
@@ -1125,6 +1167,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
         None),  # oracle filled in lazily below
     "benchmark_decontaminate": (dedup.benchmark_decontaminate,
                                 dedup.BENCHMARK_DECONTAMINATE_SQL),
+    # rotation #6 addendum: warc_cdx_index promotion displaces
+    # embedding_near_dup (green rows r4 AND r5; its Arrow-kernel tiled
+    # self-join shape is semdedup_prune's within-cluster pairwise stage
+    # (head) and its cosine kernel is ann_bruteforce_topk's (head))
+    "embedding_near_dup": (dedup.embedding_near_dup,
+                           dedup.EMBEDDING_NEAR_DUP_SQL),
 }
 
 
@@ -1140,6 +1188,8 @@ def oracle_sql() -> Dict[str, str]:
     oracles["stream_extract_equivalence"] = extract_text_oracle_sql()
     # WARC-ingested output must equal the same golden, per url
     oracles["warc_extract_equivalence"] = extract_text_oracle_sql()
+    # CDX index rows must equal the deterministic-construction index
+    oracles["warc_cdx_index"] = warc_cdx_index_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()

@@ -93,20 +93,16 @@ def _parse_headers(blob: bytes, pos: int):
     return headers, end + 4
 
 
-def parse_warc(blob: bytes):
-    """Return ([(url, warc_date, payload_bytes) per response record],
-    n_corrupt).
-
-    Tolerant: non-response records are skipped; malformed framing (bad
-    header line, missing/garbled Content-Length, truncated payload)
-    resynchronizes at the next ``WARC/1.0`` magic.  Returns the parsed
-    records plus the count of skipped corrupt byte ranges.
-    """
-    out = []
+def _walk(blob: bytes):
+    """Walk records: yield (headers, body, record_start, record_end) per
+    well-framed record and count corrupt resyncs.  record_end covers the
+    payload and the two-CRLF record separator when present, so
+    blob[record_start:record_end] is a complete standalone record."""
     n_corrupt = 0
     pos = blob.find(_MAGIC)
     if pos < 0 and blob:
         return [], 1
+    records = []
     while pos >= 0:
         parsed = _parse_headers(blob, pos + len(_MAGIC))
         advanced = None
@@ -119,16 +115,58 @@ def parse_warc(blob: bytes):
             if 0 <= clen <= len(blob) - body_at:
                 body = blob[body_at:body_at + clen]
                 advanced = body_at + clen
-                if headers.get("warc-type") == "response":
-                    http_at = body.find(_CRLF + _CRLF)
-                    payload = body[http_at + 4:] if http_at >= 0 else body
-                    out.append((headers.get("warc-target-uri", ""),
-                                headers.get("warc-date", ""), payload))
+                end = advanced
+                if blob[end:end + 4] == _CRLF + _CRLF:
+                    end += 4
+                records.append((headers, body, pos, end))
         if advanced is None:
             n_corrupt += 1
             advanced = pos + len(_MAGIC)
         pos = blob.find(_MAGIC, advanced)
+    return records, n_corrupt
+
+
+def _payload_of(body: bytes) -> bytes:
+    http_at = body.find(_CRLF + _CRLF)
+    return body[http_at + 4:] if http_at >= 0 else body
+
+
+def parse_warc(blob: bytes):
+    """Return ([(url, warc_date, payload_bytes) per response record],
+    n_corrupt).
+
+    Tolerant: non-response records are skipped; malformed framing (bad
+    header line, missing/garbled Content-Length, truncated payload)
+    resynchronizes at the next ``WARC/1.0`` magic.  Returns the parsed
+    records plus the count of skipped corrupt byte ranges.
+    """
+    records, n_corrupt = _walk(blob)
+    out = [(h.get("warc-target-uri", ""), h.get("warc-date", ""),
+            _payload_of(body))
+           for h, body, _, _ in records if h.get("warc-type") == "response"]
     return out, n_corrupt
+
+
+def index_warc(blob: bytes):
+    """CDX-style index entries: [(url, warc_date, offset, length)] per
+    response record, where blob[offset:offset+length] is the complete
+    standalone record — the random-access contract a CDX index exists
+    for (fetch one page from a 1 GB shard without scanning it)."""
+    records, _ = _walk(blob)
+    return [(h.get("warc-target-uri", ""), h.get("warc-date", ""),
+             start, end - start)
+            for h, _, start, end in records
+            if h.get("warc-type") == "response"]
+
+
+def read_record(blob_slice: bytes) -> Tuple[str, bytes]:
+    """Parse ONE record previously located via :func:`index_warc`:
+    returns (url, payload).  Raises ValueError on a non-record slice."""
+    records, _ = _walk(blob_slice)
+    if len(records) != 1 or records[0][0].get("warc-type") != "response":
+        raise ValueError("slice is not a single WARC response record")
+    h, body, _, _ = records[0]
+    return h.get("warc-target-uri", ""), _payload_of(body)
 
 
 def read_warc(spark, path: str):
@@ -178,3 +216,43 @@ def write_warc_dir(rows, out_dir: str, n_files: int = 4) -> None:
         name = "part-%02d.warc" % k
         with open(os.path.join(out_dir, name), "wb") as f:
             f.write(encode_warc(recs, filename=name))
+
+
+def cdx_index(spark, path: str):
+    """Build a CDX-style index over a directory of .warc files: one row
+    (url, warc_date, filename, offset, length) per response record.
+
+    Plan shape at 100 TB: the same one-task-per-shard binaryFile scan as
+    :func:`read_warc`; the index is ~100 bytes/page vs ~100 KB/page of
+    content (a 1000x reduction BEFORE any shuffle), so the sort/partition
+    that makes the index servable is over the tiny side.  Random access
+    then reads blob[offset:offset+length] from the shard — fetch one
+    page from a 1 GB shard without scanning it.
+    """
+    import os as _os
+
+    import pandas as pd
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.warc").load(path)
+           .select("path", "content"))
+
+    def index_files(batches):
+        for pdf in batches:
+            urls, dates, files, offs, lens = [], [], [], [], []
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                name = _os.path.basename(p)
+                for url, date, off, ln in index_warc(bytes(blob)):
+                    urls.append(url)
+                    dates.append(date)
+                    files.append(name)
+                    offs.append(off)
+                    lens.append(ln)
+            yield pd.DataFrame({"url": urls, "warc_date": dates,
+                                "filename": files, "offset": offs,
+                                "length": lens})
+
+    return raw.mapInPandas(
+        index_files,
+        "url string, warc_date string, filename string, "
+        "offset long, length long")

@@ -104,3 +104,59 @@ def test_warc_extract_equals_parquet_extract(spark, tmp_path):
                    engine.extract_pages(direct, num_partitions=4)
                    .select("url", "extracted_text").collect()}
     assert via_warc == via_parquet
+
+
+def test_cdx_index_random_access_byte_identity():
+    rows, triples = _triples(10, jumbo_every=5)
+    blob = warc.encode_warc(triples)
+    idx = warc.index_warc(blob)
+    assert len(idx) == 10
+    for r, (url, date, off, ln) in zip(rows, idx):
+        assert url == r["url"]
+        u2, payload = warc.read_record(blob[off:off + ln])
+        assert u2 == r["url"] and payload == r["html"]
+
+
+def test_cdx_index_skips_warcinfo_and_truncated_tail():
+    _, triples = _triples(8)
+    blob = warc.encode_warc(triples)
+    assert len(warc.index_warc(blob)) == 8          # warcinfo not indexed
+    idx = warc.index_warc(blob[: len(blob) // 2])
+    assert 0 < len(idx) < 8                          # only complete records
+
+
+def test_read_record_rejects_non_record_slices():
+    import pytest
+
+    _, triples = _triples(2)
+    blob = warc.encode_warc(triples)
+    with pytest.raises(ValueError):
+        warc.read_record(b"junk bytes")
+    with pytest.raises(ValueError):
+        warc.read_record(blob)  # two records, not one
+    idx = warc.index_warc(blob)
+    off, ln = idx[0][2], idx[0][3]
+    with pytest.raises(ValueError):
+        warc.read_record(blob[off:off + ln - 10])  # truncated slice
+
+
+def test_spark_cdx_index_matches_local(spark, tmp_path):
+    rows = fixtures.build_corpus(8, jumbo_every=4)
+    warc.write_warc_dir(rows, str(tmp_path), n_files=2)
+    got = sorted((r["url"], r["filename"], r["offset"], r["length"])
+                 for r in warc.cdx_index(spark, str(tmp_path)).collect())
+    want = []
+    import os
+    for name in sorted(os.listdir(str(tmp_path))):
+        with open(f"{tmp_path}/{name}", "rb") as f:
+            blob = f.read()
+        for url, date, off, ln in warc.index_warc(blob):
+            want.append((url, name, off, ln))
+    assert got == sorted(want)
+    # and the indexed slices fetch byte-identical payloads
+    by_url = {r["url"]: r for r in rows}
+    for url, name, off, ln in want:
+        with open(f"{tmp_path}/{name}", "rb") as f:
+            f.seek(off)
+            u2, payload = warc.read_record(f.read(ln))
+        assert payload == by_url[url]["html"]
