@@ -1,6 +1,6 @@
 """Webtext-layer behavior and plan-shape tests.
 
-Oracle agreement for the five registry entries is covered by
+Oracle agreement for the webtext registry entries is covered by
 test_datapipe.py's parametrized gate; here we pin the behaviors the
 oracle comparison can't see (canonicalization rules on crafted inputs,
 Bloom no-false-negative invariant, tercile balance, PageRank floors)
