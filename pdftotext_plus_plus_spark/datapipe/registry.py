@@ -1004,7 +1004,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     "event_hopping_counts": (events.hopping_counts,
                              events.HOPPING_COUNTS_SQL),
-    "event_gap_stats": (events.event_gap_stats, events.EVENT_GAP_STATS_SQL),
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
@@ -1065,6 +1064,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                            webtext.PERPLEXITY_BUCKETS_SQL),
     "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
+    "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
     "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
@@ -1173,6 +1173,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # (head) and its cosine kernel is ann_bruteforce_topk's (head))
     "embedding_near_dup": (dedup.embedding_near_dup,
                            dedup.EMBEDDING_NEAR_DUP_SQL),
+    # rotation #6 addendum 2: inverted_index promotion displaces
+    # event_gap_stats (green r5 row; its lag-window shape is head
+    # event_sessionize's gap computation, its agg shape event_hopping's)
+    "event_gap_stats": (events.event_gap_stats, events.EVENT_GAP_STATS_SQL),
 }
 
 

@@ -558,3 +558,60 @@ LEFT JOIN indeg i ON i.dst = r.doc_id
 """
 
 PERPLEXITY_BUCKETS_SQL = _perplexity_buckets_sql()
+
+
+# ---------------------------------------------------------------------------
+# inverted index build (search over the crawl)
+# ---------------------------------------------------------------------------
+
+# The text counterpart of the CDX index: per-token document postings.  The
+# postings column is EXPLICITLY capped (the _head suffix says so — no
+# silent truncation): full postings for a stop-word-frequency token at
+# 10^12 docs would be a multi-GB row, so a serving index shards the tail
+# postings by (token, bucket); df/tf_total are computed over the FULL
+# set before the cap, so the cap only bounds the materialized sample.
+POSTINGS_HEAD = 20
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token (df, tf_total, postings_head) — one aggregation pass.
+
+    Plan shape at 100 TB: one hash aggregate keyed by token with
+    map-side partial aggregation for the counts; collect_set is bounded
+    per task by the token's in-partition distinct docs and the output
+    row is bounded by the explicit POSTINGS_HEAD slice.  Hot tokens
+    (stop words) are ordinary skewed keys — AQE splits them, and the
+    serving layer shards their tails; nothing here is a window or a
+    join.
+    """
+    docs = _documents(spark, sf_dir)
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.trim("text"), r"\s+"))
+                        .alias("tok"))
+            .filter(F.length("tok") > 0))
+    agg = (toks.groupBy("tok")
+           .agg(F.countDistinct("doc_id").alias("df"),
+                F.count("*").alias("tf_total"),
+                F.slice(F.sort_array(F.collect_set("doc_id")), 1,
+                        POSTINGS_HEAD).alias("p")))
+    return agg.select(
+        "tok", "df", "tf_total",
+        F.concat_ws(",", F.transform("p", lambda x: x.cast("string")))
+        .alias("postings_head"))
+
+
+INVERTED_INDEX_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT d.doc_id,
+               unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
+        FROM documents d)
+  WHERE length(tok) > 0
+)
+SELECT tok,
+       count(DISTINCT doc_id) AS df,
+       count(*) AS tf_total,
+       array_to_string(list_slice(list_sort(list(DISTINCT doc_id)),
+                                  1, {POSTINGS_HEAD}), ',') AS postings_head
+FROM toks GROUP BY tok
+"""

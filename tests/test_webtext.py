@@ -212,3 +212,35 @@ def test_robots_plan_broadcasts_rules_dim(spark):
     assert "BroadcastHashJoin" in plan
     assert "CartesianProduct" not in plan
     assert "BatchEvalPython" not in plan
+
+
+def test_inverted_index_postings_capped_but_counts_full(spark):
+    rows = webtext.inverted_index(spark, SF_DIR).collect()
+    assert rows
+    import duckdb
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{SF_DIR}/documents.parquet'")
+    full = {r[0]: sorted(r[1]) for r in con.sql(
+        "SELECT tok, list(DISTINCT doc_id) FROM ("
+        "  SELECT doc_id, unnest(string_split_regex(trim(text, ' '),"
+        "         '\\s+')) AS tok FROM documents) WHERE length(tok) > 0"
+        " GROUP BY tok").fetchall()}
+    capped = 0
+    for r in rows:
+        want = full[r["tok"]]
+        assert r["df"] == len(want)              # df over the FULL set
+        got = [int(x) for x in r["postings_head"].split(",")]
+        assert got == want[: webtext.POSTINGS_HEAD]   # smallest doc_ids
+        if len(want) > webtext.POSTINGS_HEAD:
+            capped += 1
+            assert len(got) == webtext.POSTINGS_HEAD
+    assert capped > 0  # the cap is actually exercised
+
+
+def test_inverted_index_plan_single_hash_agg_no_join(spark):
+    plan = webtext.inverted_index(spark, SF_DIR) \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan and "Window" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
