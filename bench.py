@@ -109,7 +109,12 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  "training_mix_pipeline",
                  # round-6 batch #4: the webtext provenance layer
                  "url_normalize_dedup", "domain_stats", "bloom_url_filter",
-                 "perplexity_buckets", "link_pagerank"]
+                 "perplexity_buckets", "link_pagerank",
+                 # round-6 batch #5/#6: robots gate + inverted index (both
+                 # cheap single-agg/broadcast shapes; the WARC/streaming
+                 # equivalence harnesses are correctness surfaces, not
+                 # throughput queries, and stay out of the headline list)
+                 "robots_filter", "inverted_index"]
 
 
 def ensure_corpus() -> int:
