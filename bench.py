@@ -494,8 +494,9 @@ def main() -> None:
     # past a threshold the pair loops stop adding rounds (>= 3 kept) so a
     # loaded box yields a shorter-but-parseable record instead of a
     # driver-side timeout losing the artifact entirely
-    # default raised 1700 -> 2600 in round 6: the headline list grew to 30
-    # queries (webtext batch) and at 1700 the 10x scale probe was skipped
+    # default raised 1700 -> 2600 in round 6: the headline list grew past
+    # 30 queries (webtext batch; 32 as of batch #6) and at 1700 the probe
+    # was skipped
     # on a clean box; the probe is the scaling evidence, so the budget
     # follows the query list
     budget = float(os.environ.get("BENCH_TIME_BUDGET", "2600"))

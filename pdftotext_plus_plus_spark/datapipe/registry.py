@@ -146,22 +146,18 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def warc_cdx_index_oracle_sql() -> str:
-    """VALUES oracle: the index computed from the same deterministic
-    encoding, without Spark."""
+    """VALUES oracle: the index computed over warc.shard_files — the
+    same shard layout the query writes — without Spark."""
     from .. import fixtures
     from .. import warc as warcmod
 
     rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
-    buckets = [[] for _ in range(4)]
-    for i, r in enumerate(rows):
-        buckets[i % 4].append((r["url"], r["warc_ts"], r["html"]))
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
     values = []
-    for k, recs in enumerate(buckets):
-        name = "part-%02d.warc" % k
-        blob = warcmod.encode_warc(recs, filename=name)
+    for name, blob in warcmod.shard_files(rows, n_files=4):
         for url, date, off, ln in warcmod.index_warc(blob):
             values.append("('%s', '%s', '%s', %d, %d)"
-                          % (url, date, name, off, ln))
+                          % (esc(url), esc(date), esc(name), off, ln))
     return ("SELECT * FROM (VALUES\n%s\n) AS t(url, warc_date, filename,"
             " \"offset\", length)" % ",\n".join(values))
 

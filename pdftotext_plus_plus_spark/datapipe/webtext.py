@@ -121,8 +121,11 @@ def _canon_col() -> F.Column:
     rest = F.regexp_replace(base, r"^[a-zA-Z]+://", "")
     hostport = F.lower(F.regexp_extract(rest, r"^[^/]*", 0))
     path = F.regexp_replace(rest, r"^[^/]*", "")
+    # default-port stripping is scheme-specific: ONLY http:80 and
+    # https:443 are defaults; any other scheme keeps its port untouched
     host = F.when(scheme == "http", F.regexp_replace(hostport, r":80$", "")) \
-            .otherwise(F.regexp_replace(hostport, r":443$", ""))
+            .when(scheme == "https", F.regexp_replace(hostport, r":443$", "")) \
+            .otherwise(hostport)
     host = F.regexp_replace(host, r"^www\.", "")
     cpath = F.when(path.isin("", "/"), F.lit("/")) \
              .otherwise(F.regexp_replace(path, r"/$", ""))
@@ -139,8 +142,10 @@ SELECT doc_id, raw_url,
          CASE WHEN lower(regexp_extract(base, '^[a-zA-Z]+', 0)) = 'http'
               THEN regexp_replace(lower(regexp_extract(rest, '^[^/]*', 0)),
                                   ':80$', '')
-              ELSE regexp_replace(lower(regexp_extract(rest, '^[^/]*', 0)),
+              WHEN lower(regexp_extract(base, '^[a-zA-Z]+', 0)) = 'https'
+              THEN regexp_replace(lower(regexp_extract(rest, '^[^/]*', 0)),
                                   ':443$', '')
+              ELSE lower(regexp_extract(rest, '^[^/]*', 0))
          END, '^www\\.', '') ||
        (CASE WHEN regexp_replace(rest, '^[^/]*', '') IN ('', '/') THEN '/'
              ELSE regexp_replace(regexp_replace(rest, '^[^/]*', ''), '/$', '')
@@ -257,7 +262,7 @@ FROM dom
 # Bloom-filter URL blocklist pre-filter
 # ---------------------------------------------------------------------------
 
-# Sandbox-sized filter (m = 128 bits, k = 4 md5-slice hashes) so the
+# Sandbox-sized filter (m = 256 bits, k = 4 md5-slice hashes) so the
 # false-positive path is actually exercised by the test corpus; a
 # production deployment sizes m in the billions of bits (still a few
 # hundred MB — broadcastable where the blocklist itself is not) for a
@@ -358,20 +363,26 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     serves a real robots corpus; only the rule synthesis is sandbox.
     """
     docs = _documents(spark, sf_dir)
-    urls = _canon_urls(docs).select("doc_id", "canon_url")
-    facts = (docs.select("doc_id", "source").join(urls, "doc_id")
+    # the URL synthesis + canonicalization is a pure projection of the
+    # SAME scan, so source rides along — no doc_id fact-fact join
+    facts = (docs.select("doc_id", "source",
+                         F.expr(_RAW_URL_SPARK).alias("raw_url"))
+             .withColumn("canon_url", _canon_col())
              .select("doc_id",
                      F.concat(F.col("source"), F.lit(".example.com"))
                      .alias("domain"),
                      F.regexp_extract("canon_url",
                                       r"^[a-z]+://[^/]+(/[^?]*)", 1)
                      .alias("path")))
+    # rule number parse is TOTAL: a non-'src<digits>' source falls back
+    # to its name length (Spark CAST yields NULL, DuckDB uses TRY_CAST —
+    # both engines then take the same coalesce branch)
+    rule_n = (F.coalesce(F.expr("CAST(substring(source, 4, 10) AS INT)"),
+                         F.length("source")) % 7)
     rules = (docs.select("source").distinct()
              .select(F.concat(F.col("source"), F.lit(".example.com"))
                      .alias("domain"),
-                     F.concat(F.lit("/p/"),
-                              (F.expr("CAST(substring(source, 4, 10) AS INT)")
-                               % 7).cast("string"))
+                     F.concat(F.lit("/p/"), rule_n.cast("string"))
                      .alias("disallow_prefix")))
     return (facts.join(F.broadcast(rules), "domain")
             .select("doc_id", "domain", "path", "disallow_prefix",
@@ -388,7 +399,8 @@ facts AS (
 ),
 rules AS (
   SELECT DISTINCT source || '.example.com' AS domain,
-         '/p/' || (CAST(substring(source, 4, 10) AS INT) % 7)
+         '/p/' || (COALESCE(TRY_CAST(substring(source, 4, 10) AS INT),
+                            length(source)) % 7)
            AS disallow_prefix
   FROM documents
 )
@@ -574,30 +586,39 @@ POSTINGS_HEAD = 20
 
 
 def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-token (df, tf_total, postings_head) — one aggregation pass.
+    """Per-token (df, tf_total, postings_head).
 
-    Plan shape at 100 TB: one hash aggregate keyed by token with
-    map-side partial aggregation for the counts; collect_set is bounded
-    per task by the token's in-partition distinct docs and the output
-    row is bounded by the explicit POSTINGS_HEAD slice.  Hot tokens
-    (stop words) are ordinary skewed keys — AQE splits them, and the
-    serving layer shards their tails; nothing here is a window or a
-    join.
+    Plan shape at 100 TB: counts come from ONE hash aggregate keyed by
+    token (map-side partial; hot stop-word keys are ordinary skewed agg
+    keys).  The postings sample deliberately does NOT use collect_set —
+    a stop word's full posting set would have to materialize in ONE
+    final-aggregate buffer (un-splittable, OOM at web scale).  Instead
+    the distinct (tok, doc_id) stream takes a row_number window per
+    token: Spark's window sort is SPILL-able (sort-based, disk-backed),
+    so a billion-posting token degrades to spilled sort time instead of
+    an executor OOM, the filter keeps POSTINGS_HEAD rows per token, and
+    the bounded collect_list runs over ≤POSTINGS_HEAD rows.  The final
+    token-dim equi-join is vocab-sized on both sides.
     """
     docs = _documents(spark, sf_dir)
     toks = (docs.select("doc_id",
                         F.explode(F.split(F.trim("text"), r"\s+"))
                         .alias("tok"))
             .filter(F.length("tok") > 0))
-    agg = (toks.groupBy("tok")
-           .agg(F.countDistinct("doc_id").alias("df"),
-                F.count("*").alias("tf_total"),
-                F.slice(F.sort_array(F.collect_set("doc_id")), 1,
-                        POSTINGS_HEAD).alias("p")))
-    return agg.select(
-        "tok", "df", "tf_total",
-        F.concat_ws(",", F.transform("p", lambda x: x.cast("string")))
-        .alias("postings_head"))
+    counts = (toks.groupBy("tok")
+              .agg(F.countDistinct("doc_id").alias("df"),
+                   F.count("*").alias("tf_total")))
+    pairs = toks.dropDuplicates(["tok", "doc_id"])
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    head = (pairs.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= POSTINGS_HEAD)
+            .groupBy("tok")
+            .agg(F.sort_array(F.collect_list("doc_id")).alias("p")))
+    return (counts.join(head, "tok")
+            .select("tok", "df", "tf_total",
+                    F.concat_ws(",", F.transform(
+                        "p", lambda x: x.cast("string")))
+                    .alias("postings_head")))
 
 
 INVERTED_INDEX_SQL = f"""

@@ -97,11 +97,17 @@ def _walk(blob: bytes):
     """Walk records: yield (headers, body, record_start, record_end) per
     well-framed record and count corrupt resyncs.  record_end covers the
     payload and the two-CRLF record separator when present, so
-    blob[record_start:record_end] is a complete standalone record."""
+    blob[record_start:record_end] is a complete standalone record.
+
+    Corruption accounting counts every skipped byte range: a record
+    whose framing fails, leading junk before the first magic, AND
+    unconsumed bytes between one record's end and the next magic."""
     n_corrupt = 0
     pos = blob.find(_MAGIC)
     if pos < 0 and blob:
         return [], 1
+    if pos > 0:
+        n_corrupt += 1                      # junk before the first record
     records = []
     while pos >= 0:
         parsed = _parse_headers(blob, pos + len(_MAGIC))
@@ -114,15 +120,20 @@ def _walk(blob: bytes):
                 clen = -1
             if 0 <= clen <= len(blob) - body_at:
                 body = blob[body_at:body_at + clen]
-                advanced = body_at + clen
-                end = advanced
+                end = body_at + clen
                 if blob[end:end + 4] == _CRLF + _CRLF:
                     end += 4
                 records.append((headers, body, pos, end))
-        if advanced is None:
+                advanced = end
+        ok = advanced is not None
+        if not ok:
             n_corrupt += 1
             advanced = pos + len(_MAGIC)
         pos = blob.find(_MAGIC, advanced)
+        # a gap after a WELL-FRAMED record is its own corrupt range (a
+        # failed record's resync skip was already counted above)
+        if ok and (pos > advanced or (pos < 0 and advanced < len(blob))):
+            n_corrupt += 1
     return records, n_corrupt
 
 
@@ -204,18 +215,27 @@ def read_warc(spark, path: str):
         "html")
 
 
-def write_warc_dir(rows, out_dir: str, n_files: int = 4) -> None:
-    """Write fixture corpus rows as n_files .warc files (round-robin)."""
-    import os
-
-    os.makedirs(out_dir, exist_ok=True)
+def shard_files(rows, n_files: int = 4):
+    """Round-robin the corpus rows into named shard blobs: yields
+    (filename, encoded_bytes).  The SINGLE source of truth for the
+    shard layout — write_warc_dir writes exactly this, and the CDX
+    oracle indexes exactly this, so they can never drift apart."""
     buckets: List[List] = [[] for _ in range(n_files)]
     for i, r in enumerate(rows):
         buckets[i % n_files].append((r["url"], r["warc_ts"], r["html"]))
     for k, recs in enumerate(buckets):
         name = "part-%02d.warc" % k
+        yield name, encode_warc(recs, filename=name)
+
+
+def write_warc_dir(rows, out_dir: str, n_files: int = 4) -> None:
+    """Write fixture corpus rows as n_files .warc files (round-robin)."""
+    import os
+
+    os.makedirs(out_dir, exist_ok=True)
+    for name, blob in shard_files(rows, n_files):
         with open(os.path.join(out_dir, name), "wb") as f:
-            f.write(encode_warc(recs, filename=name))
+            f.write(blob)
 
 
 def cdx_index(spark, path: str):

@@ -38,12 +38,16 @@ def test_truncated_stream_resyncs_and_counts_corruption():
     assert bad >= 1                      # the cut record is counted
 
 
-def test_garbage_between_records_resyncs():
+def test_garbage_between_records_resyncs_and_is_counted():
     _, triples = _triples(4)
     parts = [warc.encode_warc([t]) for t in triples]
     blob = parts[0] + b"\x00garbage-without-magic\x00" + b"".join(parts[1:])
-    recs, _ = warc.parse_warc(blob)
+    recs, bad = warc.parse_warc(blob)
     assert [r[0] for r in recs] == [t[0] for t in triples]
+    assert bad == 1          # the skipped inter-record range is accounted
+    # leading junk before the first magic is also a counted range
+    recs2, bad2 = warc.parse_warc(b"junk-prefix" + b"".join(parts))
+    assert len(recs2) == 4 and bad2 == 1
 
 
 def test_header_without_colon_is_corrupt_not_fatal():

@@ -131,17 +131,18 @@ def test_canonicalizer_is_generic_on_arbitrary_urls(spark):
         ("http://a.org/x?utm_a=1&utm_b=3", "http://a.org/x"),   # all tracking
         ("http://a.org/?b=1#frag", "http://a.org/?b=1"),
         ("http://www.www-site.net/p", "http://www-site.net/p"), # only prefix
-        ("http://a.org/x??y=1", "http://a.org/x??y=1"[:12] + "??y=1"),
+        # double-? : everything after the FIRST ? is the query; the
+        # second ? sits inside a non-utm param token, so it is kept
+        ("http://a.org/x??y=1", "http://a.org/x??y=1"),
+        # non-http(s) scheme: :443 is NOT its default port — kept
+        ("ftp://a.org:443/x", "ftp://a.org:443/x"),
     ]
     df = spark.createDataFrame([(i, c[0]) for i, c in enumerate(cases)],
                                "doc_id long, raw_url string")
     got = {r["doc_id"]: r["c"] for r in
            df.select("doc_id", webtext._canon_col().alias("c")).collect()}
-    for i, (raw, want) in enumerate(cases[:7]):
+    for i, (raw, want) in enumerate(cases):
         assert got[i] == want, (raw, got[i], want)
-    # double-? : everything after the FIRST ? is the query; the second ?
-    # lands inside a param token that is not utm_-prefixed, so it is kept
-    assert got[7] == "http://a.org/x??y=1"
 
 
 # --- plan shapes -----------------------------------------------------------
@@ -238,9 +239,15 @@ def test_inverted_index_postings_capped_but_counts_full(spark):
     assert capped > 0  # the cap is actually exercised
 
 
-def test_inverted_index_plan_single_hash_agg_no_join(spark):
+def test_inverted_index_plan_bounded_postings(spark):
+    """Counts from a hash agg; the postings sample from a SPILL-able
+    per-token sort window (never an unbounded collect_set buffer); the
+    final join is the vocab dim, and nothing is a cartesian."""
+    import inspect
+
+    assert "F.collect_set" not in inspect.getsource(webtext.inverted_index)
     plan = webtext.inverted_index(spark, SF_DIR) \
         ._jdf.queryExecution().executedPlan().toString()
-    assert "Join" not in plan and "Window" not in plan
+    assert "windowspecdefinition(tok" in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
