@@ -473,7 +473,11 @@ def extract_jsonl_pages_oracle_sql() -> str:
     values = []
     for r in rows:
         for num in range(1, r["n_pages"] + 1):
-            values.append("('%s', %d, 612.0, 792.0)" % (r["url"], num))
+            # CAST: a bare 612.0 literal is DECIMAL(4,1) in DuckDB,
+            # while the Spark side emits DOUBLE (type-parity gate)
+            values.append(
+                "('%s', %d, CAST(612.0 AS DOUBLE), CAST(792.0 AS DOUBLE))"
+                % (r["url"], num))
     return ("SELECT * FROM (VALUES\n%s\n) AS t(url, num, width, height)"
             % ",\n".join(values))
 
@@ -952,6 +956,18 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # layer content is the same as head entry `extract_visualization` (SVG
 # form), its unique surface (PDF writer + content-stream parse-back) is
 # pytest- and ORACLE_PARITY-covered.
+# Round-7 rotation #7 (re-certification, oldest-green-first per the
+# r6 verdict): promoted into the head are `extract_visualization_pdf`
+# (the only entry never touched by a driver artifact) plus the nine
+# tail entries with the stalest driver rows — r3: `ann_lsh_topk`,
+# `lang_id`, `multimodal_meta`, `dedup_clusters`,
+# `dedup_clusters_fixpoint`, `event_tumbling_counts`,
+# `extract_jsonl_pages`; r4: `stream_extract_equivalence`,
+# `extract_roles_model`.  Demoted in exchange (ALL hold fresh r6-green
+# driver rows; rationale at each tail entry): `extract_jsonl_shapes`,
+# `extract_jsonl_chars`, `extract_text_extended`, `shipping_priority`,
+# `inactive_customers`, `event_hopping_counts`, `simhash_near_pairs`,
+# `c4_line_dedup`, `bloom_url_filter`, `perplexity_buckets`.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -977,40 +993,46 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_text": (extract_text, None),     # oracle filled in lazily below
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     "extract_word_counts": (extract_word_counts, None),  # oracle below
-    "extract_text_extended": (extract_text_extended, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
     "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
-    "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
-    "extract_jsonl_shapes": (extract_jsonl_shapes, None),  # oracle below
+    # rotation #7 promotion: stalest driver row (r3)
+    "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "extract_visualization": (extract_visualization, None),  # oracle below
+    # rotation #7 promotion (r6 verdict item #3): the ONLY registry
+    # entry never exercised by a driver artifact (was position 73)
+    "extract_visualization_pdf": (extract_visualization_pdf, None),
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
+    # rotation #7 promotion: stalest driver row (r4)
+    "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     "extract_text_role_filtered": (extract_text_role_filtered, None),
     "extract_stats": (extract_stats, None),    # oracle filled in lazily below
+    # rotation #7 promotion: stalest driver row (r4)
+    "stream_extract_equivalence": (stream_extract_equivalence, None),
     # generic relational surface over the TPC-H-style driver tables
     "pricing_summary": (relational.pricing_summary,
                         relational.PRICING_SUMMARY_SQL),
-    "shipping_priority": (relational.shipping_priority,
-                          relational.SHIPPING_PRIORITY_SQL),
     "regional_revenue": (relational.regional_revenue,
                          relational.REGIONAL_REVENUE_SQL),
-    "inactive_customers": (relational.inactive_customers,
-                           relational.INACTIVE_CUSTOMERS_SQL),
     "big_orders": (relational.big_orders, relational.BIG_ORDERS_SQL),
     # windowed/relational ops over events (§2.5 surface)
     "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
-    "event_hopping_counts": (events.hopping_counts,
-                             events.HOPPING_COUNTS_SQL),
+    # rotation #7 promotion: stalest driver row (r3)
+    "event_tumbling_counts": (events.tumbling_counts,
+                              events.TUMBLING_COUNTS_SQL),
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
                             dedup.NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
-    "simhash_near_pairs": (dedup.simhash_near_pairs,
-                           dedup.SIMHASH_NEAR_PAIRS_SQL),
     # round 6 batch #2: exact duplicated-span signal (Lee et al. 2022)
     "duplicate_ngram_spans": (dedup.duplicate_ngram_spans,
                               dedup.DUPLICATE_NGRAM_SPANS_SQL),
+    # rotation #7 promotions: stalest driver rows (r3)
+    "dedup_clusters": (chunking.dedup_clusters,
+                       chunking.DEDUP_CLUSTERS_SQL),
+    "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
+                                chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
     # round 6 batch #2: SemDeDup-style cluster-then-prune (Abbas et al.)
     "semdedup_prune": (similarity.semdedup_prune,
                        similarity.SEMDEDUP_PRUNE_SQL),
@@ -1019,6 +1041,8 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                             similarity.ANN_BRUTEFORCE_SQL),
     "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
                                 similarity.ANN_MULTIPROBE_SQL),
+    # rotation #7 promotion: stalest driver row (r3)
+    "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
     # round 6 (VERDICT r5 item #1): the two-level quantizer, promoted
     # straight into the head so its first round gets a driver row
@@ -1031,12 +1055,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 6 batch #2: conditional-LM perplexity proxy
     "bigram_surprisal": (textstats.bigram_surprisal,
                          textstats.BIGRAM_SURPRISAL_SQL),
+    # rotation #7 promotion: stalest driver row (r3)
+    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
     # round 6 batch #2: C4 line/document rules (Raffel et al. 2020);
     # oracle is lazily built (VALUES of the raw line-structured corpus)
     "c4_quality_filter": (textstats.c4_quality_filter, None),
-    # round 6 batch #3: C4's cross-page exact-span dedup (line unit,
-    # first occurrence wins); oracle lazily built from the raw corpus
-    "c4_line_dedup": (textstats.c4_line_dedup, None),
     # round 6 batch #3: sampling / mixing / packing layer
     "stratified_sample": (sampling.stratified_sample,
                           sampling.STRATIFIED_SAMPLE_SQL),
@@ -1054,10 +1077,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "url_normalize_dedup": (webtext.url_normalize_dedup,
                             webtext.URL_NORMALIZE_DEDUP_SQL),
     "domain_stats": (webtext.domain_stats, webtext.DOMAIN_STATS_SQL),
-    "bloom_url_filter": (webtext.bloom_url_filter,
-                         webtext.BLOOM_URL_FILTER_SQL),
-    "perplexity_buckets": (webtext.perplexity_buckets,
-                           webtext.PERPLEXITY_BUCKETS_SQL),
     "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
@@ -1069,6 +1088,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # multimodal plumbing
     "image_resize_meta": (multimodal.image_resize_meta,
                           multimodal.IMAGE_RESIZE_SQL),
+    # rotation #7 promotion: stalest driver row (r3)
+    "multimodal_meta": (multimodal.multimodal_meta,
+                        multimodal.MULTIMODAL_META_SQL),
     # HTML boilerplate strip (north-rule raw-HTML surface)
     "main_content_blocks": (
         lambda spark, sf_dir: htmlstrip.main_content_blocks(spark, sf_dir),
@@ -1089,22 +1111,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                         chunking.CHUNK_DOCUMENTS_SQL),
     "dedup_keep_list": (chunking.dedup_keep_list,
                         chunking.DEDUP_KEEP_LIST_SQL),
-    "stream_extract_equivalence": (stream_extract_equivalence, None),
-    "extract_roles_model": (extract_roles_model, None),  # same oracle shape
     # figures share the serializer path with extract_jsonl_shapes and the
     # figure bboxes with extract_visualization's rect layer (both head)
     "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
-    "dedup_clusters": (chunking.dedup_clusters,
-                       chunking.DEDUP_CLUSTERS_SQL),
-    "event_tumbling_counts": (events.tumbling_counts,
-                              events.TUMBLING_COUNTS_SQL),
-    "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
-    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
-    "multimodal_meta": (multimodal.multimodal_meta,
-                        multimodal.MULTIMODAL_META_SQL),
-    "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
-    "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
-                                chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
     # round-6 rotation #2 demotions (green r5 driver rows in hand; head
     # siblings cover their unique surfaces — see ORDERING note)
     "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
@@ -1131,10 +1140,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          textstats.VOCAB_TOP_TOKENS_SQL),
     "per_source_topk": (textstats.per_source_topk,
                         textstats.PER_SOURCE_TOPK_SQL),
-    # round 6: S8's annotated-PDF form (the reference's literal artifact
-    # shape); tail — the SVG form (head) covers the same layer content,
-    # this adds the PDF writer + content-stream parse-back surface
-    "extract_visualization_pdf": (extract_visualization_pdf, None),
     # round-6 rotation #5 demotions (webtext batch-4 promotions displace
     # five r5-green rows): token_counts / fingerprint / repetition_stats
     # share the token hash-agg shape with head unigram/bigram_surprisal
@@ -1173,6 +1178,46 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # event_gap_stats (green r5 row; its lag-window shape is head
     # event_sessionize's gap computation, its agg shape event_hopping's)
     "event_gap_stats": (events.event_gap_stats, events.EVENT_GAP_STATS_SQL),
+    # round-7 rotation #7 demotions (ALL hold fresh r6-green driver
+    # rows; surfaces stay head- or pytest-covered):
+    #   extract_jsonl_shapes — shape layer is head extract_visualization's
+    #     rect source AND the promoted extract_visualization_pdf's
+    #     annotation layer; named by the r6 verdict as the swap
+    #   extract_jsonl_chars — the char unit rides the same serializer
+    #     path as head extract_jsonl/_words; glyph-level decode is
+    #     pytest-covered (test_serializers, 3720-row golden)
+    #   extract_text_extended — head extract_text's serializer with the
+    #     block-separator flag; byte-identity pytest-covered
+    #   shipping_priority / inactive_customers — TPC-H-style join+agg /
+    #     anti-join shapes, shared with head big_orders +
+    #     regional_revenue; r6-green
+    #   event_hopping_counts — the promoted event_tumbling_counts is its
+    #     hop==width special case; the general overlap explode stays
+    #     pytest+parity covered
+    #   simhash_near_pairs — pigeonhole banding is pytest-covered
+    #     (test_datapipe recall gates) and tail sibling simhash carries
+    #     the signature fold; r6-green
+    #   c4_line_dedup — head c4_quality_filter shares the line-structured
+    #     corpus; the cross-page first-wins window is pytest-covered
+    #   bloom_url_filter / perplexity_buckets — broadcast-bitset probe /
+    #     per-lang ntile window, both r6-green; shapes shared with head
+    #     benchmark gates and sequence_packing's per-shard window
+    "extract_jsonl_shapes": (extract_jsonl_shapes, None),  # oracle below
+    "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
+    "extract_text_extended": (extract_text_extended, None),  # oracle below
+    "shipping_priority": (relational.shipping_priority,
+                          relational.SHIPPING_PRIORITY_SQL),
+    "inactive_customers": (relational.inactive_customers,
+                           relational.INACTIVE_CUSTOMERS_SQL),
+    "event_hopping_counts": (events.hopping_counts,
+                             events.HOPPING_COUNTS_SQL),
+    "simhash_near_pairs": (dedup.simhash_near_pairs,
+                           dedup.SIMHASH_NEAR_PAIRS_SQL),
+    "c4_line_dedup": (textstats.c4_line_dedup, None),
+    "bloom_url_filter": (webtext.bloom_url_filter,
+                         webtext.BLOOM_URL_FILTER_SQL),
+    "perplexity_buckets": (webtext.perplexity_buckets,
+                           webtext.PERPLEXITY_BUCKETS_SQL),
 }
 
 
@@ -1180,7 +1225,17 @@ def queries() -> Dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {name: fn for name, (fn, _) in QUERIES.items()}
 
 
+# oracle_sql() memo: every lazy oracle is a pure function of the fixture
+# corpora (deterministic by construction), but BUILDING them runs the
+# whole reference kernel over the goldens — per-test rebuilds dominated
+# the suite's wall clock.  Built once, returned as a copy.
+_ORACLE_SQL_CACHE: Optional[Dict[str, str]] = None
+
+
 def oracle_sql() -> Dict[str, str]:
+    global _ORACLE_SQL_CACHE
+    if _ORACLE_SQL_CACHE is not None:
+        return dict(_ORACLE_SQL_CACHE)
     oracles = {name: sql for name, (_, sql) in QUERIES.items()
                if sql is not None}
     oracles["extract_text"] = extract_text_oracle_sql()
@@ -1211,4 +1266,5 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_text_role_filtered"] = \
         extract_text_role_filtered_oracle_sql()
     oracles["extract_stats"] = extract_stats_oracle_sql()
-    return oracles
+    _ORACLE_SQL_CACHE = oracles
+    return dict(_ORACLE_SQL_CACHE)

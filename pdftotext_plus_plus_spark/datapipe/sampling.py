@@ -28,17 +28,23 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 # Deterministic hash-threshold sampling: every document keeps or drops
-# based on a multiplicative integer hash of its id (Knuth's 2654435761
-# mod 2^32), thresholded per language so each language's EXPECTED kept
-# count equals the smallest language's count (the balanced mix).  The
-# hash-threshold form is the scale-safe one — a per-stratum exact-m
-# sample needs a rank window per stratum (skew magnet at 10^12 rows),
-# while the threshold is a map-side gate fed by one tiny broadcast dim.
-# Sandbox doc_ids are small; a production deployment hashes 128-bit ids
-# (e.g. two md5 words) to avoid the int64 product overflow at 10^12.
-SAMPLE_HASH_MULT = 2654435761
-SAMPLE_HASH_MOD = 4294967296
+# based on a 60-bit integer read from md5(doc_id), thresholded per
+# language so each language's EXPECTED kept count equals the smallest
+# language's count (the balanced mix).  The hash-threshold form is the
+# scale-safe one — a per-stratum exact-m sample needs a rank window per
+# stratum (skew magnet at 10^12 rows), while the threshold is a map-side
+# gate fed by one tiny broadcast dim.  md5 (not a multiplicative int
+# hash) because it is overflow-safe for ANY doc_id — a 64-bit product
+# like doc_id * 2654435761 overflows int64 past doc_id ≈ 3.5e9, which
+# under Spark 4 ANSI mode is a runtime ARITHMETIC_OVERFLOW at exactly
+# the 10^12-doc design point — and because both engines expose the same
+# bytes (Spark conv(substr(md5..)) == DuckDB ('0x'||substr(md5..)))::BIGINT.
 SAMPLE_BASIS = 10000           # rates quantized to basis points
+# 15 hex chars = 60 bits: fits BIGINT exactly on both engines
+_SAMPLE_HASH_SPARK = ("pmod(conv(substring(md5(cast(doc_id AS string)), 1, 15),"
+                      f" 16, 10), {SAMPLE_BASIS})")
+_SAMPLE_HASH_DUCK = ("(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+                     f"::BIGINT % {SAMPLE_BASIS})")
 
 
 def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -54,8 +60,7 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     rates = (counts.crossJoin(F.broadcast(m))
              .select("lang",
                      F.expr(f"div({SAMPLE_BASIS} * m, n)").alias("rate_bp")))
-    h = F.expr(f"pmod(pmod(doc_id * {SAMPLE_HASH_MULT}, {SAMPLE_HASH_MOD}),"
-               f" {SAMPLE_BASIS})")
+    h = F.expr(_SAMPLE_HASH_SPARK)
     return (docs.join(F.broadcast(rates), "lang")
             .select("doc_id", "lang", "rate_bp",
                     (h < F.col("rate_bp")).cast("int").alias("keep")))
@@ -71,8 +76,7 @@ WITH counts AS (
   FROM counts
 )
 SELECT d.doc_id, d.lang, r.rate_bp,
-       CASE WHEN (d.doc_id * {SAMPLE_HASH_MULT}) % {SAMPLE_HASH_MOD}
-                 % {SAMPLE_BASIS} < r.rate_bp
+       CASE WHEN {_SAMPLE_HASH_DUCK} < r.rate_bp
             THEN 1 ELSE 0 END AS keep
 FROM documents d JOIN rates r ON r.lang = d.lang
 """

@@ -243,7 +243,7 @@ DOMAIN_STATS_SQL = """
 WITH dom AS (
   SELECT source || '.example.com' AS domain,
          count(*) AS n_docs,
-         sum(n_chars) AS total_chars,
+         CAST(sum(n_chars) AS BIGINT) AS total_chars,
          count(DISTINCT lang) AS n_langs
   FROM documents GROUP BY source
 )
@@ -375,9 +375,10 @@ def robots_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
                                       r"^[a-z]+://[^/]+(/[^?]*)", 1)
                      .alias("path")))
     # rule number parse is TOTAL: a non-'src<digits>' source falls back
-    # to its name length (Spark CAST yields NULL, DuckDB uses TRY_CAST —
-    # both engines then take the same coalesce branch)
-    rule_n = (F.coalesce(F.expr("CAST(substring(source, 4, 10) AS INT)"),
+    # to its name length.  TRY_CAST on BOTH engines — under Spark 4's
+    # default ANSI mode a plain CAST of 'rd-source' would THROW, not
+    # yield NULL, so the coalesce branch would be unreachable
+    rule_n = (F.coalesce(F.expr("TRY_CAST(substring(source, 4, 10) AS INT)"),
                          F.length("source")) % 7)
     rules = (docs.select("source").distinct()
              .select(F.concat(F.col("source"), F.lit(".example.com"))

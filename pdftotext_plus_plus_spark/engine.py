@@ -289,8 +289,21 @@ def run_job(spark, input_path: str, output_path: str,
     # inventory is `WHERE run_id = max(run_id)`); the max() probe is an
     # O(1)-result scalar job over manifest metadata, not data
     try:
-        run_id = spark.read.parquet(files_path) \
-            .agg(F.max("run_id")).first()[0] + 1
+        prev_manifest = spark.read.parquet(files_path)
+        if "run_id" in prev_manifest.columns:
+            prev = prev_manifest.agg(F.max("run_id")).first()[0]
+            # prev is None when the manifest exists but has zero rows
+            # (a prior run over an empty input dir)
+            run_id = 0 if prev is None else prev + 1
+        else:
+            # legacy manifest written before run_id stamping: its rows
+            # are implicitly run 0.  Upgrade in place (materialize via
+            # localCheckpoint, then overwrite — the directory must not
+            # end up mixed-schema) and continue at 1.
+            upgraded = (prev_manifest.withColumn("run_id", F.lit(0))
+                        .localCheckpoint(eager=True))
+            upgraded.write.mode("overwrite").parquet(files_path)
+            run_id = 1
     except AnalysisException:
         run_id = 0
     manifest = (pages

@@ -44,6 +44,30 @@ LAZY_ORACLED = sorted(set(registry.oracle_sql())
                       - set(ORACLED) - {"extract_text"})
 
 
+# types DuckDB produces that Spark never does: a hash over these passes
+# value-level comparison but fails the driver's type-sensitive hash
+# (round-6 domain_stats regression: uncast integer sum() -> HUGEINT)
+_FOREIGN_DUCK_TYPES = ("HUGEINT", "UHUGEINT", "DECIMAL")
+
+
+@pytest.mark.parametrize("name", ORACLED + LAZY_ORACLED + ["extract_text"])
+def test_oracle_type_parity(duck, name):
+    """Every oracle column must land on a type Spark can also emit.
+
+    Mirrors the judge's round-6 DESCRIBE scan as CI: DuckDB DESCRIBE over
+    each registry oracle, asserting no HUGEINT/UHUGEINT/DECIMAL column
+    (and unique column names, which the sort-by-name driver compare
+    silently requires).
+    """
+    sql = registry.oracle_sql()[name]
+    desc = duck.sql(f"DESCRIBE {sql}").fetchall()
+    bad = [(col, typ) for col, typ, *_ in desc
+           if any(t in typ.upper() for t in _FOREIGN_DUCK_TYPES)]
+    assert not bad, f"{name}: Spark-foreign oracle column types: {bad}"
+    names = [col for col, *_ in desc]
+    assert len(names) == len(set(names)), f"{name}: duplicate columns"
+
+
 @pytest.mark.parametrize("name", ORACLED + LAZY_ORACLED)
 def test_oracle_agreement(spark, duck, name):
     fn, _ = registry.QUERIES[name]

@@ -79,6 +79,48 @@ def test_run_job_resume(spark, pages_df, tmp_path):
     assert latest.agg(F.sum("n_rows")).first()[0] == 36
 
 
+def test_run_job_legacy_manifest_upgrade(spark, pages_df, tmp_path):
+    """A pre-run_id manifest (no run_id column) is upgraded in place to
+    run_id=0 and the new run continues at 1 — no mixed-schema directory,
+    no restart at 0 (ADVICE r6)."""
+    input_path = str(tmp_path / "pages")
+    output_path = str(tmp_path / "out")
+    pages_df.write.parquet(input_path)
+    files_path = output_path + "/lineage_files"
+    # simulate a legacy manifest: same shape, run_id column absent
+    (spark.read.parquet(input_path)
+     .groupBy(F.input_file_name().alias("input_file"))
+     .agg(F.count("*").alias("n_rows"),
+          F.sum(F.length("html")).alias("payload_bytes"))
+     .write.parquet(files_path))
+
+    engine.run_job(spark, input_path, output_path, num_partitions=2)
+    manifest = spark.read.parquet(files_path)
+    assert "run_id" in manifest.columns
+    assert sorted(r["run_id"] for r in
+                  manifest.select("run_id").distinct().collect()) == [0, 1]
+    # every row (including the upgraded legacy ones) carries a run_id
+    assert manifest.filter(F.col("run_id").isNull()).count() == 0
+
+
+def test_run_job_empty_prior_manifest(spark, pages_df, tmp_path):
+    """A manifest directory with zero rows (prior run over an empty
+    input) must not crash the max(run_id)+1 probe (ADVICE r6)."""
+    input_path = str(tmp_path / "pages")
+    output_path = str(tmp_path / "out")
+    pages_df.write.parquet(input_path)
+    files_path = output_path + "/lineage_files"
+    schema = ("input_file string, n_rows long, payload_bytes long, "
+              "run_id int")
+    spark.createDataFrame([], schema).write.parquet(files_path)
+
+    result = engine.run_job(spark, input_path, output_path,
+                            num_partitions=2)
+    assert result["n_docs"] == 36
+    manifest = spark.read.parquet(files_path)
+    assert manifest.agg(F.max("run_id")).first()[0] == 0
+
+
 def test_role_filter_through_engine(spark):
     """T17 at the Spark surface: roles= drops filtered blocks from the
     serialized text; jsonl_units= adds the JSONL column."""
