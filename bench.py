@@ -62,8 +62,10 @@ BENCH_PARTS = int(os.environ.get("BENCH_PARTS", "128"))
 JUMBO_EVERY = 50
 ROUNDS_A = int(os.environ.get("BENCH_ROUNDS_A", "9"))   # 2 -> 8 pair
 # r5's 3-round 8->32 samples scattered 4.7x; >=5 rounds tighten the median
-# (VERDICT r5 item #6)
-ROUNDS_B = int(os.environ.get("BENCH_ROUNDS_B", "5"))   # 8 -> 32 pair
+# (VERDICT r5 item #6).  Widened 5 -> 7 and the pair now runs FIRST (cold
+# box, before pair A and 20 min of queries heat it) with a trimmed median
+# reported beside the plain one (VERDICT r6 item #4).
+ROUNDS_B = int(os.environ.get("BENCH_ROUNDS_B", "7"))   # 8 -> 32 pair
 REPLICATE_A = int(os.environ.get("BENCH_REPLICATE_A", "2"))   # 6000 docs
 REPLICATE_B = int(os.environ.get("BENCH_REPLICATE_B", "4"))   # 12000 docs
 
@@ -114,7 +116,13 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # cheap single-agg/broadcast shapes; the WARC/streaming
                  # equivalence harnesses are correctness surfaces, not
                  # throughput queries, and stay out of the headline list)
-                 "robots_filter", "inverted_index"]
+                 "robots_filter", "inverted_index",
+                 # round-7 batch #7: anchor-text profile (WindowGroupLimit
+                 # top-K), pointer-doubling redirect resolver (4 chained
+                 # self-joins), bitext URL pairing (agg + slot equi-join),
+                 # crawl-snapshot diff (hash-reduced full-outer join)
+                 "anchor_text_topk", "redirect_resolution",
+                 "bitext_url_pairs", "crawl_snapshot_diff"]
 
 
 def ensure_corpus() -> int:
@@ -336,7 +344,14 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # and the iterative join+agg pair (pagerank, 3
                        # rounds over a 10x node/edge set — must be linear).
                        "url_normalize_dedup", "bloom_url_filter",
-                       "link_pagerank"]
+                       "link_pagerank",
+                       # round-7 batch #7: the per-target top-K window
+                       # (must stay WindowGroupLimit-bounded at 10x), the
+                       # log-rounds pointer-doubling resolver (4 joins
+                       # regardless of corpus size — the whole point),
+                       # and the hash-reduced full-outer snapshot join
+                       "anchor_text_topk", "redirect_resolution",
+                       "crawl_snapshot_diff"]
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "10"))
 
 
@@ -456,10 +471,22 @@ def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
     best_low = max(r["dps"] for r in low)
     best_high = max(r["dps"] for r in high)
     eff_median = statistics.median(ratios)
+    # trimmed median (VERDICT r6 item #4): with >=5 rounds, drop the single
+    # best and worst round before taking the median — one co-tenant episode
+    # or one turbo round then cannot move the estimate at all
+    trimmed = sorted(ratios)[1:-1] if len(ratios) >= 5 else ratios
+    eff_trimmed = statistics.median(trimmed)
     eff_best = (best_high / best_low) / (n_high / n_low)
     # a ceiling cannot exceed linear scaling; >1 samples are turbo/co-tenant
     # artifacts and would spuriously deflate the normalized efficiency
     ceiling = min(1.0, statistics.median(mp_ratios))
+    # per-round normalization: each round's Spark ratio over ITS OWN
+    # mp-ceiling sample (taken in the same window) — a bursty episode that
+    # depresses one round's Spark sides depresses its ceiling too, so the
+    # per-round quotient stays stable where the two medians drift apart
+    roundnorm = [r / min(1.0, max(m, 1e-9))
+                 for r, m in zip(ratios, mp_ratios)]
+    rn_trimmed = sorted(roundnorm)[1:-1] if len(roundnorm) >= 5 else roundnorm
     return {
         "n_low": n_low, "n_high": n_high,
         "docs": low[0]["docs"],
@@ -473,10 +500,14 @@ def _pair(low_srv: Server, high_srv: Server, rounds: int, replicate: int,
         "dps_high_best": round(best_high, 2),
         "round_ratios": [round(x, 3) for x in ratios],
         "eff_median": round(eff_median, 3),
+        "eff_trimmed_median": round(eff_trimmed, 3),
         "eff_best_per_level": round(eff_best, 3),
         "mp_ceiling_ratios": [round(x, 3) for x in mp_ratios],
         "mp_ceiling": round(ceiling, 3),
         "eff_median_normalized": round(eff_median / ceiling, 3),
+        "eff_trimmed_normalized": round(eff_trimmed / ceiling, 3),
+        "eff_roundnorm_median": round(
+            statistics.median(rn_trimmed), 3),
         "eff_best_normalized": round(eff_best / ceiling, 3),
     }
 
@@ -498,8 +529,9 @@ def main() -> None:
     # 30 queries (webtext batch; 32 as of batch #6) and at 1700 the probe
     # was skipped
     # on a clean box; the probe is the scaling evidence, so the budget
-    # follows the query list
-    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2600"))
+    # follows the query list.  2600 -> 2900 in round 7: pair B widened
+    # 5 -> 7 rounds (~2 x 130 s) and must not eat the probe's window.
+    budget = float(os.environ.get("BENCH_TIME_BUDGET", "2900"))
     wall_t0 = time.time()
 
     srv = {}
@@ -508,18 +540,21 @@ def main() -> None:
     for cpus in (2, 8, CPUS):
         srv[cpus].wait_ready()
 
+    # pair B FIRST (VERDICT r6 item #4): local[8] -> local[32] is the
+    # BASELINE.md-stated proxy pair AND the one most sensitive to a heated
+    # box — r6's official artifact measured it last, after ~20 min of
+    # queries, and its rounds scattered 7x while same-code clean-box runs
+    # were stable.  The box saturates above ~16 workers (observed 8->32
+    # speedup ~1.6), so repeat 2x approximates equal windows.
+    pair_b = _pair(srv[8], srv[CPUS], ROUNDS_B, REPLICATE_B,
+                   mp_low_docs=BENCH_DOCS * 2, mp_high_docs=BENCH_DOCS * 4,
+                   rep_high=2, deadline=wall_t0 + 0.45 * budget)
     # pair A: local[2] -> local[8], ROUNDS_A alternating rounds; the high
     # side repeats 4x per section (the linear-region speedup) so both
     # sides see equal-length windows
     pair_a = _pair(srv[2], srv[8], ROUNDS_A, REPLICATE_A,
                    mp_low_docs=BENCH_DOCS, mp_high_docs=BENCH_DOCS * 2,
-                   deadline=wall_t0 + 0.55 * budget)
-    # pair B: local[8] -> local[32] (the BASELINE.md-stated proxy pair);
-    # the box saturates above ~16 workers (observed 8->32 speedup ~1.6),
-    # so repeat 2x approximates equal windows
-    pair_b = _pair(srv[8], srv[CPUS], ROUNDS_B, REPLICATE_B,
-                   mp_low_docs=BENCH_DOCS * 2, mp_high_docs=BENCH_DOCS * 4,
-                   rep_high=2, deadline=wall_t0 + 0.8 * budget)
+                   deadline=wall_t0 + 0.8 * budget)
     for s in srv.values():
         s.stop()
 
@@ -685,10 +720,14 @@ def main() -> None:
             "machine_ceiling_efficiency_2to8": pair_a["mp_ceiling"],
             "normalized_scaling_efficiency": pair_a["eff_median_normalized"],
             "scaling_efficiency_8to%d" % CPUS: pair_b["eff_median"],
+            "trimmed_scaling_efficiency_8to%d" % CPUS:
+                pair_b["eff_trimmed_median"],
             "efficiency_rounds_8to%d" % CPUS: pair_b["round_ratios"],
             "machine_ceiling_efficiency_8to%d" % CPUS: pair_b["mp_ceiling"],
             "normalized_scaling_efficiency_8to%d" % CPUS:
                 pair_b["eff_median_normalized"],
+            "roundnorm_scaling_efficiency_8to%d" % CPUS:
+                pair_b["eff_roundnorm_median"],
             "detail": os.path.basename(detail_path),
         },
     }, separators=(",", ":")))

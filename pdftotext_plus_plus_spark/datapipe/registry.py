@@ -968,6 +968,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `extract_jsonl_chars`, `extract_text_extended`, `shipping_priority`,
 # `inactive_customers`, `event_hopping_counts`, `simhash_near_pairs`,
 # `c4_line_dedup`, `bloom_url_filter`, `perplexity_buckets`.
+# Round-7 batch #7 (webtext: anchor text / redirect chains / bitext
+# pairing / crawl-snapshot diff): the four BRAND-NEW ops
+# `anchor_text_topk`, `redirect_resolution`, `bitext_url_pairs`,
+# `crawl_snapshot_diff` enter the head so their first round gets driver
+# rows; demoted in exchange (all r6-green, rationale at the tail
+# entries): `gopher_quality_filter`, `unigram_surprisal`,
+# `dsir_importance_weights`, `image_resize_meta`.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1048,10 +1055,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # straight into the head so its first round gets a driver row
     "ann_ivf2_topk": (similarity.ann_ivf2_topk, similarity.ANN_IVF2_SQL),
     # text analysis
-    "gopher_quality_filter": (textstats.gopher_quality_filter,
-                              textstats.GOPHER_QUALITY_FILTER_SQL),
-    "unigram_surprisal": (textstats.unigram_surprisal,
-                          textstats.UNIGRAM_SURPRISAL_SQL),
     # round 6 batch #2: conditional-LM perplexity proxy
     "bigram_surprisal": (textstats.bigram_surprisal,
                          textstats.BIGRAM_SURPRISAL_SQL),
@@ -1063,8 +1066,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 6 batch #3: sampling / mixing / packing layer
     "stratified_sample": (sampling.stratified_sample,
                           sampling.STRATIFIED_SAMPLE_SQL),
-    "dsir_importance_weights": (sampling.dsir_importance_weights,
-                                sampling.DSIR_IMPORTANCE_SQL),
     "sequence_packing": (sampling.sequence_packing,
                          sampling.SEQUENCE_PACKING_SQL),
     # round 6 batch #3: the flagship composition — dedup + Gopher gate +
@@ -1080,15 +1081,23 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
+    # round 7 batch #7: anchor text / redirect chains / bitext pairing /
+    # crawl-snapshot diff (brand-new, straight into the head for first-
+    # round driver rows — the ann_ivf2 precedent)
+    "anchor_text_topk": (webtext.anchor_text_topk,
+                         webtext.ANCHOR_TEXT_TOPK_SQL),
+    "redirect_resolution": (webtext.redirect_resolution,
+                            webtext.REDIRECT_RESOLUTION_SQL),
+    "bitext_url_pairs": (webtext.bitext_url_pairs,
+                         webtext.BITEXT_URL_PAIRS_SQL),
+    "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
+                            webtext.CRAWL_SNAPSHOT_DIFF_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
     "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
     "streaming_url_dedup": (streaming_url_dedup_equivalence,
                             STREAMING_URL_DEDUP_SQL),
-    # multimodal plumbing
-    "image_resize_meta": (multimodal.image_resize_meta,
-                          multimodal.IMAGE_RESIZE_SQL),
-    # rotation #7 promotion: stalest driver row (r3)
+    # multimodal plumbing — rotation #7 promotion: stalest driver row (r3)
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),
     # HTML boilerplate strip (north-rule raw-HTML surface)
@@ -1218,6 +1227,25 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          webtext.BLOOM_URL_FILTER_SQL),
     "perplexity_buckets": (webtext.perplexity_buckets,
                            webtext.PERPLEXITY_BUCKETS_SQL),
+    # round-7 batch #7 demotions (all r6-green):
+    #   gopher_quality_filter / unigram_surprisal — BOTH are nested
+    #     verbatim as CTEs inside head training_mix_pipeline's oracle, so
+    #     every driver round still value-checks them end to end; their
+    #     gate/agg shapes are head c4_quality_filter's and
+    #     bigram_surprisal's
+    #   dsir_importance_weights — the single-token-pass dim-join shape of
+    #     the surprisal family (bigram_surprisal stays head); r6-green
+    #   image_resize_meta — same full pixel decode as promoted head
+    #     sibling multimodal_meta rides on; its unique resize checksum
+    #     surface stays pytest-covered (test_datapipe + codec tests)
+    "gopher_quality_filter": (textstats.gopher_quality_filter,
+                              textstats.GOPHER_QUALITY_FILTER_SQL),
+    "unigram_surprisal": (textstats.unigram_surprisal,
+                          textstats.UNIGRAM_SURPRISAL_SQL),
+    "dsir_importance_weights": (sampling.dsir_importance_weights,
+                                sampling.DSIR_IMPORTANCE_SQL),
+    "image_resize_meta": (multimodal.image_resize_meta,
+                          multimodal.IMAGE_RESIZE_SQL),
 }
 
 

@@ -637,3 +637,287 @@ SELECT tok,
                                   1, {POSTINGS_HEAD}), ',') AS postings_head
 FROM toks GROUP BY tok
 """
+
+
+# ---------------------------------------------------------------------------
+# round 7 batch #7: anchor text, redirect chains, bitext pairing, crawl diff
+# ---------------------------------------------------------------------------
+
+ANCHOR_TOPK = 5
+ANCHOR_VOCAB = 50
+
+
+def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-target-page anchor-text profile: inlink count, distinct anchor
+    count, and the top-K anchors by frequency.
+
+    The classic link-text signal of web search / page-quality pipelines
+    (anchor text describes the TARGET page better than its own text).
+    Anchors are synthesized deterministically per edge from the same
+    outlink graph link_pagerank uses (``t<(src+dst) % vocab>``) —
+    identically in the oracle; everything downstream is generic.
+
+    Plan shape at 100 TB: ONE hash aggregate on (dst, anchor) with
+    map-side partials, then a row_number window per dst that Catalyst
+    plans as WindowGroupLimit (partial top-K BEFORE the exchange — the
+    inverted_index postings shape), then a bounded collect over <=K rows.
+    Hot pages (a wikipedia.org-scale inlink magnet) are ordinary skewed
+    agg keys, AQE-splittable; the unbounded collect_list-per-page this
+    avoids would be a single-buffer OOM.
+    """
+    docs = _documents(spark, sf_dir)
+    e = _edges(docs).select(
+        "dst", F.concat(F.lit("t"), F.expr("pmod(src + dst, %d)"
+                                           % ANCHOR_VOCAB)).alias("anchor"))
+    per = e.groupBy("dst", "anchor").agg(F.count("*").alias("c"))
+    tot = e.groupBy("dst").agg(
+        F.count("*").alias("n_anchors"),
+        F.countDistinct("anchor").alias("distinct_anchors"))
+    w = Window.partitionBy("dst").orderBy(F.desc("c"), F.asc("anchor"))
+    top = (per.withColumn("rn", F.row_number().over(w))
+           .filter(F.col("rn") <= ANCHOR_TOPK)
+           .groupBy("dst")
+           .agg(F.array_join(F.transform(
+               F.sort_array(F.collect_list(F.struct(
+                   "rn",
+                   F.concat_ws(":", "anchor", F.col("c").cast("string"))
+                   .alias("s")))),
+               lambda x: x["s"]), ",").alias("top_anchors")))
+    return (tot.join(top, "dst")
+            .select(F.col("dst").alias("doc_id"), "n_anchors",
+                    "distinct_anchors", "top_anchors"))
+
+
+ANCHOR_TEXT_TOPK_SQL = f"""
+WITH n AS (SELECT count(*) AS n FROM documents),
+e AS (
+  SELECT (d.doc_id * 7 + t.j) % n.n AS dst,
+         't' || ((d.doc_id + (d.doc_id * 7 + t.j) % n.n) % {ANCHOR_VOCAB})
+           AS anchor
+  FROM documents d CROSS JOIN n
+  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
+  WHERE t.j <= 1 + d.doc_id % 3
+    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
+),
+per AS (SELECT dst, anchor, count(*) AS c FROM e GROUP BY dst, anchor),
+tot AS (SELECT dst, count(*) AS n_anchors,
+               count(DISTINCT anchor) AS distinct_anchors
+        FROM e GROUP BY dst),
+ranked AS (
+  SELECT dst, anchor, c,
+         row_number() OVER (PARTITION BY dst ORDER BY c DESC, anchor) AS rn
+  FROM per
+),
+top AS (
+  SELECT dst, array_to_string(list(anchor || ':' || c ORDER BY rn), ',')
+           AS top_anchors
+  FROM ranked WHERE rn <= {ANCHOR_TOPK} GROUP BY dst
+)
+SELECT t.dst AS doc_id, t.n_anchors, t.distinct_anchors, p.top_anchors
+FROM tot t JOIN top p ON p.dst = t.dst
+"""
+
+
+# redirect graph: within each run of 10 consecutive ids, residue k > 0
+# redirects one step down (k -> k-1) and residue 0 is the landing page —
+# EXCEPT in "cycle decades" ((doc_id // 10) % 97 == 0), where the landing
+# page redirects back to the top, closing a 10-cycle (redirect loops are
+# a real crawl pathology the resolver must not hang on)
+REDIRECT_MAX_HOPS = 16          # 2^REDIRECT_DOUBLINGS
+REDIRECT_DOUBLINGS = 4
+
+
+def _redirect_edges(docs: DataFrame) -> DataFrame:
+    n = docs.agg(F.count("*").alias("n"))
+    down = (docs.filter(F.col("doc_id") % 10 != 0)
+            .select(F.col("doc_id").alias("src"),
+                    (F.col("doc_id") - 1).alias("dst")))
+    back = (docs.filter((F.col("doc_id") % 10 == 0)
+                        & (F.expr("div(doc_id, 10)") % 97 == 0))
+            .crossJoin(F.broadcast(n))
+            .filter(F.col("doc_id") + 9 < F.col("n"))
+            .select(F.col("doc_id").alias("src"),
+                    (F.col("doc_id") + 9).alias("dst")))
+    return down.unionByName(back)
+
+
+def redirect_resolution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resolve every page's redirect chain to its final landing page in
+    O(log max_hops) rounds of pointer doubling, with loop detection.
+
+    Plan shape at 100 TB: the naive resolver follows chains one hop per
+    pass — L shuffles for length-L chains, and a redirect LOOP never
+    terminates.  Pointer doubling squares the mapping each round
+    (f -> f(f)): REDIRECT_DOUBLINGS=4 self-equi-joins of the N-row
+    mapping table (each co-partitioned on the join key, AQE-planned)
+    resolve any chain up to {16} hops, and a cycle simply stops making
+    progress — `resolved` = the final node has no outgoing redirect,
+    checked with one broadcast-able left join.  Hop counts accumulate
+    exactly (h' = h + h.(f)), so the output is integer-exact.
+    """
+    docs = _documents(spark, sf_dir)
+    edges = _redirect_edges(docs)
+    # f^1 with self-loop at final nodes; h = steps actually taken
+    m = (docs.select("doc_id")
+         .join(edges, F.col("doc_id") == F.col("src"), "left")
+         .select("doc_id",
+                 F.coalesce("dst", F.col("doc_id")).alias("nxt"),
+                 F.when(F.col("dst").isNull(), F.lit(0))
+                 .otherwise(F.lit(1)).alias("hops")))
+    for _ in range(REDIRECT_DOUBLINGS):
+        # checkpoint each round: the doubling references m TWICE, and
+        # without materialization Catalyst expands the self-reference
+        # into a full binary tree (2^rounds copies of the base plan) —
+        # the dedup_clusters_fixpoint per-round pattern, for the same
+        # reason; on a cluster this is `checkpoint()` to durable storage
+        m = m.localCheckpoint(eager=True)
+        m2 = m.select(F.col("doc_id").alias("k"),
+                      F.col("nxt").alias("nxt2"),
+                      F.col("hops").alias("hops2"))
+        m = (m.join(m2, m.nxt == m2.k)
+             .select("doc_id", F.col("nxt2").alias("nxt"),
+                     (F.col("hops") + F.col("hops2")).alias("hops")))
+    has_out = edges.select(F.col("src").alias("nxt")).distinct() \
+        .withColumn("dangling", F.lit(1))
+    return (m.join(has_out, "nxt", "left")
+            .select("doc_id", F.col("nxt").alias("final_id"), "hops",
+                    F.when(F.col("dangling").isNull(), F.lit(1))
+                    .otherwise(F.lit(0)).alias("resolved")))
+
+
+REDIRECT_RESOLUTION_SQL = f"""
+WITH RECURSIVE n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT doc_id AS src, doc_id - 1 AS dst FROM documents
+  WHERE doc_id % 10 <> 0
+  UNION ALL
+  SELECT d.doc_id AS src, d.doc_id + 9 AS dst FROM documents d CROSS JOIN n
+  WHERE d.doc_id % 10 = 0 AND (d.doc_id // 10) % 97 = 0
+    AND d.doc_id + 9 < n.n
+),
+walk(doc_id, cur, hops) AS (
+  SELECT doc_id, doc_id, 0 FROM documents
+  UNION ALL
+  SELECT w.doc_id, e.dst, w.hops + 1
+  FROM walk w JOIN edges e ON e.src = w.cur
+  WHERE w.hops < {REDIRECT_MAX_HOPS}
+),
+final AS (
+  SELECT doc_id, cur, hops,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hops DESC) AS rn
+  FROM walk
+)
+SELECT f.doc_id, f.cur AS final_id, CAST(f.hops AS BIGINT) AS hops,
+       CASE WHEN e.src IS NULL THEN 1 ELSE 0 END AS resolved
+FROM final f
+LEFT JOIN (SELECT DISTINCT src FROM edges) e ON e.src = f.cur
+WHERE f.rn = 1
+"""
+
+
+# bitext URL pairing: localized page slots per source site; slot count
+# chosen so several languages share most slots at every SF
+BITEXT_SLOTS = 40
+
+
+def bitext_url_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ParaCrawl-style bitext candidates by URL-pattern matching: pages
+    whose URLs differ only in the language marker
+    (``site/<lang>/art/<slot>``) pair as translation candidates.
+
+    One representative per (site, slot, lang) — min doc_id, the
+    deterministic pick — then the English side equi-joins every other
+    language on the slot key.
+
+    Plan shape at 100 TB: one hash aggregate keyed by (site, slot,
+    lang), then a single equi-join on (site, slot) — the en side is a
+    per-slot dim (<= 1 row per slot), so AQE broadcasts it; no window,
+    no skew (slot keys are uniform by construction of the URL space).
+    """
+    docs = _documents(spark, sf_dir)
+    keyed = docs.select(
+        F.col("source").alias("site"),
+        (F.col("doc_id") % BITEXT_SLOTS).alias("slot"),
+        "lang", "doc_id")
+    rep = keyed.groupBy("site", "slot", "lang").agg(
+        F.min("doc_id").alias("doc_id"))
+    en = (rep.filter(F.col("lang") == "en")
+          .select("site", "slot", F.col("doc_id").alias("en_doc_id")))
+    xx = rep.filter(F.col("lang") != "en")
+    return (xx.join(en, ["site", "slot"])
+            .select("site", "slot", "en_doc_id",
+                    F.col("doc_id").alias("xx_doc_id"),
+                    F.col("lang").alias("xx_lang"),
+                    F.concat(F.col("site"), F.lit("/"), F.col("lang"),
+                             F.lit("/art/"), F.col("slot").cast("string"))
+                    .alias("xx_url")))
+
+
+BITEXT_URL_PAIRS_SQL = f"""
+WITH rep AS (
+  SELECT source AS site, doc_id % {BITEXT_SLOTS} AS slot, lang,
+         min(doc_id) AS doc_id
+  FROM documents GROUP BY source, doc_id % {BITEXT_SLOTS}, lang
+)
+SELECT x.site, x.slot, e.doc_id AS en_doc_id, x.doc_id AS xx_doc_id,
+       x.lang AS xx_lang,
+       x.site || '/' || x.lang || '/art/' || x.slot AS xx_url
+FROM rep x
+JOIN rep e ON e.site = x.site AND e.slot = x.slot AND e.lang = 'en'
+WHERE x.lang <> 'en'
+"""
+
+
+def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental-crawl diff: per-URL verdict between two crawl
+    snapshots — added / removed / changed / unchanged.
+
+    Snapshots are carved deterministically from the corpus (A = ids with
+    ``% 4 != 3``, B = ids with ``% 4 != 1``; every ``% 5 == 0`` page's
+    content changed in B), identically in the oracle.
+
+    Plan shape at 100 TB: ONE full-outer equi-join on the URL key with
+    both sides reduced to (key, content_hash) FIRST — the fixed-width
+    md5 crosses the shuffle instead of page bytes (a ~1000x shuffle-size
+    cut), and content equality is a hash compare, never a byte compare.
+    This is the nightly CommonCrawl-delta plan: co-partitioned join,
+    narrow projections, no window, no skew (URL keys are unique).
+    """
+    docs = _documents(spark, sf_dir)
+    a = (docs.filter(F.col("doc_id") % 4 != 3)
+         .select("doc_id", F.md5("text").alias("h_a")))
+    b = (docs.filter(F.col("doc_id") % 4 != 1)
+         .select("doc_id", F.md5(
+             F.when(F.col("doc_id") % 5 == 0,
+                    F.concat(F.col("text"), F.lit("|v2")))
+             .otherwise(F.col("text"))).alias("h_b")))
+    j = a.join(b, "doc_id", "full_outer")
+    status = (F.when(F.col("h_a").isNull(), F.lit("added"))
+              .when(F.col("h_b").isNull(), F.lit("removed"))
+              .when(F.col("h_a") == F.col("h_b"), F.lit("unchanged"))
+              .otherwise(F.lit("changed")))
+    return j.select("doc_id",
+                    F.col("h_a").isNotNull().cast("int").alias("in_a"),
+                    F.col("h_b").isNotNull().cast("int").alias("in_b"),
+                    status.alias("status"))
+
+
+CRAWL_SNAPSHOT_DIFF_SQL = """
+WITH a AS (
+  SELECT doc_id, md5(text) AS h_a FROM documents WHERE doc_id % 4 <> 3
+),
+b AS (
+  SELECT doc_id,
+         md5(CASE WHEN doc_id % 5 = 0 THEN text || '|v2' ELSE text END)
+           AS h_b
+  FROM documents WHERE doc_id % 4 <> 1
+)
+SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS in_a,
+       CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS in_b,
+       CASE WHEN a.doc_id IS NULL THEN 'added'
+            WHEN b.doc_id IS NULL THEN 'removed'
+            WHEN a.h_a = b.h_b THEN 'unchanged'
+            ELSE 'changed' END AS status
+FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
+"""

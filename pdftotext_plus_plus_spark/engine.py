@@ -51,7 +51,8 @@ BLOCK_SPAN_TYPE = pa.struct([
 
 
 def _arrow_schema(with_spans: bool, with_jsonl: bool = False,
-                  with_svg: bool = False, with_pdf: bool = False) -> pa.Schema:
+                  with_svg: bool = False, with_pdf: bool = False,
+                  with_timings: bool = False) -> pa.Schema:
     fields = [
         ("url", pa.string()),
         ("extracted_text", pa.string()),
@@ -74,11 +75,14 @@ def _arrow_schema(with_spans: bool, with_jsonl: bool = False,
         fields.append(("svg", pa.string()))
     if with_pdf:
         fields.append(("pdf", pa.string()))
+    if with_timings:
+        fields.append(("stage_ms", pa.map_(pa.string(), pa.float64())))
     return pa.schema(fields)
 
 
 def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False,
-                      with_svg: bool = False, with_pdf: bool = False) -> str:
+                      with_svg: bool = False, with_pdf: bool = False,
+                      with_timings: bool = False) -> str:
     ddl = ("url string, extracted_text string, extracted_text_extended string, "
            "parse_failure_code int, n_pages int, n_chars int, n_words int, "
            "n_lines int, n_blocks int, payload_bytes bigint, part_id int, "
@@ -93,6 +97,8 @@ def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False,
         ddl += ", svg string"
     if with_pdf:
         ddl += ", pdf string"
+    if with_timings:
+        ddl += ", stage_ms map<string,double>"
     return ddl
 
 
@@ -102,9 +108,9 @@ def _spark_schema_ddl(with_spans: bool, with_jsonl: bool = False,
 
 def _make_kernel(config: PipelineConfig, with_spans: bool,
                  roles=None, jsonl_units=None, svg_units=None,
-                 pdf_units=None):
+                 pdf_units=None, with_timings: bool = False):
     schema = _arrow_schema(with_spans, bool(jsonl_units), bool(svg_units),
-                           bool(pdf_units))
+                           bool(pdf_units), with_timings)
 
     def kernel(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
         try:
@@ -125,9 +131,11 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
             jsonls = [] if jsonl_units else None
             svgs = [] if svg_units else None
             pdfs = [] if pdf_units else None
+            stage_maps = [] if with_timings else None
             for i in range(n):
                 t0 = time.perf_counter()
                 res = extract(htmls[i], config, with_spans=with_spans,
+                              with_timings=with_timings,
                               roles=roles, jsonl_units=jsonl_units,
                               svg_units=svg_units, pdf_units=pdf_units)
                 dt = (time.perf_counter() - t0) * 1000.0
@@ -153,6 +161,8 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
                     svgs.append(res.svg)
                 if pdf_units:
                     pdfs.append(res.pdf)
+                if with_timings:
+                    stage_maps.append(list(res.timings_ms.items()))
 
             arrays = [
                 pa.array(urls, pa.string()),
@@ -176,6 +186,9 @@ def _make_kernel(config: PipelineConfig, with_spans: bool,
                 arrays.append(pa.array(svgs, pa.string()))
             if pdf_units:
                 arrays.append(pa.array(pdfs, pa.string()))
+            if with_timings:
+                arrays.append(pa.array(
+                    stage_maps, pa.map_(pa.string(), pa.float64())))
             yield pa.RecordBatch.from_arrays(arrays, schema=schema)
 
     return kernel
@@ -220,13 +233,17 @@ def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
                   roles=None,
                   jsonl_units=None,
                   svg_units=None,
-                  pdf_units=None):
+                  pdf_units=None,
+                  with_timings: bool = False):
     """pages DataFrame -> extraction DataFrame (one row per url).
 
     ``roles`` / ``jsonl_units`` / ``svg_units`` / ``pdf_units`` mirror the
     reference CLI's --role / --type / --visualize-* options
     (serializer-level filtering, the JSONL sink, and the S8 visualization
-    sink in its SVG and annotated-PDF forms)."""
+    sink in its SVG and annotated-PDF forms).  ``with_timings`` adds a
+    per-row ``stage_ms`` map mirroring the reference's
+    --print-running-times stage report (pdftotext++.cpp:765-784), which
+    :func:`lineage_frame` rolls up into per-stage columns."""
     projected = df.select("url", "html")  # column pruning reaches the scan
     if salted:
         projected = salted_repartition(projected, num_partitions)
@@ -238,26 +255,49 @@ def extract_pages(df, config: PipelineConfig = DEFAULT_CONFIG,
     pdf_units = tuple(pdf_units) if pdf_units else None
     return projected.mapInArrow(
         _make_kernel(config, with_spans, roles, jsonl_units, svg_units,
-                     pdf_units),
+                     pdf_units, with_timings),
         _spark_schema_ddl(with_spans, bool(jsonl_units), bool(svg_units),
-                          bool(pdf_units)))
+                          bool(pdf_units), with_timings))
+
+
+def _stage_slug(name: str) -> str:
+    return "ms_" + "".join(
+        c if c.isalnum() else "_" for c in name.lower()).strip("_")
 
 
 def lineage_frame(result_df):
     """Per-task lineage/metrics rows (north rule): partition id, row counts,
-    failure counts, byte and time totals — written beside each snapshot."""
+    failure counts, byte and time totals — written beside each snapshot.
+
+    When the result carries ``stage_ms`` (extract_pages
+    ``with_timings=True``), per-stage total columns are added — the
+    distributed mirror of the reference's --print-running-times report
+    (/root/reference/src/pdftotext++.cpp:765-784): one ``ms_<stage>``
+    column per pipeline stage, summed per task.  The rollup is a plain
+    projection of map lookups inside the SAME single hash aggregate —
+    no extra shuffle, no explode."""
     from pyspark.sql import functions as F
 
-    return (result_df
-            .groupBy("part_id")
-            .agg(F.count("*").alias("n_docs"),
-                 F.sum((F.col("parse_failure_code") != 0).cast("int"))
-                 .alias("n_failures"),
-                 F.sum("payload_bytes").alias("bytes_in"),
-                 F.sum("extract_ms").alias("extract_ms_total"),
-                 F.max("extract_ms").alias("max_doc_ms"),  # straggler signal
-                 F.min("url").alias("min_url"),
-                 F.max("url").alias("max_url")))
+    from .kernel import STAGE_NAMES
+    from .pipeline import STAGE_DECODE, STAGE_SERIALIZE
+
+    aggs = [F.count("*").alias("n_docs"),
+            F.sum((F.col("parse_failure_code") != 0).cast("int"))
+            .alias("n_failures"),
+            F.sum("payload_bytes").alias("bytes_in"),
+            F.sum("extract_ms").alias("extract_ms_total"),
+            F.max("extract_ms").alias("max_doc_ms"),  # straggler signal
+            F.min("url").alias("min_url"),
+            F.max("url").alias("max_url")]
+    if "stage_ms" in result_df.columns:
+        # try_element_at, NOT element_at: under ANSI mode element_at
+        # throws on a missing map key, and failure rows record only the
+        # decode stage
+        for name in (STAGE_DECODE,) + STAGE_NAMES + (STAGE_SERIALIZE,):
+            aggs.append(
+                F.sum(F.coalesce(F.try_element_at("stage_ms", F.lit(name)),
+                                 F.lit(0.0))).alias(_stage_slug(name)))
+    return result_df.groupBy("part_id").agg(*aggs)
 
 
 def run_job(spark, input_path: str, output_path: str,
@@ -266,8 +306,14 @@ def run_job(spark, input_path: str, output_path: str,
             num_partitions: Optional[int] = None,
             resume: bool = True,
             roles=None,
-            jsonl_units=None) -> dict:
+            jsonl_units=None,
+            with_timings: bool = True) -> dict:
     """Batch extraction job with snapshot + lineage + exact resume.
+
+    ``with_timings`` (default on) stores the per-row ``stage_ms`` map in
+    the snapshot and rolls it up into per-stage ``ms_*`` lineage columns
+    — the distributed --print-running-times report.  ~300 bytes/row
+    against multi-KB documents; pass False to shed it.
 
     Resume semantics: rows whose ``url`` already exists in the committed
     output are skipped (anti-join), so a re-run after a mid-job failure
@@ -321,14 +367,18 @@ def run_job(spark, input_path: str, output_path: str,
             pass  # first run: no committed snapshot yet
 
     result = extract_pages(pages, config, with_spans, num_partitions,
-                           roles=roles, jsonl_units=jsonl_units)
+                           roles=roles, jsonl_units=jsonl_units,
+                           with_timings=with_timings)
     # partitioned snapshot: stable hash bucket of url -> downstream jobs
     # prune by bucket (the parquet stand-in for an Iceberg partition spec)
     result = result.withColumn(
         "out_bucket", F.pmod(F.xxhash64("url"), F.lit(16)).cast("int"))
     result.write.mode("append").partitionBy("out_bucket").parquet(data_path)
 
-    committed = spark.read.parquet(data_path)
+    # mergeSchema: a resumed job over a pre-stage_ms snapshot reads a
+    # mixed directory; old rows surface a NULL map (element_at -> NULL ->
+    # coalesce 0.0 in the stage rollup) instead of hiding the column
+    committed = spark.read.option("mergeSchema", "true").parquet(data_path)
     lineage = lineage_frame(committed)
     lineage.write.mode("overwrite").parquet(lineage_path)
 

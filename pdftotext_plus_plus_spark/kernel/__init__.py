@@ -41,6 +41,11 @@ _STAGES = (
 )
 
 
+# public stage-name list (reference --print-running-times order), used by
+# engine.lineage_frame's per-stage timing columns
+STAGE_NAMES = tuple(name for name, _, _ in _STAGES)
+
+
 def process_document(doc: Doc, config: PipelineConfig = DEFAULT_CONFIG,
                      timings_ms: Optional[Dict[str, float]] = None) -> Doc:
     """Run stages 3-13 on a decoded document (stages 1-2 = codec.decode).

@@ -93,25 +93,31 @@ def _parse_headers(blob: bytes, pos: int):
     return headers, end + 4
 
 
-def _walk(blob: bytes):
-    """Walk records: yield (headers, body, record_start, record_end) per
-    well-framed record and count corrupt resyncs.  record_end covers the
-    payload and the two-CRLF record separator when present, so
+def _iter_records(blob: bytes, stats: dict):
+    """Lazily yield (headers, body, record_start, record_end) per
+    well-framed record, accumulating corrupt resyncs in
+    ``stats["corrupt"]``.  record_end covers the payload and the
+    two-CRLF record separator when present, so
     blob[record_start:record_end] is a complete standalone record.
+
+    A GENERATOR so callers can stream a shard's records without ever
+    materializing them all (the 100 TB memory envelope: one shard's
+    bytes + one in-flight record, not bytes + every record copy).
 
     Corruption accounting counts every skipped byte range: a record
     whose framing fails, leading junk before the first magic, AND
     unconsumed bytes between one record's end and the next magic."""
-    n_corrupt = 0
     pos = blob.find(_MAGIC)
-    if pos < 0 and blob:
-        return [], 1
+    if pos < 0:
+        if blob:
+            stats["corrupt"] += 1
+        return
     if pos > 0:
-        n_corrupt += 1                      # junk before the first record
-    records = []
+        stats["corrupt"] += 1               # junk before the first record
     while pos >= 0:
         parsed = _parse_headers(blob, pos + len(_MAGIC))
         advanced = None
+        record = None
         if parsed is not None:
             headers, body_at = parsed
             try:
@@ -123,18 +129,27 @@ def _walk(blob: bytes):
                 end = body_at + clen
                 if blob[end:end + 4] == _CRLF + _CRLF:
                     end += 4
-                records.append((headers, body, pos, end))
+                record = (headers, body, pos, end)
                 advanced = end
         ok = advanced is not None
         if not ok:
-            n_corrupt += 1
+            stats["corrupt"] += 1
             advanced = pos + len(_MAGIC)
         pos = blob.find(_MAGIC, advanced)
         # a gap after a WELL-FRAMED record is its own corrupt range (a
         # failed record's resync skip was already counted above)
         if ok and (pos > advanced or (pos < 0 and advanced < len(blob))):
-            n_corrupt += 1
-    return records, n_corrupt
+            stats["corrupt"] += 1
+        if record is not None:
+            yield record
+
+
+def _walk(blob: bytes):
+    """Eager form of :func:`_iter_records` for small blobs/tests:
+    returns ([records], n_corrupt)."""
+    stats = {"corrupt": 0}
+    records = list(_iter_records(blob, stats))
+    return records, stats["corrupt"]
 
 
 def _payload_of(body: bytes) -> bytes:
@@ -180,34 +195,62 @@ def read_record(blob_slice: bytes) -> Tuple[str, bytes]:
     return h.get("warc-target-uri", ""), _payload_of(body)
 
 
+# output batching bounds for the shard splitter: a flushed pandas frame
+# never exceeds ~these, so per-task peak memory is ONE shard's bytes plus
+# O(batch) regardless of how many records the shard holds (SCALE.md
+# §Webtext documents the full envelope)
+WARC_SPLIT_BATCH_ROWS = 1024
+WARC_SPLIT_BATCH_BYTES = 64 << 20
+
+
+def split_warc_batches(batches, max_rows: int = None, max_bytes: int = None):
+    """The shard-splitter kernel behind :func:`read_warc` (module-level so
+    the bounded-batch contract is directly testable): consumes binaryFile
+    (path, content) pandas batches, streams each shard's response records
+    via :func:`_iter_records`, and flushes an output frame whenever the
+    accumulated batch reaches ``max_rows`` rows or ``max_bytes`` payload
+    bytes — never holding a whole shard's records at once."""
+    import pandas as pd
+
+    max_rows = max_rows or WARC_SPLIT_BATCH_ROWS
+    max_bytes = max_bytes or WARC_SPLIT_BATCH_BYTES
+    urls, dates, payloads, acc_bytes = [], [], [], 0
+    for pdf in batches:
+        for blob in pdf["content"]:
+            stats = {"corrupt": 0}
+            for h, body, _, _ in _iter_records(bytes(blob), stats):
+                if h.get("warc-type") != "response":
+                    continue
+                urls.append(h.get("warc-target-uri", ""))
+                dates.append(h.get("warc-date", ""))
+                payload = _payload_of(body)
+                payloads.append(payload)
+                acc_bytes += len(payload)
+                if len(urls) >= max_rows or acc_bytes >= max_bytes:
+                    yield pd.DataFrame({"url": urls, "warc_date": dates,
+                                        "html": payloads})
+                    urls, dates, payloads, acc_bytes = [], [], [], 0
+    if urls:
+        yield pd.DataFrame({"url": urls, "warc_date": dates,
+                            "html": payloads})
+
+
 def read_warc(spark, path: str):
     """Read a directory of .warc files into the engine's page schema.
 
     ``binaryFile`` yields (path, modificationTime, length, content) with
     one row per file; the splitter is an Arrow-batched kernel bounded by
-    one file's bytes per row.  Dates parse to timestamps JVM-side.
+    one file's bytes plus one output batch (see
+    :func:`split_warc_batches`).  Dates parse to timestamps JVM-side.
     """
-    import pandas as pd
     from pyspark.sql import functions as F
 
     raw = (spark.read.format("binaryFile")
            .option("pathGlobFilter", "*.warc").load(path)
            .select("path", "content"))
 
-    def split_files(batches):
-        for pdf in batches:
-            urls, dates, payloads = [], [], []
-            for blob in pdf["content"]:
-                recs, _bad = parse_warc(bytes(blob))
-                for url, date, payload in recs:
-                    urls.append(url)
-                    dates.append(date)
-                    payloads.append(payload)
-            yield pd.DataFrame(
-                {"url": urls, "warc_date": dates, "html": payloads})
-
     pages = raw.mapInPandas(
-        split_files, "url string, warc_date string, html binary")
+        split_warc_batches, "url string, warc_date string, html binary")
     return pages.select(
         "url",
         F.to_timestamp("warc_date", "yyyy-MM-dd'T'HH:mm:ss'Z'")

@@ -79,6 +79,40 @@ def test_run_job_resume(spark, pages_df, tmp_path):
     assert latest.agg(F.sum("n_rows")).first()[0] == 36
 
 
+def test_lineage_per_stage_timings(spark, pages_df):
+    """with_timings=True adds a stage_ms map per row; lineage_frame rolls
+    it up into one ms_<stage> column per pipeline stage — the distributed
+    mirror of the reference's --print-running-times report
+    (pdftotext++.cpp:765-784)."""
+    from pdftotext_plus_plus_spark.kernel import STAGE_NAMES
+    from pdftotext_plus_plus_spark.pipeline import (STAGE_DECODE,
+                                                    STAGE_SERIALIZE)
+
+    out = engine.extract_pages(pages_df, num_partitions=2,
+                               with_timings=True)
+    assert "stage_ms" in out.columns
+    lineage = engine.lineage_frame(out)
+    expected = [engine._stage_slug(n)
+                for n in (STAGE_DECODE,) + STAGE_NAMES + (STAGE_SERIALIZE,)]
+    assert set(expected) <= set(lineage.columns)
+    rows = lineage.collect()
+    totals = {c: sum(float(r[c]) for r in rows) for c in expected}
+    # every stage ran on real documents: decode, word detection and
+    # serialization must show nonzero total time
+    assert totals["ms_parse_payload"] > 0
+    assert totals["ms_detect_words"] > 0
+    assert totals["ms_serialize"] > 0
+    assert all(v >= 0 for v in totals.values())
+    # stage sum is bounded by the per-doc wall total (stages are a
+    # subset of each doc's timed extract() call)
+    wall = sum(float(r["extract_ms_total"]) for r in rows)
+    assert sum(totals.values()) <= wall * 1.05
+    # without timings the lineage schema is unchanged (no ms_* columns)
+    plain = engine.lineage_frame(
+        engine.extract_pages(pages_df, num_partitions=2))
+    assert not [c for c in plain.columns if c.startswith("ms_")]
+
+
 def test_run_job_legacy_manifest_upgrade(spark, pages_df, tmp_path):
     """A pre-run_id manifest (no run_id column) is upgraded in place to
     run_id=0 and the new run continues at 1 — no mixed-schema directory,

@@ -65,6 +65,31 @@ def test_empty_and_magicless_blobs():
     assert recs == [] and bad == 1
 
 
+def test_split_kernel_emits_bounded_batches():
+    """The memory-envelope contract (SCALE.md §Webtext): a multi-record
+    shard streams out of the splitter in batches capped by rows/bytes —
+    never one frame holding every record of the shard."""
+    import pandas as pd
+
+    rows, triples = _triples(n=24, jumbo_every=6)
+    blob = warc.encode_warc(triples)
+    frames = list(warc.split_warc_batches(
+        iter([pd.DataFrame({"content": [blob]})]), max_rows=5))
+    assert len(frames) > 1                       # really batched
+    assert all(len(f) <= 5 for f in frames)
+    # concatenation == the unbatched parse, in order, byte-identical
+    cat = pd.concat(frames, ignore_index=True)
+    assert list(cat["url"]) == [r["url"] for r in rows]
+    assert [bytes(h) for h in cat["html"]] == [r["html"] for r in rows]
+
+    # byte bound: each flushed frame stops at the first record crossing
+    # the cap (payload >= 1 byte each -> max_bytes=1 means 1 row/frame)
+    tiny = list(warc.split_warc_batches(
+        iter([pd.DataFrame({"content": [blob]})]), max_bytes=1))
+    assert all(len(f) == 1 for f in tiny)
+    assert sum(len(f) for f in tiny) == len(rows)
+
+
 def test_spark_read_warc_matches_corpus(spark, tmp_path):
     rows = fixtures.build_corpus(12, jumbo_every=6)
     warc.write_warc_dir(rows, str(tmp_path), n_files=3)
