@@ -122,7 +122,14 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # self-joins), bitext URL pairing (agg + slot equi-join),
                  # crawl-snapshot diff (hash-reduced full-outer join)
                  "anchor_text_topk", "redirect_resolution",
-                 "bitext_url_pairs", "crawl_snapshot_diff"]
+                 "bitext_url_pairs", "crawl_snapshot_diff",
+                 # round-7 batch #8: the crawl-operations layer — the
+                 # deterministic HLL sketch (one (domain,bucket) max-agg),
+                 # Hamilton budget apportionment (fact agg + dim window),
+                 # the politeness frontier (WindowGroupLimit per domain),
+                 # and the host-graph rollup (coarsen-then-aggregate)
+                 "hll_url_cardinality", "crawl_budget_allocation",
+                 "url_frontier_priority", "host_graph_stats"]
 
 
 def ensure_corpus() -> int:
@@ -351,7 +358,15 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # regardless of corpus size — the whole point),
                        # and the hash-reduced full-outer snapshot join
                        "anchor_text_topk", "redirect_resolution",
-                       "crawl_snapshot_diff"]
+                       "crawl_snapshot_diff",
+                       # round-7 batch #8: the HLL sketch MUST be flat-ish
+                       # in output size (register state is constant per
+                       # domain) and linear in scan; the host-graph rollup
+                       # is two doc-key joins + a host-pair agg — linear
+                       # in edges.  budget/frontier excluded: dim-sized
+                       # windows, their 10x cost is the scan they share
+                       # with hll/host_graph.
+                       "hll_url_cardinality", "host_graph_stats"]
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "10"))
 
 

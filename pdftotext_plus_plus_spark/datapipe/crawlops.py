@@ -1,0 +1,411 @@
+"""Crawl-operations layer: cardinality sketches, crawl-budget
+apportionment, frontier scheduling, and host-graph rollups.
+
+The ops a crawler's CONTROL PLANE runs over the corpus the webtext layer
+accounts for: a deterministic HyperLogLog distinct-URL sketch (the
+100 TB answer to ``count(DISTINCT url)`` — registers are a 64-value
+GroupBy state, mergeable across snapshots, where the exact distinct is
+an unbounded shuffle), largest-remainder apportionment of a global fetch
+budget across domains (integer-exact Hamilton method — allocations sum
+to the budget by construction), a politeness-slotted URL frontier
+(per-domain top-K by priority, the WindowGroupLimit shape), and a
+host-level rollup of the outlink graph (coarsen to host pairs FIRST,
+then dim-sized stats).
+
+Like datapipe/webtext.py (whose deterministic URL/link synthesis these
+ops share), everything is integer-exact except the HLL estimate, which
+is a FIXED sequence of IEEE-double ops (one correctly-rounded decimal
+literal, power-of-two scaling, one division) and therefore bit-identical
+across engines — every op carries a DuckDB oracle that hash-matches.
+
+Reference parity note: the reference engine (pdftotext++) has no
+web/crawl layer — these belong to the task addendum's training-data
+surface, like datapipe/webtext.py and datapipe/sampling.py.
+"""
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from pdftotext_plus_plus_spark.datapipe.webtext import (
+    CANON_URLS_SQL,
+    _RAW_URL_SPARK,
+    _canon_col,
+    _documents,
+    _edges,
+)
+
+# ---------------------------------------------------------------------------
+# deterministic HyperLogLog distinct-URL sketch
+# ---------------------------------------------------------------------------
+
+# m = 2^6 registers: small enough that the sandbox corpus exercises the
+# interesting regimes (zero buckets, register collisions, the merge), yet
+# the math is the production math — a deployment raises HLL_B to 14
+# (16384 registers, ~0.8% error) and nothing else changes.
+HLL_B = 6
+HLL_BUCKETS = 1 << HLL_B                # m = 64
+# the 60-bit md5-slice hash minus the 6 bucket bits leaves a 54-bit word;
+# rho (leading-zero count + 1) is capped at 55 for the all-zero word
+HLL_RHO_CAP = 55
+# alpha_m * m^2 * 2^55 for m = 64 (0.709 * 4096 * 2^55), precomputed in
+# IEEE double and inlined as its shortest round-trip repr so BOTH engines
+# parse the identical DOUBLE (a bare `0.709` would parse as DECIMAL in
+# both Spark and DuckDB); the single division by the register sum then
+# rounds once — the estimate is bit-identical across engines.
+_HLL_EST_NUM = repr(0.709 * 4096.0 * 36028797018963968.0)
+
+# shared hash/bucket/rho expressions (Spark SQL dialect)
+_HLL_RHO_SPARK = f"""
+CASE WHEN div(h, {HLL_BUCKETS}) = 0 THEN {HLL_RHO_CAP}
+     ELSE {HLL_RHO_CAP} - length(bin(div(h, {HLL_BUCKETS}))) END
+"""
+
+
+def _hll_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(domain, canon_url, bucket, rho) — one row per document URL."""
+    docs = _documents(spark, sf_dir)
+    return (docs
+            .select(F.concat("source", F.lit(".example.com")).alias("domain"),
+                    F.expr(_RAW_URL_SPARK).alias("raw_url"))
+            .withColumn("canon_url", _canon_col())
+            .withColumn("h", F.expr(
+                "cast(conv(substring(md5(canon_url), 1, 15), 16, 10)"
+                " AS BIGINT)"))
+            .select("domain", "canon_url",
+                    F.expr(f"pmod(h, {HLL_BUCKETS})").alias("bucket"),
+                    F.expr(_HLL_RHO_SPARK).alias("rho")))
+
+
+def hll_url_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct canonical URLs per domain, exact AND by HyperLogLog —
+    plus a ``*merged*`` row whose registers are re-aggregated from the
+    per-domain register states, demonstrating the sketch's mergeability.
+
+    Plan shape at 100 TB: the exact ``count(DISTINCT url)`` needs every
+    URL to cross a shuffle; the sketch needs ONE hash aggregate keyed
+    (domain, bucket) whose state is a single max — map-side partial,
+    64 longs per domain regardless of corpus size — and the merged row
+    costs a second aggregate over |domains|*64 rows, never touching the
+    fact table again.  That re-aggregability (registers from yesterday's
+    snapshot max-merge with today's) is why sketches, not exact
+    distincts, are the cardinality path at web scale.  The exact count
+    is computed here alongside ONLY to expose the sketch's error to the
+    oracle and the tests.
+
+    The raw HLL estimator is reported without the small-range linear-
+    counting branch (``ln`` is not bit-stable across engines);
+    ``hll_zero_buckets`` carries the V statistic that correction needs,
+    so a client applies ``m*ln(m/V)`` in one step where n < 2.5m.
+    """
+    urls = _hll_frame(spark, sf_dir)
+    regs = (urls.groupBy("domain", "bucket")
+            .agg(F.max("rho").alias("rho")))
+    merged = (regs.groupBy("bucket").agg(F.max("rho").alias("rho"))
+              .withColumn("domain", F.lit("*merged*")))
+    exact = (urls.groupBy("domain")
+             .agg(F.countDistinct("canon_url").alias("n_urls_exact")))
+    exact_all = (urls.agg(F.countDistinct("canon_url")
+                          .alias("n_urls_exact"))
+                 .withColumn("domain", F.lit("*merged*")))
+    sums = (regs.unionByName(merged.select("domain", "bucket", "rho"))
+            .groupBy("domain")
+            .agg(F.count("*").alias("n_seen"),
+                 F.sum(F.expr(
+                     f"shiftleft(CAST(1 AS BIGINT), {HLL_RHO_CAP} - rho)"))
+                 .alias("s_seen")))
+    s_full = (F.col("s_seen")
+              + (F.lit(HLL_BUCKETS) - F.col("n_seen"))
+              * F.lit(1 << HLL_RHO_CAP).cast("long"))
+    return (sums.join(exact.unionByName(exact_all.select(
+                "domain", "n_urls_exact")), "domain")
+            .select("domain", "n_urls_exact",
+                    (F.lit(HLL_BUCKETS) - F.col("n_seen")).cast("long")
+                    .alias("hll_zero_buckets"),
+                    s_full.cast("long").alias("hll_register_sum"),
+                    (F.expr(_HLL_EST_NUM)
+                     / s_full.cast("double")).alias("hll_estimate")))
+
+
+HLL_URL_CARDINALITY_SQL = f"""
+WITH urls AS ({CANON_URLS_SQL}),
+keyed AS (
+  SELECT d.source || '.example.com' AS domain, u.canon_url,
+         (('0x' || substring(md5(u.canon_url), 1, 15))::BIGINT) AS h
+  FROM urls u JOIN documents d ON d.doc_id = u.doc_id
+),
+rows_ AS (
+  SELECT domain, canon_url, h % {HLL_BUCKETS} AS bucket,
+         CASE WHEN h // {HLL_BUCKETS} = 0 THEN {HLL_RHO_CAP}
+              ELSE {HLL_RHO_CAP} - length(bin(h // {HLL_BUCKETS})) END AS rho
+  FROM keyed
+),
+regs AS (
+  SELECT domain, bucket, max(rho) AS rho FROM rows_ GROUP BY domain, bucket
+),
+allregs AS (
+  SELECT domain, bucket, rho FROM regs
+  UNION ALL
+  SELECT '*merged*' AS domain, bucket, max(rho) AS rho
+  FROM regs GROUP BY bucket
+),
+sums AS (
+  SELECT domain, count(*) AS n_seen,
+         sum(1::BIGINT << ({HLL_RHO_CAP} - rho)) AS s_seen
+  FROM allregs GROUP BY domain
+),
+exact AS (
+  SELECT domain, count(DISTINCT canon_url) AS n_urls_exact
+  FROM rows_ GROUP BY domain
+  UNION ALL
+  SELECT '*merged*' AS domain, count(DISTINCT canon_url) AS n_urls_exact
+  FROM rows_
+)
+SELECT s.domain, e.n_urls_exact,
+       CAST({HLL_BUCKETS} - s.n_seen AS BIGINT) AS hll_zero_buckets,
+       CAST(s.s_seen + ({HLL_BUCKETS} - s.n_seen)
+            * (1::BIGINT << {HLL_RHO_CAP}) AS BIGINT) AS hll_register_sum,
+       {_HLL_EST_NUM}
+         / CAST(s.s_seen + ({HLL_BUCKETS} - s.n_seen)
+                * (1::BIGINT << {HLL_RHO_CAP}) AS DOUBLE) AS hll_estimate
+FROM sums s JOIN exact e ON e.domain = s.domain
+"""
+
+
+# ---------------------------------------------------------------------------
+# crawl-budget apportionment (largest-remainder / Hamilton method)
+# ---------------------------------------------------------------------------
+
+CRAWL_BUDGET = 10_000           # fetch slots per crawl cycle
+
+
+def crawl_budget_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apportion a global fetch budget across domains proportionally to
+    their document counts, integer-exactly: floor quotas first, then the
+    leftover slots go to the largest fractional remainders (Hamilton's
+    method — deterministic tie-break on domain name).  Allocations sum
+    to CRAWL_BUDGET exactly, by construction.
+
+    Plan shape at 100 TB: ONE hash aggregate over the fact table keyed
+    by domain; everything after runs on the |domains| frame (millions of
+    rows, not trillions) — two 1-row broadcast totals and one
+    row_number window over the already-aggregated domain dim.  The
+    windowed sort never sees the fact table, exactly as domain_stats.
+    """
+    docs = _documents(spark, sf_dir)
+    dom = (docs.select(F.concat("source", F.lit(".example.com"))
+                       .alias("domain"))
+           .groupBy("domain").agg(F.count("*").alias("n_docs")))
+    tot = dom.agg(F.sum("n_docs").alias("t"))
+    quota = (dom.crossJoin(F.broadcast(tot))
+             .select("domain", "n_docs",
+                     F.expr(f"div({CRAWL_BUDGET} * n_docs, t)")
+                     .alias("base_alloc"),
+                     F.expr(f"pmod({CRAWL_BUDGET} * n_docs, t)")
+                     .alias("rem")))
+    left = quota.agg((F.lit(CRAWL_BUDGET) - F.sum("base_alloc"))
+                     .alias("leftover"))
+    w = Window.orderBy(F.desc("rem"), F.asc("domain"))
+    return (quota.crossJoin(F.broadcast(left))
+            .withColumn("rem_rank", F.row_number().over(w))
+            .select("domain", "n_docs", "base_alloc",
+                    (F.col("rem_rank") <= F.col("leftover")).cast("int")
+                    .alias("got_extra"),
+                    (F.col("base_alloc")
+                     + (F.col("rem_rank") <= F.col("leftover"))
+                     .cast("long")).alias("alloc")))
+
+
+CRAWL_BUDGET_ALLOCATION_SQL = f"""
+WITH dom AS (
+  SELECT source || '.example.com' AS domain, count(*) AS n_docs
+  FROM documents GROUP BY source
+),
+quota AS (
+  SELECT domain, n_docs,
+         CAST({CRAWL_BUDGET} * n_docs // t.t AS BIGINT) AS base_alloc,
+         ({CRAWL_BUDGET} * n_docs) % t.t AS rem
+  FROM dom CROSS JOIN (SELECT sum(n_docs) AS t FROM dom) t
+),
+ranked AS (
+  SELECT *, row_number() OVER (ORDER BY rem DESC, domain) AS rem_rank,
+         (SELECT {CRAWL_BUDGET} - sum(base_alloc) FROM quota) AS leftover
+  FROM quota
+)
+SELECT domain, n_docs, base_alloc,
+       CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END AS got_extra,
+       CAST(base_alloc + CASE WHEN rem_rank <= leftover THEN 1 ELSE 0 END
+            AS BIGINT) AS alloc
+FROM ranked
+"""
+
+
+# ---------------------------------------------------------------------------
+# politeness-slotted URL frontier
+# ---------------------------------------------------------------------------
+
+FRONTIER_SLOTS = 8              # fetches per domain per crawl cycle
+
+
+def url_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The crawl frontier's next cycle: score every known URL, then keep
+    the top FRONTIER_SLOTS per domain (politeness — one domain never
+    floods a cycle).  Priority is integer-exact: inlink count dominates,
+    shallower paths beat deeper ones, a doc_id residue breaks ties the
+    way a recency timestamp would.
+
+    Plan shape at 100 TB: the URL synthesis/canonicalization and the
+    path-depth projection are codegen map work; in-degree is one hash
+    aggregate over the edge list plus one equi-join back on doc_id
+    (both keyed, AQE-splittable); the per-domain top-K runs as a
+    row_number window that Catalyst plans as WindowGroupLimit — each
+    map task keeps only its local top FRONTIER_SLOTS per domain BEFORE
+    the exchange, so the shuffle carries O(domains * K), not O(urls):
+    the inverted_index postings shape, applied to scheduling.
+    """
+    docs = _documents(spark, sf_dir)
+    urls = (docs
+            .select("doc_id",
+                    F.concat("source", F.lit(".example.com")).alias("domain"),
+                    F.expr(_RAW_URL_SPARK).alias("raw_url"))
+            .withColumn("canon_url", _canon_col()))
+    # path depth = '/' count in the canonical path (query stripped);
+    # the leading '://' never matches because the regexp eats scheme+host
+    path = F.regexp_replace(
+        F.regexp_replace("canon_url", r"^[a-z]+://[^/]*", ""), r"\?.*$", "")
+    depth = (F.length(path)
+             - F.length(F.regexp_replace(path, "/", ""))).cast("long")
+    indeg = _edges(docs).groupBy("dst").agg(F.count("*").alias("in_deg"))
+    scored = (urls.withColumn("depth", depth)
+              .join(indeg, urls.doc_id == indeg.dst, "left")
+              .select("doc_id", "domain", "depth",
+                      F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
+              .withColumn("priority",
+                          F.expr("1000 * in_deg - 10 * depth"
+                                 " + pmod(doc_id, 7)").cast("long")))
+    w = Window.partitionBy("domain").orderBy(F.desc("priority"),
+                                             F.asc("doc_id"))
+    return (scored.withColumn("slot", F.row_number().over(w))
+            .filter(F.col("slot") <= FRONTIER_SLOTS)
+            .select("doc_id", "domain", "in_deg", "depth", "priority",
+                    "slot"))
+
+
+URL_FRONTIER_PRIORITY_SQL = f"""
+WITH urls AS ({CANON_URLS_SQL}),
+n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j) % n.n AS dst
+  FROM documents d CROSS JOIN n
+  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
+  WHERE t.j <= 1 + d.doc_id % 3
+    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
+),
+indeg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
+scored AS (
+  SELECT u.doc_id, d.source || '.example.com' AS domain,
+         COALESCE(i.in_deg, 0) AS in_deg,
+         CAST(length(p.path) - length(replace(p.path, '/', ''))
+              AS BIGINT) AS depth,
+         CAST(1000 * COALESCE(i.in_deg, 0)
+              - 10 * (length(p.path) - length(replace(p.path, '/', '')))
+              + u.doc_id % 7 AS BIGINT) AS priority
+  FROM urls u
+  JOIN documents d ON d.doc_id = u.doc_id
+  LEFT JOIN indeg i ON i.dst = u.doc_id
+  CROSS JOIN LATERAL (SELECT regexp_replace(
+      regexp_replace(u.canon_url, '^[a-z]+://[^/]*', ''),
+      '\\?.*$', '') AS path) p
+)
+SELECT doc_id, domain, in_deg, depth, priority,
+       CAST(rn AS INTEGER) AS slot
+FROM (SELECT *, row_number() OVER (PARTITION BY domain
+                                   ORDER BY priority DESC, doc_id) AS rn
+      FROM scored)
+WHERE rn <= {FRONTIER_SLOTS}
+"""
+
+
+# ---------------------------------------------------------------------------
+# host-level link-graph rollup
+# ---------------------------------------------------------------------------
+
+def host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host link-graph summary: total/intra-host out- and in-edges
+    and the distinct peer-host counts — the host-level connectivity
+    profile crawl schedulers and spam classifiers read.
+
+    Plan shape at 100 TB: the edge list joins the (doc_id -> host) dim
+    twice (shuffle equi-joins on the doc key — the dim is doc-sized, so
+    neither side broadcasts; both co-partition), then COARSENS to one
+    row per (src_host, dst_host) in ONE hash aggregate BEFORE any
+    per-host math: host-pair cardinality is orders of magnitude below
+    edge cardinality, so the expensive fact-sized stage ends at that
+    aggregate and the out/in rollups + full-outer stitch run on the
+    host-pair dim.  Aggregate-early is the whole trick; the naive plan
+    windows over raw edges.
+    """
+    docs = _documents(spark, sf_dir)
+    dim = docs.select("doc_id",
+                      F.concat("source", F.lit(".example.com"))
+                      .alias("host"))
+    e = (_edges(docs)
+         .join(dim.select(F.col("doc_id").alias("src"),
+                          F.col("host").alias("src_host")), "src")
+         .join(dim.select(F.col("doc_id").alias("dst"),
+                          F.col("host").alias("dst_host")), "dst"))
+    pairs = (e.groupBy("src_host", "dst_host")
+             .agg(F.count("*").alias("c")))
+    out = (pairs.groupBy("src_host")
+           .agg(F.sum("c").alias("out_edges"),
+                F.count("*").alias("out_hosts"),
+                F.sum(F.when(F.col("src_host") == F.col("dst_host"),
+                             F.col("c")).otherwise(F.lit(0)))
+                .alias("intra_edges")))
+    inn = (pairs.groupBy("dst_host")
+           .agg(F.sum("c").alias("in_edges"),
+                F.count("*").alias("in_hosts")))
+    return (out.join(inn, out.src_host == inn.dst_host, "full_outer")
+            .select(F.coalesce("src_host", "dst_host").alias("host"),
+                    F.coalesce("out_edges", F.lit(0)).alias("out_edges"),
+                    F.coalesce("out_hosts", F.lit(0)).alias("out_hosts"),
+                    F.coalesce("in_edges", F.lit(0)).alias("in_edges"),
+                    F.coalesce("in_hosts", F.lit(0)).alias("in_hosts"),
+                    F.coalesce("intra_edges", F.lit(0))
+                    .alias("intra_edges")))
+
+
+HOST_GRAPH_STATS_SQL = """
+WITH n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j) % n.n AS dst
+  FROM documents d CROSS JOIN n
+  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
+  WHERE t.j <= 1 + d.doc_id % 3
+    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
+),
+dim AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
+pairs AS (
+  SELECT s.host AS src_host, t.host AS dst_host, count(*) AS c
+  FROM edges e
+  JOIN dim s ON s.doc_id = e.src
+  JOIN dim t ON t.doc_id = e.dst
+  GROUP BY s.host, t.host
+),
+outs AS (
+  SELECT src_host, sum(c) AS out_edges, count(*) AS out_hosts,
+         sum(CASE WHEN src_host = dst_host THEN c ELSE 0 END) AS intra_edges
+  FROM pairs GROUP BY src_host
+),
+ins AS (
+  SELECT dst_host, sum(c) AS in_edges, count(*) AS in_hosts
+  FROM pairs GROUP BY dst_host
+)
+SELECT COALESCE(o.src_host, i.dst_host) AS host,
+       CAST(COALESCE(o.out_edges, 0) AS BIGINT) AS out_edges,
+       CAST(COALESCE(o.out_hosts, 0) AS BIGINT) AS out_hosts,
+       CAST(COALESCE(i.in_edges, 0) AS BIGINT) AS in_edges,
+       CAST(COALESCE(i.in_hosts, 0) AS BIGINT) AS in_hosts,
+       CAST(COALESCE(o.intra_edges, 0) AS BIGINT) AS intra_edges
+FROM outs o FULL OUTER JOIN ins i ON i.dst_host = o.src_host
+"""

@@ -13,8 +13,8 @@ from typing import Callable, Dict, Optional, Tuple
 
 from pyspark.sql import DataFrame, SparkSession
 
-from . import (chunking, dedup, events, htmlstrip, multimodal, relational,
-               sampling, similarity, textstats, webtext)
+from . import (chunking, crawlops, dedup, events, htmlstrip, multimodal,
+               relational, sampling, similarity, textstats, webtext)
 
 N_EXTRACT_DOCS = 48
 
@@ -975,6 +975,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # rows; demoted in exchange (all r6-green, rationale at the tail
 # entries): `gopher_quality_filter`, `unigram_surprisal`,
 # `dsir_importance_weights`, `image_resize_meta`.
+# Round-7 batch #8 (crawl operations: deterministic-HLL cardinality /
+# budget apportionment / frontier scheduling / host-graph rollup): the
+# four BRAND-NEW ops `hll_url_cardinality`, `crawl_budget_allocation`,
+# `url_frontier_priority`, `host_graph_stats` enter the head so their
+# first round gets driver rows; demoted in exchange (all r6-green,
+# rationale at the tail entries): `extract_jsonl_words`,
+# `ngram_jaccard_pairs`, `ann_lsh_multiprobe_topk`, `big_orders`.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1001,7 +1008,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     "extract_word_counts": (extract_word_counts, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
-    "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
     # rotation #7 promotion: stalest driver row (r3)
     "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "extract_visualization": (extract_visualization, None),  # oracle below
@@ -1020,7 +1026,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                         relational.PRICING_SUMMARY_SQL),
     "regional_revenue": (relational.regional_revenue,
                          relational.REGIONAL_REVENUE_SQL),
-    "big_orders": (relational.big_orders, relational.BIG_ORDERS_SQL),
     # windowed/relational ops over events (§2.5 surface)
     "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     # rotation #7 promotion: stalest driver row (r3)
@@ -1028,8 +1033,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                               events.TUMBLING_COUNTS_SQL),
     # dedup family
     "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
-    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
-                            dedup.NGRAM_JACCARD_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
     # round 6 batch #2: exact duplicated-span signal (Lee et al. 2022)
@@ -1046,8 +1049,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # similarity search
     "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
                             similarity.ANN_BRUTEFORCE_SQL),
-    "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
-                                similarity.ANN_MULTIPROBE_SQL),
     # rotation #7 promotion: stalest driver row (r3)
     "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
@@ -1092,6 +1093,16 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          webtext.BITEXT_URL_PAIRS_SQL),
     "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
                             webtext.CRAWL_SNAPSHOT_DIFF_SQL),
+    # round 7 batch #8: crawl-operations layer (brand-new, straight into
+    # the head for first-round driver rows — the batch-#7 precedent)
+    "hll_url_cardinality": (crawlops.hll_url_cardinality,
+                            crawlops.HLL_URL_CARDINALITY_SQL),
+    "crawl_budget_allocation": (crawlops.crawl_budget_allocation,
+                                crawlops.CRAWL_BUDGET_ALLOCATION_SQL),
+    "url_frontier_priority": (crawlops.url_frontier_priority,
+                              crawlops.URL_FRONTIER_PRIORITY_SQL),
+    "host_graph_stats": (crawlops.host_graph_stats,
+                         crawlops.HOST_GRAPH_STATS_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
     "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
@@ -1212,6 +1223,26 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     #     per-lang ntile window, both r6-green; shapes shared with head
     #     benchmark gates and sequence_packing's per-shard window
     "extract_jsonl_shapes": (extract_jsonl_shapes, None),  # oracle below
+    # round-7 rotation #8 demotions (ALL hold fresh r6-green driver
+    # rows; surfaces stay head- or pytest-covered):
+    #   extract_jsonl_words — the word unit rides the same serializer
+    #     path as head extract_jsonl; word detection is pytest-covered
+    #     (test_serializers, 1502-row golden) and exercised by head
+    #     extract_word_counts
+    #   ngram_jaccard_pairs — the PPJoin prefix-filter pair surface is
+    #     head minhash_lsh_pairs' band-join shape over the same shingle
+    #     stream; the exact-Jaccard kernel is pytest-covered
+    #   ann_lsh_multiprobe_topk — the probe-mask expansion of tail
+    #     ann_lsh_topk; head ann_ivf/_ivf2 carry the bucketed-ANN
+    #     surface, recall gates stay in pytest
+    #   big_orders — TPC-H-style group-filter shape shared with head
+    #     pricing_summary + regional_revenue
+    "extract_jsonl_words": (extract_jsonl_words, None),  # oracle below
+    "ngram_jaccard_pairs": (dedup.ngram_jaccard_pairs,
+                            dedup.NGRAM_JACCARD_SQL),
+    "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
+                                similarity.ANN_MULTIPROBE_SQL),
+    "big_orders": (relational.big_orders, relational.BIG_ORDERS_SQL),
     "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
     "extract_text_extended": (extract_text_extended, None),  # oracle below
     "shipping_priority": (relational.shipping_priority,
