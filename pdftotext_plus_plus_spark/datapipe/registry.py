@@ -145,6 +145,42 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def warc_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl WARC->WET product, round-tripped end to end:
+    fixture WARC shards -> binaryFile + tolerant splitter -> the SAME
+    13-stage engine -> WET ``conversion`` shards (one applyInPandas per
+    url-hash bucket, deterministic shard bytes) -> tolerant WET
+    parse-back.  The parsed-back (url, extracted_text) rows are checked
+    against the SAME intent-level golden oracle as ``extract_text``, so
+    the WET writer/parser pair is proven byte-faithful to the engine's
+    text surface (ref: the reference's TXT sink, TextSerializer.cpp —
+    WET is that sink's crawl-native container form, as WARC is the
+    crawl-native form of its directory-walk source).
+
+    Plan shape at 100 TB: WET conversion is ONE keyed applyInPandas
+    whose per-task state is a single output shard's text (the
+    post-extraction product, ~10x under the WARC input); parse-back is
+    the same one-task-per-shard scan as read_warc.
+    """
+    import shutil
+    import tempfile
+
+    from .. import engine, fixtures
+    from .. import warc as warcmod
+
+    root = tempfile.mkdtemp(prefix="warc_wet_")
+    try:
+        rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+        warcmod.write_warc_dir(rows, root, n_files=4)
+        pages = warcmod.read_warc(spark, root)
+        out = engine.extract_pages(pages, num_partitions=8)
+        wet = warcmod.wet_convert(out.select("url", "extracted_text"))
+        return (warcmod.read_wet_blobs(wet)
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def warc_cdx_index_oracle_sql() -> str:
     """VALUES oracle: the index computed over warc.shard_files — the
     same shard layout the query writes — without Spark."""
@@ -982,6 +1018,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # first round gets driver rows; demoted in exchange (all r6-green,
 # rationale at the tail entries): `extract_jsonl_words`,
 # `ngram_jaccard_pairs`, `ann_lsh_multiprobe_topk`, `big_orders`.
+# Batch #8 addendum: `warc_wet_records` (the WARC->WET conversion
+# product, oracled against the extract_text golden) also enters the
+# head; `pricing_summary` (r6-green) demoted in exchange.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1022,8 +1061,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # rotation #7 promotion: stalest driver row (r4)
     "stream_extract_equivalence": (stream_extract_equivalence, None),
     # generic relational surface over the TPC-H-style driver tables
-    "pricing_summary": (relational.pricing_summary,
-                        relational.PRICING_SUMMARY_SQL),
     "regional_revenue": (relational.regional_revenue,
                          relational.REGIONAL_REVENUE_SQL),
     # windowed/relational ops over events (§2.5 surface)
@@ -1106,6 +1143,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
     "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
+    # round 7 batch #8 addendum: the WARC->WET conversion product,
+    # round-tripped through the engine (oracle = extract_text's golden)
+    "warc_wet_records": (warc_wet_records, None),  # oracle filled below
     "streaming_url_dedup": (streaming_url_dedup_equivalence,
                             STREAMING_URL_DEDUP_SQL),
     # multimodal plumbing — rotation #7 promotion: stalest driver row (r3)
@@ -1243,6 +1283,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "ann_lsh_multiprobe_topk": (similarity.ann_lsh_multiprobe_topk,
                                 similarity.ANN_MULTIPROBE_SQL),
     "big_orders": (relational.big_orders, relational.BIG_ORDERS_SQL),
+    #   pricing_summary — demoted for the warc_wet_records promotion
+    #     (r6-green; its filter+group agg shape is head regional_revenue's
+    #     join+agg minus the join, and big_orders sits one entry up)
+    "pricing_summary": (relational.pricing_summary,
+                        relational.PRICING_SUMMARY_SQL),
     "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
     "extract_text_extended": (extract_text_extended, None),  # oracle below
     "shipping_priority": (relational.shipping_priority,
@@ -1302,6 +1347,9 @@ def oracle_sql() -> Dict[str, str]:
     oracles["stream_extract_equivalence"] = extract_text_oracle_sql()
     # WARC-ingested output must equal the same golden, per url
     oracles["warc_extract_equivalence"] = extract_text_oracle_sql()
+    # the WET parse-back must ALSO equal the same golden, per url —
+    # byte-faithful writer + parser or the hash fails
+    oracles["warc_wet_records"] = extract_text_oracle_sql()
     # CDX index rows must equal the deterministic-construction index
     oracles["warc_cdx_index"] = warc_cdx_index_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()

@@ -319,3 +319,106 @@ def cdx_index(spark, path: str):
         index_files,
         "url string, warc_date string, filename string, "
         "offset long, length long")
+
+
+# ---------------------------------------------------------------------------
+# WET conversion records (the WARC -> extracted-text product)
+# ---------------------------------------------------------------------------
+
+# CommonCrawl publishes extraction output as WET files: the same ISO
+# 28500 framing, but records are WARC-Type ``conversion`` whose block is
+# the extracted plain text itself (no HTTP envelope) and whose
+# WARC-Refers-To names the response record it was derived from.  The
+# writer/parser pair below is the repo's WET product surface; the
+# round trip is oracled against the extract_text goldens (registry query
+# warc_wet_records) — the WET bytes are byte-faithful to the engine's
+# extracted_text surface.
+
+WET_DATE = "2024-01-01T00:00:00Z"     # deterministic artifact date
+
+
+def encode_wet(records, filename: str = "fixture.warc.wet") -> bytes:
+    """Serialize (url, text[, refers_to]) tuples as one WET file:
+    warcinfo head record + one ``conversion`` record per page whose
+    block is the UTF-8 extracted text.  Content-Length framing makes
+    text containing the record magic safe (the body is length-counted,
+    never scanned)."""
+    info_block = b"software: pdftotext_plus_plus_spark\r\n"
+    parts = [_record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", WET_DATE),
+         ("WARC-Filename", filename),
+         ("Content-Type", "application/warc-fields")], info_block)]
+    for i, rec in enumerate(records):
+        url, text = rec[0], rec[1]
+        refers_to = rec[2] if len(rec) > 2 else ""
+        headers = [("WARC-Type", "conversion"),
+                   ("WARC-Target-URI", url),
+                   ("WARC-Date", WET_DATE),
+                   ("WARC-Record-ID", "<urn:wet:%s:%d>" % (filename, i))]
+        if refers_to:
+            headers.append(("WARC-Refers-To", refers_to))
+        headers.append(("Content-Type", "text/plain"))
+        parts.append(_record(headers, text.encode("utf-8")))
+    return b"".join(parts)
+
+
+def parse_wet(blob: bytes):
+    """Return ([(url, text) per conversion record], n_corrupt).  Same
+    tolerant resync walk as :func:`parse_warc`; the body IS the text
+    (WET records carry no HTTP envelope)."""
+    records, n_corrupt = _walk(blob)
+    out = [(h.get("warc-target-uri", ""), body.decode("utf-8", "replace"))
+           for h, body, _, _ in records
+           if h.get("warc-type") == "conversion"]
+    return out, n_corrupt
+
+
+def wet_convert(extracted, n_shards: int = 4):
+    """(url, extracted_text) DataFrame -> one (filename, content) row per
+    WET shard blob.
+
+    Plan shape at 100 TB: ONE applyInPandas keyed on a url-hash bucket —
+    each task holds one shard's text (WET is the post-extraction product,
+    ~10x smaller than the WARC input), encodes it, emits one row.  Shard
+    count is the parallelism knob; rows within a shard sort by url so
+    shard bytes are deterministic under any upstream partitioning."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def build(key, pdf):
+        name = "part-%02d.warc.wet" % int(key[0])
+        pdf = pdf.sort_values("url")
+        blob = encode_wet(
+            list(zip(pdf["url"], pdf["extracted_text"])), filename=name)
+        return pd.DataFrame({"filename": [name], "content": [blob]})
+
+    return (extracted
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("url"), F.lit(n_shards)))
+            .groupBy("bucket")
+            .applyInPandas(build, "filename string, content binary"))
+
+
+def read_wet_blobs(shards):
+    """(filename, content) WET blobs -> (url, extracted_text) rows via
+    the tolerant parser, Arrow-batched with the same bounded flush
+    discipline as :func:`split_warc_batches`."""
+    import pandas as pd
+
+    def split(batches):
+        urls, texts = [], []
+        for pdf in batches:
+            for blob in pdf["content"]:
+                recs, _ = parse_wet(bytes(blob))
+                for url, text in recs:
+                    urls.append(url)
+                    texts.append(text)
+                    if len(urls) >= WARC_SPLIT_BATCH_ROWS:
+                        yield pd.DataFrame(
+                            {"url": urls, "extracted_text": texts})
+                        urls, texts = [], []
+        if urls:
+            yield pd.DataFrame({"url": urls, "extracted_text": texts})
+
+    return shards.mapInPandas(split, "url string, extracted_text string")

@@ -189,3 +189,49 @@ def test_spark_cdx_index_matches_local(spark, tmp_path):
             f.seek(off)
             u2, payload = warc.read_record(f.read(ln))
         assert payload == by_url[url]["html"]
+
+
+def test_wet_roundtrip_and_tolerance():
+    recs = [("http://e/1", "plain text\n"),
+            ("http://e/2", "text holding the magic WARC/1.0\r\ninside\n"),
+            ("http://e/3", "unicode éß \U0001f389\n",
+             "<urn:fixture:part-00.warc:3>")]
+    blob = warc.encode_wet(recs, filename="part-00.warc.wet")
+    got, n_corrupt = warc.parse_wet(blob)
+    assert n_corrupt == 0
+    assert got == [(u, t) for u, t, *_ in recs]
+    # refers-to header survives the parse walk
+    records, _ = warc._walk(blob)
+    conv = [h for h, *_ in records if h.get("warc-type") == "conversion"]
+    assert conv[2]["warc-refers-to"] == "<urn:fixture:part-00.warc:3>"
+    # the response-record parser ignores WET conversion records entirely
+    assert warc.parse_warc(blob)[0] == []
+    # corrupt the second record's Content-Length framing: the parser
+    # must resync at the next magic, keep records 1 and 3, count the skip
+    at = blob.find(b"Content-Length", blob.find(b"http://e/2"))
+    bad = blob[:at] + b"Content-Length: 999999\r\n" + \
+        blob[blob.find(b"\r\n", at) + 2:]
+    got_bad, n_bad = warc.parse_wet(bad)
+    assert [u for u, _ in got_bad] == ["http://e/1", "http://e/3"]
+    assert n_bad >= 1
+
+
+def test_wet_convert_spark_roundtrip(spark):
+    rows = fixtures.build_corpus(12, jumbo_every=6)
+    df = spark.createDataFrame(
+        [(r["url"], r["golden_text"]) for r in rows],
+        "url string, extracted_text string")
+    shards = warc.wet_convert(df, n_shards=3).collect()
+    assert 1 <= len(shards) <= 3
+    assert all(s["filename"].endswith(".warc.wet") for s in shards)
+    # shard bytes are deterministic under any upstream partitioning
+    shards2 = {s["filename"]: bytes(s["content"]) for s in
+               warc.wet_convert(df.repartition(7), n_shards=3).collect()}
+    assert {s["filename"]: bytes(s["content"]) for s in shards} == shards2
+    # parse-back through the Spark reader recovers every text exactly
+    sdf = spark.createDataFrame(
+        [(s["filename"], bytes(s["content"])) for s in shards],
+        "filename string, content binary")
+    got = {r["url"]: r["extracted_text"]
+           for r in warc.read_wet_blobs(sdf).collect()}
+    assert got == {r["url"]: r["golden_text"] for r in rows}
