@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 
 from pdftotext_plus_plus_spark.datapipe.webtext import (
     CANON_URLS_SQL,
+    EDGES_SQL,
     _RAW_URL_SPARK,
     _canon_col,
     _documents,
@@ -248,20 +249,25 @@ FRONTIER_SLOTS = 8              # fetches per domain per crawl cycle
 
 
 def url_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The crawl frontier's next cycle: score every known URL, then keep
-    the top FRONTIER_SLOTS per domain (politeness — one domain never
-    floods a cycle).  Priority is integer-exact: inlink count dominates,
-    shallower paths beat deeper ones, a doc_id residue breaks ties the
-    way a recency timestamp would.
+    """The crawl frontier's next cycle: dedup to ONE representative per
+    canonical URL first (min doc_id — url_normalize_dedup's keep rule; a
+    frontier schedules pages, and several raw fetches of the same
+    canonical page must not consume several fetch slots), score each
+    page, then keep the top FRONTIER_SLOTS per domain (politeness — one
+    domain never floods a cycle).  Priority is integer-exact: inlink
+    count dominates, shallower paths beat deeper ones, a doc_id residue
+    breaks ties the way a recency timestamp would.
 
     Plan shape at 100 TB: the URL synthesis/canonicalization and the
-    path-depth projection are codegen map work; in-degree is one hash
-    aggregate over the edge list plus one equi-join back on doc_id
-    (both keyed, AQE-splittable); the per-domain top-K runs as a
-    row_number window that Catalyst plans as WindowGroupLimit — each
-    map task keeps only its local top FRONTIER_SLOTS per domain BEFORE
-    the exchange, so the shuffle carries O(domains * K), not O(urls):
-    the inverted_index postings shape, applied to scheduling.
+    path-depth projection are codegen map work; the canonical dedup is
+    the exact_dedup shape (one hash agg on canon_url + equi-join back,
+    skew-safe min); in-degree is one hash aggregate over the edge list
+    plus one equi-join back on doc_id (both keyed, AQE-splittable); the
+    per-domain top-K runs as a row_number window that Catalyst plans as
+    WindowGroupLimit — each map task keeps only its local top
+    FRONTIER_SLOTS per domain BEFORE the exchange, so the shuffle
+    carries O(domains * K), not O(urls): the inverted_index postings
+    shape, applied to scheduling.
     """
     docs = _documents(spark, sf_dir)
     urls = (docs
@@ -269,6 +275,8 @@ def url_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.concat("source", F.lit(".example.com")).alias("domain"),
                     F.expr(_RAW_URL_SPARK).alias("raw_url"))
             .withColumn("canon_url", _canon_col()))
+    keep = urls.groupBy("canon_url").agg(F.min("doc_id").alias("doc_id"))
+    reps = urls.join(keep, ["canon_url", "doc_id"])
     # path depth = '/' count in the canonical path (query stripped);
     # the leading '://' never matches because the regexp eats scheme+host
     path = F.regexp_replace(
@@ -276,9 +284,9 @@ def url_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     depth = (F.length(path)
              - F.length(F.regexp_replace(path, "/", ""))).cast("long")
     indeg = _edges(docs).groupBy("dst").agg(F.count("*").alias("in_deg"))
-    scored = (urls.withColumn("depth", depth)
-              .join(indeg, urls.doc_id == indeg.dst, "left")
-              .select("doc_id", "domain", "depth",
+    scored = (reps.withColumn("depth", depth)
+              .join(indeg, reps.doc_id == indeg.dst, "left")
+              .select("doc_id", "canon_url", "domain", "depth",
                       F.coalesce("in_deg", F.lit(0)).alias("in_deg"))
               .withColumn("priority",
                           F.expr("1000 * in_deg - 10 * depth"
@@ -287,23 +295,18 @@ def url_frontier_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
                                              F.asc("doc_id"))
     return (scored.withColumn("slot", F.row_number().over(w))
             .filter(F.col("slot") <= FRONTIER_SLOTS)
-            .select("doc_id", "domain", "in_deg", "depth", "priority",
-                    "slot"))
+            .select("doc_id", "canon_url", "domain", "in_deg", "depth",
+                    "priority", "slot"))
 
 
 URL_FRONTIER_PRIORITY_SQL = f"""
 WITH urls AS ({CANON_URLS_SQL}),
-n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j) % n.n AS dst
-  FROM documents d CROSS JOIN n
-  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
-  WHERE t.j <= 1 + d.doc_id % 3
-    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
-),
+{EDGES_SQL},
+keep AS (SELECT canon_url, min(doc_id) AS doc_id FROM urls
+         GROUP BY canon_url),
 indeg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
 scored AS (
-  SELECT u.doc_id, d.source || '.example.com' AS domain,
+  SELECT u.doc_id, u.canon_url, d.source || '.example.com' AS domain,
          COALESCE(i.in_deg, 0) AS in_deg,
          CAST(length(p.path) - length(replace(p.path, '/', ''))
               AS BIGINT) AS depth,
@@ -311,13 +314,14 @@ scored AS (
               - 10 * (length(p.path) - length(replace(p.path, '/', '')))
               + u.doc_id % 7 AS BIGINT) AS priority
   FROM urls u
+  JOIN keep k ON k.canon_url = u.canon_url AND k.doc_id = u.doc_id
   JOIN documents d ON d.doc_id = u.doc_id
   LEFT JOIN indeg i ON i.dst = u.doc_id
   CROSS JOIN LATERAL (SELECT regexp_replace(
       regexp_replace(u.canon_url, '^[a-z]+://[^/]*', ''),
       '\\?.*$', '') AS path) p
 )
-SELECT doc_id, domain, in_deg, depth, priority,
+SELECT doc_id, canon_url, domain, in_deg, depth, priority,
        CAST(rn AS INTEGER) AS slot
 FROM (SELECT *, row_number() OVER (PARTITION BY domain
                                    ORDER BY priority DESC, doc_id) AS rn
@@ -375,15 +379,8 @@ def host_graph_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                     .alias("intra_edges")))
 
 
-HOST_GRAPH_STATS_SQL = """
-WITH n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j) % n.n AS dst
-  FROM documents d CROSS JOIN n
-  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
-  WHERE t.j <= 1 + d.doc_id % 3
-    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
-),
+HOST_GRAPH_STATS_SQL = f"""
+WITH {EDGES_SQL},
 dim AS (SELECT doc_id, source || '.example.com' AS host FROM documents),
 pairs AS (
   SELECT s.host AS src_host, t.host AS dst_host, count(*) AS c

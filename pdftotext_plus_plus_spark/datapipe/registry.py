@@ -96,6 +96,41 @@ def stream_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+# the ONE WARC fixture shape (corpus size / jumbo cadence / shard count)
+# shared by every WARC-sourced query AND the CDX oracle — change it here
+# and nowhere else, or the 'checked against the SAME golden' claims drift
+WARC_FIXTURE_N_FILES = 4
+
+
+def _warc_fixture_rows():
+    from .. import fixtures
+
+    return fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
+
+
+def _warc_extracted_pages(spark: SparkSession) -> DataFrame:
+    """The fixture corpus round-tripped WARC-shards -> binaryFile +
+    tolerant splitter -> the SAME 13-stage engine: (url, extracted_text),
+    eagerly checkpointed so it outlives the temp shard dir.  Shared by
+    warc_extract_equivalence and warc_wet_records."""
+    import shutil
+    import tempfile
+
+    from .. import engine
+    from .. import warc as warcmod
+
+    root = tempfile.mkdtemp(prefix="warc_equiv_")
+    try:
+        warcmod.write_warc_dir(_warc_fixture_rows(), root,
+                               n_files=WARC_FIXTURE_N_FILES)
+        pages = warcmod.read_warc(spark, root)
+        out = engine.extract_pages(pages, num_partitions=8)
+        return (out.select("url", "extracted_text")
+                .localCheckpoint(eager=True))
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
 def warc_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WARC-source ingestion == parquet-source extraction, driver-visible:
     the fixture corpus is serialized as four spec-shaped ISO 28500 WARC
@@ -105,22 +140,7 @@ def warc_extract_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the SAME intent-level golden oracle as ``extract_text``
     (ref: the reference walks a directory of PDFs, pdftotext++.cpp;
     WARC is this repo's crawl-native form of that S1 source surface)."""
-    import shutil
-    import tempfile
-
-    from .. import engine, fixtures
-    from .. import warc as warcmod
-
-    root = tempfile.mkdtemp(prefix="warc_equiv_")
-    try:
-        rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
-        warcmod.write_warc_dir(rows, root, n_files=4)
-        pages = warcmod.read_warc(spark, root)
-        out = engine.extract_pages(pages, num_partitions=8)
-        return (out.select("url", "extracted_text")
-                .localCheckpoint(eager=True))
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    return _warc_extracted_pages(spark)
 
 
 def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -133,13 +153,12 @@ def warc_cdx_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from .. import fixtures
     from .. import warc as warcmod
 
     root = tempfile.mkdtemp(prefix="warc_cdx_")
     try:
-        rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
-        warcmod.write_warc_dir(rows, root, n_files=4)
+        warcmod.write_warc_dir(_warc_fixture_rows(), root,
+                               n_files=WARC_FIXTURE_N_FILES)
         return warcmod.cdx_index(spark, root).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(root, ignore_errors=True)
@@ -162,35 +181,21 @@ def warc_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     post-extraction product, ~10x under the WARC input); parse-back is
     the same one-task-per-shard scan as read_warc.
     """
-    import shutil
-    import tempfile
-
-    from .. import engine, fixtures
     from .. import warc as warcmod
 
-    root = tempfile.mkdtemp(prefix="warc_wet_")
-    try:
-        rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
-        warcmod.write_warc_dir(rows, root, n_files=4)
-        pages = warcmod.read_warc(spark, root)
-        out = engine.extract_pages(pages, num_partitions=8)
-        wet = warcmod.wet_convert(out.select("url", "extracted_text"))
-        return (warcmod.read_wet_blobs(wet)
-                .localCheckpoint(eager=True))
-    finally:
-        shutil.rmtree(root, ignore_errors=True)
+    wet = warcmod.wet_convert(_warc_extracted_pages(spark))
+    return warcmod.read_wet_blobs(wet).localCheckpoint(eager=True)
 
 
 def warc_cdx_index_oracle_sql() -> str:
     """VALUES oracle: the index computed over warc.shard_files — the
     same shard layout the query writes — without Spark."""
-    from .. import fixtures
     from .. import warc as warcmod
 
-    rows = fixtures.build_corpus(N_EXTRACT_DOCS, jumbo_every=16)
     esc = lambda s: s.replace("'", "''")  # noqa: E731
     values = []
-    for name, blob in warcmod.shard_files(rows, n_files=4):
+    for name, blob in warcmod.shard_files(_warc_fixture_rows(),
+                                          n_files=WARC_FIXTURE_N_FILES):
         for url, date, off, ln in warcmod.index_warc(blob):
             values.append("('%s', '%s', '%s', %d, %d)"
                           % (esc(url), esc(date), esc(name), off, ln))

@@ -485,6 +485,22 @@ PAGERANK_ITERS = 3
 PAGERANK_UNIT = 1_000_000
 PAGERANK_FANOUT = 3
 
+# The synthetic outlink-graph construction as a WITH-clause fragment
+# (DuckDB dialect) — the SINGLE SQL source of truth for the edge list,
+# shared by every oracle over the graph (pagerank, anchors, frontier,
+# host rollup); it mirrors :func:`_edges` exactly, with the VALUES list
+# and the fanout filter both generated from PAGERANK_FANOUT so the
+# Python and SQL forms cannot drift apart.
+EDGES_SQL = f"""n AS (SELECT count(*) AS n FROM documents),
+edges AS (
+  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j) % n.n AS dst
+  FROM documents d CROSS JOIN n
+  CROSS JOIN (VALUES {', '.join('(%d)' % (j + 1)
+                                for j in range(PAGERANK_FANOUT))}) AS t(j)
+  WHERE t.j <= 1 + d.doc_id % {PAGERANK_FANOUT}
+    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
+)"""
+
 
 def _edges(docs: DataFrame) -> DataFrame:
     n = docs.agg(F.count("*").alias("n"))
@@ -547,14 +563,7 @@ FROM documents d LEFT JOIN (
 """
 
 LINK_PAGERANK_SQL = f"""
-WITH n AS (SELECT count(*) AS n FROM documents),
-edges AS (
-  SELECT d.doc_id AS src, (d.doc_id * 7 + t.j) % n.n AS dst
-  FROM documents d CROSS JOIN n
-  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
-  WHERE t.j <= 1 + d.doc_id % 3
-    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
-),
+WITH {EDGES_SQL},
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 indeg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
 r0 AS (SELECT doc_id, CAST({PAGERANK_UNIT} AS BIGINT) AS r FROM documents),
@@ -689,15 +698,10 @@ def anchor_text_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANCHOR_TEXT_TOPK_SQL = f"""
-WITH n AS (SELECT count(*) AS n FROM documents),
+WITH {EDGES_SQL},
 e AS (
-  SELECT (d.doc_id * 7 + t.j) % n.n AS dst,
-         't' || ((d.doc_id + (d.doc_id * 7 + t.j) % n.n) % {ANCHOR_VOCAB})
-           AS anchor
-  FROM documents d CROSS JOIN n
-  CROSS JOIN (VALUES (1), (2), (3)) AS t(j)
-  WHERE t.j <= 1 + d.doc_id % 3
-    AND (d.doc_id * 7 + t.j) % n.n <> d.doc_id
+  SELECT dst, 't' || ((src + dst) % {ANCHOR_VOCAB}) AS anchor
+  FROM edges
 ),
 per AS (SELECT dst, anchor, count(*) AS c FROM e GROUP BY dst, anchor),
 tot AS (SELECT dst, count(*) AS n_anchors,

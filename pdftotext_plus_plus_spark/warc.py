@@ -48,6 +48,11 @@ def _http_wrap(payload: bytes) -> bytes:
 def _record(headers: List[Tuple[str, str]], block: bytes) -> bytes:
     out = [_MAGIC]
     for k, v in headers:
+        # CR/LF in a header VALUE would split the line and corrupt the
+        # record's framing (the tolerant parser would then silently DROP
+        # the record); the WARC spec forbids control characters in header
+        # values, so sanitize deterministically — a no-op for legal values
+        v = v.replace("\r", " ").replace("\n", " ")
         out.append(f"{k}: {v}\r\n".encode())
     out.append(b"Content-Length: " + str(len(block)).encode() + _CRLF)
     out.append(_CRLF)
@@ -388,7 +393,11 @@ def wet_convert(extracted, n_shards: int = 4):
 
     def build(key, pdf):
         name = "part-%02d.warc.wet" % int(key[0])
-        pdf = pdf.sort_values("url")
+        # BOTH columns in the sort key: a duplicate url (re-crawl,
+        # duplicate ingest) under a url-only unstable sort would leave
+        # its rows in partition-arrival order and break the
+        # deterministic-bytes contract
+        pdf = pdf.sort_values(["url", "extracted_text"])
         blob = encode_wet(
             list(zip(pdf["url"], pdf["extracted_text"])), filename=name)
         return pd.DataFrame({"filename": [name], "content": [blob]})
@@ -407,17 +416,19 @@ def read_wet_blobs(shards):
     import pandas as pd
 
     def split(batches):
-        urls, texts = [], []
+        urls, texts, acc_bytes = [], [], 0
         for pdf in batches:
             for blob in pdf["content"]:
                 recs, _ = parse_wet(bytes(blob))
                 for url, text in recs:
                     urls.append(url)
                     texts.append(text)
-                    if len(urls) >= WARC_SPLIT_BATCH_ROWS:
+                    acc_bytes += len(text)
+                    if (len(urls) >= WARC_SPLIT_BATCH_ROWS
+                            or acc_bytes >= WARC_SPLIT_BATCH_BYTES):
                         yield pd.DataFrame(
                             {"url": urls, "extracted_text": texts})
-                        urls, texts = [], []
+                        urls, texts, acc_bytes = [], [], 0
         if urls:
             yield pd.DataFrame({"url": urls, "extracted_text": texts})
 

@@ -106,3 +106,22 @@ def test_host_graph_edge_conservation(spark):
     assert all(r["intra_edges"] <= min(r["out_edges"], r["in_edges"])
                for r in rows)
     assert all(r["out_hosts"] >= 1 or r["out_edges"] == 0 for r in rows)
+
+
+def test_frontier_dedups_canonical_urls(spark):
+    """A frontier schedules canonical PAGES: the raw corpus maps many
+    doc_ids to one canon_url by construction, and exactly one
+    representative (min doc_id — url_normalize_dedup's keep rule) may
+    hold a slot."""
+    rows = crawlops.url_frontier_priority(spark, SF_DIR).collect()
+    canons = [r["canon_url"] for r in rows]
+    assert len(canons) == len(set(canons))
+    from pdftotext_plus_plus_spark.datapipe.webtext import (_canon_urls,
+                                                            _documents)
+    urls = _canon_urls(_documents(spark, SF_DIR)).collect()
+    keep = {}
+    for r in urls:
+        keep[r["canon_url"]] = min(keep.get(r["canon_url"], r["doc_id"]),
+                                   r["doc_id"])
+    for r in rows:
+        assert r["doc_id"] == keep[r["canon_url"]]

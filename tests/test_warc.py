@@ -235,3 +235,28 @@ def test_wet_convert_spark_roundtrip(spark):
     got = {r["url"]: r["extracted_text"]
            for r in warc.read_wet_blobs(sdf).collect()}
     assert got == {r["url"]: r["golden_text"] for r in rows}
+
+
+def test_wet_header_value_sanitized_not_dropped():
+    # CR/LF in a header value must not corrupt the framing (the tolerant
+    # parser would silently DROP the record); the writer sanitizes
+    evil = "http://e/a\r\nX-Injected: y"
+    blob = warc.encode_wet([(evil, "body\n"), ("http://e/b", "ok\n")])
+    got, n_corrupt = warc.parse_wet(blob)
+    assert n_corrupt == 0 and len(got) == 2
+    assert got[0][0] == "http://e/a  X-Injected: y"  # sanitized, kept
+    assert got[0][1] == "body\n"
+
+
+def test_wet_convert_deterministic_with_duplicate_urls(spark):
+    # a re-crawled page: same url, two different texts — shard bytes
+    # must still be identical under any upstream partitioning
+    rows = [("http://dup/x", "first crawl\n"), ("http://dup/x", "second crawl\n"),
+            ("http://dup/y", "other\n")] * 2
+    df = spark.createDataFrame(rows, "url string, extracted_text string") \
+        .dropDuplicates()
+    a = {s["filename"]: bytes(s["content"])
+         for s in warc.wet_convert(df.repartition(1), n_shards=2).collect()}
+    b = {s["filename"]: bytes(s["content"])
+         for s in warc.wet_convert(df.repartition(5), n_shards=2).collect()}
+    assert a == b
