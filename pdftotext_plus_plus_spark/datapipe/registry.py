@@ -187,6 +187,52 @@ def warc_wet_records(spark: SparkSession, sf_dir: str) -> DataFrame:
     return warcmod.read_wet_blobs(wet).localCheckpoint(eager=True)
 
 
+def warc_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CommonCrawl WAT product over the fixture WARC shards — one
+    JSON ``metadata`` record per response record (original headers,
+    md5 payload digest + length, container filename/offset/length),
+    built AND parsed back inside each shard's task (:func:`warc.
+    wat_index`), completing the WARC/WAT/WET triad.  Oracled against an
+    INDEPENDENT construction: index_warc + read_record + hashlib over
+    the same shard layout, never touching the WAT writer/parser pair —
+    so a JSON field drift or a digest bug fails the hash."""
+    import shutil
+    import tempfile
+
+    from .. import warc as warcmod
+
+    root = tempfile.mkdtemp(prefix="warc_wat_")
+    try:
+        warcmod.write_warc_dir(_warc_fixture_rows(), root,
+                               n_files=WARC_FIXTURE_N_FILES)
+        return warcmod.wat_index(spark, root).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+def warc_wat_records_oracle_sql() -> str:
+    """VALUES oracle built WITHOUT the WAT writer/parser: CDX-walk each
+    shard (index_warc), fetch each record slice (read_record), hash the
+    payload directly."""
+    import hashlib
+
+    from .. import warc as warcmod
+
+    esc = lambda s: s.replace("'", "''")  # noqa: E731
+    values = []
+    for name, blob in warcmod.shard_files(_warc_fixture_rows(),
+                                          n_files=WARC_FIXTURE_N_FILES):
+        for url, date, off, ln in warcmod.index_warc(blob):
+            _, payload = warcmod.read_record(blob[off:off + ln])
+            values.append(
+                "('%s', '%s', '%s', %d, %d, 'md5:%s', %d)"
+                % (esc(url), esc(date), esc(name), off, ln,
+                   hashlib.md5(payload).hexdigest(), len(payload)))
+    return ("SELECT * FROM (VALUES\n%s\n) AS t(url, warc_date, filename,"
+            " \"offset\", length, payload_digest, payload_len)"
+            % ",\n".join(values))
+
+
 def warc_cdx_index_oracle_sql() -> str:
     """VALUES oracle: the index computed over warc.shard_files — the
     same shard layout the query writes — without Spark."""
@@ -1026,6 +1072,9 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Batch #8 addendum: `warc_wet_records` (the WARC->WET conversion
 # product, oracled against the extract_text golden) also enters the
 # head; `pricing_summary` (r6-green) demoted in exchange.
+# Batch #9: `warc_wat_records` (the WAT metadata product — the triad's
+# third file type) enters the head; `url_normalize_dedup` (r6-green,
+# canonicalizer now exercised by two head siblings) demoted.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1118,8 +1167,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                               sampling.TRAINING_MIX_SQL),
     # round 6 batch #4: webtext provenance layer (URLs / domains / link
     # graph) — see rotation #5 in the ORDERING note
-    "url_normalize_dedup": (webtext.url_normalize_dedup,
-                            webtext.URL_NORMALIZE_DEDUP_SQL),
     "domain_stats": (webtext.domain_stats, webtext.DOMAIN_STATS_SQL),
     "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
@@ -1151,6 +1198,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 7 batch #8 addendum: the WARC->WET conversion product,
     # round-tripped through the engine (oracle = extract_text's golden)
     "warc_wet_records": (warc_wet_records, None),  # oracle filled below
+    # round 7 batch #9: the WAT metadata product (JSON envelopes),
+    # completing the WARC/WAT/WET triad; oracled against an independent
+    # index_warc+read_record+hashlib construction
+    "warc_wat_records": (warc_wat_records, None),  # oracle filled below
     "streaming_url_dedup": (streaming_url_dedup_equivalence,
                             STREAMING_URL_DEDUP_SQL),
     # multimodal plumbing — rotation #7 promotion: stalest driver row (r3)
@@ -1293,6 +1344,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     #     join+agg minus the join, and big_orders sits one entry up)
     "pricing_summary": (relational.pricing_summary,
                         relational.PRICING_SUMMARY_SQL),
+    #   url_normalize_dedup — demoted for the warc_wat_records promotion
+    #     (r6-green; its codegen canonicalizer is exercised verbatim by
+    #     head url_frontier_priority AND hll_url_cardinality, its
+    #     hash-agg+join-back dedup shape by head exact_dedup)
+    "url_normalize_dedup": (webtext.url_normalize_dedup,
+                            webtext.URL_NORMALIZE_DEDUP_SQL),
     "extract_jsonl_chars": (extract_jsonl_chars, None),  # oracle below
     "extract_text_extended": (extract_text_extended, None),  # oracle below
     "shipping_priority": (relational.shipping_priority,
@@ -1357,6 +1414,8 @@ def oracle_sql() -> Dict[str, str]:
     oracles["warc_wet_records"] = extract_text_oracle_sql()
     # CDX index rows must equal the deterministic-construction index
     oracles["warc_cdx_index"] = warc_cdx_index_oracle_sql()
+    # WAT envelopes must equal the independent digest/offset construction
+    oracles["warc_wat_records"] = warc_wat_records_oracle_sql()
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()

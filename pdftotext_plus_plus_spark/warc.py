@@ -433,3 +433,140 @@ def read_wet_blobs(shards):
             yield pd.DataFrame({"url": urls, "extracted_text": texts})
 
     return shards.mapInPandas(split, "url string, extracted_text string")
+
+
+# ---------------------------------------------------------------------------
+# WAT metadata records (the WARC -> per-record-metadata product)
+# ---------------------------------------------------------------------------
+
+# CommonCrawl's third file type: WAT files carry one ``metadata`` record
+# per WARC record whose block is a JSON envelope describing it (header
+# fields, payload digest/length, container offsets).  Together with WET
+# (extracted text) this completes the WARC/WAT/WET triad.  JSON is
+# serialized canonically (sorted keys, fixed separators) so WAT bytes
+# are deterministic and the parse-back oracles exactly.
+
+
+def wat_from_warc(name: str, blob: bytes) -> bytes:
+    """Build the WAT file for one WARC shard: a warcinfo head record
+    plus one ``metadata`` record per RESPONSE record, whose JSON block
+    carries the envelope (original WARC headers), payload metadata
+    (md5 digest + byte length of the HTTP-stripped payload) and the
+    container coordinates (filename, offset, record length) — the same
+    random-access contract the CDX index serves, in WAT's JSON form."""
+    import hashlib
+    import json
+
+    info_block = b"software: pdftotext_plus_plus_spark\r\n"
+    parts = [_record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", WET_DATE),
+         ("WARC-Filename", name + ".wat"),
+         ("Content-Type", "application/warc-fields")], info_block)]
+    records, _ = _walk(blob)
+    i = 0
+    for h, body, start, end in records:
+        if h.get("warc-type") != "response":
+            continue
+        payload = _payload_of(body)
+        env = {
+            "Envelope": {
+                "WARC-Header-Metadata": {
+                    "WARC-Type": "response",
+                    "WARC-Target-URI": h.get("warc-target-uri", ""),
+                    "WARC-Date": h.get("warc-date", ""),
+                },
+                "Payload-Metadata": {
+                    "Actual-Content-Length": len(payload),
+                    "Block-Digest":
+                        "md5:" + hashlib.md5(payload).hexdigest(),
+                },
+            },
+            "Container": {
+                "Filename": name,
+                "Offset": start,
+                "Length": end - start,
+            },
+        }
+        block = json.dumps(env, sort_keys=True,
+                           separators=(",", ":")).encode("utf-8")
+        parts.append(_record(
+            [("WARC-Type", "metadata"),
+             ("WARC-Target-URI", h.get("warc-target-uri", "")),
+             ("WARC-Date", WET_DATE),
+             ("WARC-Record-ID", "<urn:wat:%s:%d>" % (name, i)),
+             ("Content-Type", "application/json")], block))
+        i += 1
+    return b"".join(parts)
+
+
+def parse_wat(blob: bytes):
+    """Return ([(url, warc_date, filename, offset, length, payload_digest,
+    payload_len) per metadata record], n_corrupt) — the JSON envelopes
+    decoded back to flat rows; malformed JSON counts as corrupt and the
+    walk continues (same tolerance contract as parse_warc)."""
+    import json
+
+    records, n_corrupt = _walk(blob)
+    out = []
+    for h, body, _, _ in records:
+        if h.get("warc-type") != "metadata":
+            continue
+        try:
+            env = json.loads(body.decode("utf-8"))
+            hdr = env["Envelope"]["WARC-Header-Metadata"]
+            pay = env["Envelope"]["Payload-Metadata"]
+            cont = env["Container"]
+            out.append((hdr["WARC-Target-URI"], hdr["WARC-Date"],
+                        cont["Filename"], int(cont["Offset"]),
+                        int(cont["Length"]),
+                        pay["Block-Digest"],
+                        int(pay["Actual-Content-Length"])))
+        except (ValueError, KeyError, TypeError):
+            n_corrupt += 1
+    return out, n_corrupt
+
+
+def wat_index(spark, path: str):
+    """The Spark WAT pipeline over a directory of .warc files: build
+    each shard's WAT bytes in its own task, parse them back, and emit
+    one flat row per response record.
+
+    Plan shape at 100 TB: the same one-task-per-~1 GB-shard binaryFile
+    scan as read_warc/cdx_index; the WAT product is ~200 bytes/page vs
+    ~100 KB/page of content, so — like the CDX index — everything after
+    the per-shard kernel is over the tiny side.  Build and parse-back
+    run in ONE task so the query output proves the writer/parser pair
+    round-trips, not just that the writer ran.
+    """
+    import os as _os
+
+    import pandas as pd
+
+    raw = (spark.read.format("binaryFile")
+           .option("pathGlobFilter", "*.warc").load(path)
+           .select("path", "content"))
+
+    def build(batches):
+        for pdf in batches:
+            cols = {k: [] for k in ("url", "warc_date", "filename",
+                                    "offset", "length", "payload_digest",
+                                    "payload_len")}
+            for p, blob in zip(pdf["path"], pdf["content"]):
+                name = _os.path.basename(p)
+                wat = wat_from_warc(name, bytes(blob))
+                rows, _ = parse_wat(wat)
+                for url, date, fn, off, ln, dig, pln in rows:
+                    cols["url"].append(url)
+                    cols["warc_date"].append(date)
+                    cols["filename"].append(fn)
+                    cols["offset"].append(off)
+                    cols["length"].append(ln)
+                    cols["payload_digest"].append(dig)
+                    cols["payload_len"].append(pln)
+            yield pd.DataFrame(cols)
+
+    return raw.mapInPandas(
+        build,
+        "url string, warc_date string, filename string, offset long, "
+        "length long, payload_digest string, payload_len long")

@@ -260,3 +260,42 @@ def test_wet_convert_deterministic_with_duplicate_urls(spark):
     b = {s["filename"]: bytes(s["content"])
          for s in warc.wet_convert(df.repartition(5), n_shards=2).collect()}
     assert a == b
+
+
+def test_wat_roundtrip_and_independence():
+    rows = fixtures.build_corpus(8, jumbo_every=4)
+    import hashlib
+    for name, blob in warc.shard_files(rows, n_files=2):
+        wat = warc.wat_from_warc(name, blob)
+        recs, n_corrupt = warc.parse_wat(wat)
+        assert n_corrupt == 0
+        # one metadata record per response record, aligned with CDX
+        idx = warc.index_warc(blob)
+        assert [(r[0], r[1], r[3], r[4]) for r in recs] == \
+            [(u, d, o, l) for u, d, o, l in idx]
+        by_url = {r["url"]: r for r in rows}
+        for url, date, fn, off, ln, dig, pln in recs:
+            assert fn == name
+            assert dig == "md5:" + hashlib.md5(by_url[url]["html"]).hexdigest()
+            assert pln == len(by_url[url]["html"])
+            # container coordinates honor the random-access contract
+            u2, payload = warc.read_record(blob[off:off + ln])
+            assert u2 == url and payload == by_url[url]["html"]
+        # a garbled JSON block counts corrupt, the walk continues
+        at = wat.find(b'{"Container"')
+        bad = wat[:at] + b'{"X":' + wat[at + 5:]
+        recs_bad, n_bad = warc.parse_wat(bad)
+        assert len(recs_bad) == len(recs) - 1 and n_bad >= 1
+
+
+def test_wat_spark_pipeline(spark, tmp_path):
+    rows = fixtures.build_corpus(8, jumbo_every=4)
+    warc.write_warc_dir(rows, str(tmp_path), n_files=2)
+    got = {r["url"]: r for r in warc.wat_index(spark, str(tmp_path)).collect()}
+    assert set(got) == {r["url"] for r in rows}
+    import hashlib
+    for r in rows:
+        g = got[r["url"]]
+        assert g["payload_digest"] == \
+            "md5:" + hashlib.md5(r["html"]).hexdigest()
+        assert g["payload_len"] == len(r["html"])
