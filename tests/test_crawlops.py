@@ -125,3 +125,29 @@ def test_frontier_dedups_canonical_urls(spark):
                                    r["doc_id"])
     for r in rows:
         assert r["doc_id"] == keep[r["canon_url"]]
+
+
+def test_hll_registers_merge_across_snapshots(spark):
+    """The SCALE.md claim 'yesterday's snapshot registers max-merge with
+    today's': registers built over two disjoint URL subsets, merged by
+    elementwise max, must equal registers built over the union — and
+    therefore so must the register sum and the estimate."""
+    frame = crawlops._hll_frame(spark, SF_DIR) \
+        .select("canon_url").distinct().collect()
+    urls = sorted(r["canon_url"] for r in frame)
+    a, b = urls[::2], urls[1::2]
+
+    def regs_of(us):
+        import hashlib
+        regs = {}
+        for u in us:
+            h = int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
+            bkt, w = h % crawlops.HLL_BUCKETS, h // crawlops.HLL_BUCKETS
+            rho = crawlops.HLL_RHO_CAP if w == 0 \
+                else crawlops.HLL_RHO_CAP - w.bit_length()
+            regs[bkt] = max(regs.get(bkt, 0), rho)
+        return regs
+
+    ra, rb, run = regs_of(a), regs_of(b), regs_of(urls)
+    merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
+    assert merged == run
