@@ -129,7 +129,11 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # the politeness frontier (WindowGroupLimit per domain),
                  # and the host-graph rollup (coarsen-then-aggregate)
                  "hll_url_cardinality", "crawl_budget_allocation",
-                 "url_frontier_priority", "host_graph_stats"]
+                 "url_frontier_priority", "host_graph_stats",
+                 # round-7 batch #10: seeded TrustRank (the pagerank
+                 # join+agg pair with a seed-gated teleport) and exact
+                 # word-5-gram containment (A-prefix-filtered candidates)
+                 "trust_propagation", "containment_pairs"]
 
 
 def ensure_corpus() -> int:
@@ -366,7 +370,16 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # in edges.  budget/frontier excluded: dim-sized
                        # windows, their 10x cost is the scan they share
                        # with hll/host_graph.
-                       "hll_url_cardinality", "host_graph_stats"]
+                       "hll_url_cardinality", "host_graph_stats",
+                       # round-7 batch #10: trust is the pagerank shape
+                       # (linear in edges).  containment_pairs excluded
+                       # like embedding_near_dup/semdedup: the probe
+                       # replicates documents VERBATIM, so every doc
+                       # gains 10 identical copies and the qualifying
+                       # PAIR SET grows quadratically by construction —
+                       # the exponent would measure the synthetic
+                       # replication, not the operator.
+                       "trust_propagation"]
 SCALE_FACTOR = int(os.environ.get("BENCH_SCALE_FACTOR", "10"))
 
 

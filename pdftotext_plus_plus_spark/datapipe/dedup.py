@@ -166,6 +166,107 @@ WHERE round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) >= {JACCARD_THRESH
 
 
 # ---------------------------------------------------------------------------
+# asymmetric containment (quote / near-superset detection)
+# ---------------------------------------------------------------------------
+
+CONTAINMENT_THRESHOLD = 0.9
+CONTAINMENT_GRAM = 5            # word 5-grams, the decontamination unit
+
+
+def _word_grams(docs: DataFrame) -> DataFrame:
+    """Distinct word-5-gram set per document.  Word grams, not char
+    shingles: char-3-gram SETS draw from a tiny vocabulary, so nearly
+    every long document 90%-contains every other (measured: 160k
+    qualifying pairs at sf0.1 vs 498 with word grams) — the
+    quote-detection unit must be selective, and 5 consecutive words is
+    the same unit duplicate_ngram_spans and benchmark_decontaminate
+    already use."""
+    ts = F.split(F.trim(F.col("text")), r"\s+")
+    grams = F.expr(
+        f"transform(sequence(1, greatest(1, size(ts) - {CONTAINMENT_GRAM - 1})),"
+        f" i -> array_join(slice(ts, i, {CONTAINMENT_GRAM}), ' '))")
+    return (docs.select("doc_id", ts.alias("ts"))
+            .select("doc_id", F.explode(grams).alias("g"))
+            .dropDuplicates(["doc_id", "g"]))
+
+
+def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact asymmetric containment pairs: C(A→B) = |A∩B| / |A| >=
+    threshold over word-5-gram sets — A's grams are (nearly) a subset
+    of B's.  The signal Jaccard misses: a short passage quoted inside a
+    long article has tiny Jaccard but containment ~1, and training-data
+    pipelines drop the CONTAINED side (it adds no new text).  Ordered
+    pairs, id_a != id_b.
+
+    Candidate generation is the PPJoin prefix idea adapted to the
+    asymmetric case: for containment >= t, A must share at least one of
+    its first ``n_a - ceil(t*n_a) + 1`` RAREST grams with B (the same
+    exactness argument as ngram_jaccard_pairs, applied to A's set
+    only), so the join keys are A-prefix grams — rarest-first by
+    construction, hot grams enter only through near-boilerplate-only
+    documents.  The B side joins on its full distinct gram stream (it
+    cannot be prefix-filtered: B may be arbitrarily larger than A),
+    then exact intersections are computed on candidates only.
+    """
+    docs = _documents(spark, sf_dir)
+    sh = _word_grams(docs)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    dfreq = sh.groupBy("g").agg(F.count("*").alias("df"))
+    w = Window.partitionBy("doc_id").orderBy(F.asc("df"), F.asc("g"))
+    ranked = (sh.join(dfreq, "g")
+              .withColumn("pos", F.row_number().over(w))
+              .join(sizes, "doc_id"))
+    prefix = ranked.filter(
+        F.col("pos") <= F.col("n_sh")
+        - F.ceil(F.lit(CONTAINMENT_THRESHOLD) * F.col("n_sh")) + 1)
+
+    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
+    b = sh.select(F.col("doc_id").alias("id_b"), "g")
+    cand = (a.join(b, ["g"])
+            .filter(F.col("id_a") != F.col("id_b"))
+            .select("id_a", "id_b").distinct())
+
+    x = sh.select(F.col("doc_id").alias("id_a"), "g")
+    y = sh.select(F.col("doc_id").alias("id_b"), "g")
+    common = (cand.join(x, "id_a").join(y, ["id_b", "g"])
+              .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("id_a"),
+                      F.col("n_sh").alias("n_a"))
+    return (common.join(sa, "id_a")
+            .withColumn("containment",
+                        F.round(F.col("n_common") / F.col("n_a"), 6))
+            .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
+            .select("id_a", "id_b", "containment"))
+
+
+CONTAINMENT_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, string_split_regex(trim(text, ' '), '\\s+') AS ts
+  FROM documents
+), sh AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(list_slice(ts, i, i + {CONTAINMENT_GRAM - 1}), ' ')
+           AS g
+  FROM (SELECT doc_id, ts,
+               unnest(generate_series(
+                 1, greatest(1, len(ts) - {CONTAINMENT_GRAM - 1}))) AS i
+        FROM toks)
+), sizes AS (
+  SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS n_common
+  FROM sh a JOIN sh b ON a.g = b.g AND a.doc_id <> b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.id_a, c.id_b,
+       round(c.n_common / sa.n_sh, 6) AS containment
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.id_a
+WHERE round(c.n_common / sa.n_sh, 6) >= {CONTAINMENT_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
 # MinHash + LSH banding
 # ---------------------------------------------------------------------------
 

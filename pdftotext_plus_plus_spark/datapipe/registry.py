@@ -1075,6 +1075,10 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Batch #9: `warc_wat_records` (the WAT metadata product — the triad's
 # third file type) enters the head; `url_normalize_dedup` (r6-green,
 # canonicalizer now exercised by two head siblings) demoted.
+# Batch #10: `containment_pairs` (asymmetric quote containment) and
+# `trust_propagation` (seeded TrustRank) enter the head;
+# `event_sessionize` and `ann_bruteforce_topk` (both r6-green, shapes
+# covered — rationale at the tail entries) demoted.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1118,7 +1122,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "regional_revenue": (relational.regional_revenue,
                          relational.REGIONAL_REVENUE_SQL),
     # windowed/relational ops over events (§2.5 surface)
-    "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
     # rotation #7 promotion: stalest driver row (r3)
     "event_tumbling_counts": (events.tumbling_counts,
                               events.TUMBLING_COUNTS_SQL),
@@ -1129,6 +1132,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 6 batch #2: exact duplicated-span signal (Lee et al. 2022)
     "duplicate_ngram_spans": (dedup.duplicate_ngram_spans,
                               dedup.DUPLICATE_NGRAM_SPANS_SQL),
+    # round 7 batch #10: asymmetric containment (quote detection) — the
+    # signal Jaccard misses; A-prefix-filtered exact candidates
+    "containment_pairs": (dedup.containment_pairs,
+                          dedup.CONTAINMENT_PAIRS_SQL),
     # rotation #7 promotions: stalest driver rows (r3)
     "dedup_clusters": (chunking.dedup_clusters,
                        chunking.DEDUP_CLUSTERS_SQL),
@@ -1138,8 +1145,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "semdedup_prune": (similarity.semdedup_prune,
                        similarity.SEMDEDUP_PRUNE_SQL),
     # similarity search
-    "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
-                            similarity.ANN_BRUTEFORCE_SQL),
     # rotation #7 promotion: stalest driver row (r3)
     "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
@@ -1169,6 +1174,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # graph) — see rotation #5 in the ORDERING note
     "domain_stats": (webtext.domain_stats, webtext.DOMAIN_STATS_SQL),
     "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
+    # round 7 batch #10: seeded TrustRank over the same edge machinery
+    "trust_propagation": (crawlops.trust_propagation,
+                          crawlops.TRUST_PROPAGATION_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
     # round 7 batch #7: anchor text / redirect chains / bitext pairing /
@@ -1344,6 +1352,17 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     #     join+agg minus the join, and big_orders sits one entry up)
     "pricing_summary": (relational.pricing_summary,
                         relational.PRICING_SUMMARY_SQL),
+    # round-7 rotation #10 demotions (batch-#10 promotions; both r6-green):
+    #   event_sessionize — its gap-flag + cumsum window shape is tail
+    #     event_gap_stats' lag window and head event_tumbling_counts'
+    #     bucketing; sessionization logic stays pytest-covered
+    #     (test_streaming stateful sessionize == batch)
+    #   ann_bruteforce_topk — the exact baseline whose cosine kernel runs
+    #     INSIDE head ann_ivf/ann_ivf2 rescoring; every CI run compares
+    #     the LSH/IVF paths against it via the recall gates
+    "event_sessionize": (events.sessionize, events.SESSIONIZE_SQL),
+    "ann_bruteforce_topk": (similarity.ann_bruteforce_topk,
+                            similarity.ANN_BRUTEFORCE_SQL),
     #   url_normalize_dedup — demoted for the warc_wat_records promotion
     #     (r6-green; its codegen canonicalizer is exercised verbatim by
     #     head url_frontier_priority AND hll_url_cardinality, its

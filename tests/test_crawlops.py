@@ -151,3 +151,26 @@ def test_hll_registers_merge_across_snapshots(spark):
     ra, rb, run = regs_of(a), regs_of(b), regs_of(urls)
     merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
     assert merged == run
+
+
+def test_trust_propagation_seed_and_isolation_invariants(spark):
+    from pdftotext_plus_plus_spark.datapipe.webtext import (_documents,
+                                                            _edges)
+    rows = {r["doc_id"]: r for r in
+            crawlops.trust_propagation(spark, SF_DIR).collect()}
+    indeg = {r["dst"]: r["in_deg"] for r in
+             _edges(_documents(spark, SF_DIR))
+             .groupBy("dst").count()
+             .withColumnRenamed("count", "in_deg").collect()}
+    assert all(r["trust_ppm"] >= 0 for r in rows.values())
+    for d, r in rows.items():
+        assert r["is_seed"] == (1 if d % crawlops.TRUST_SEED_MOD == 0 else 0)
+        if r["is_seed"]:
+            # the seed teleport term lands every iteration
+            assert r["trust_ppm"] >= 150_000
+        elif indeg.get(d, 0) == 0:
+            # nothing links here and it isn't a seed: zero trust
+            assert r["trust_ppm"] == 0
+    # trust reaches beyond the seed set (propagation actually happens)
+    assert any(r["trust_ppm"] > 0 and not r["is_seed"]
+               for r in rows.values())

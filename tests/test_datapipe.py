@@ -760,3 +760,37 @@ def test_training_mix_composition_consistency(spark, duck):
     assert sum(1 - r["keep_dedup"] for r in rows.values()) == n_dup_docs
     kept = sum(r["keep"] for r in rows.values())
     assert 0 < kept < 500
+
+
+def test_containment_pairs_exactness_and_asymmetry(spark):
+    """Brute-force verification of the prefix-filtered containment op:
+    the candidate pruning must lose nothing (exactness), and the measure
+    is asymmetric — C(A->B) uses |A|'s size only."""
+    from pdftotext_plus_plus_spark.datapipe import dedup
+
+    got = {(r["id_a"], r["id_b"]): r["containment"] for r in
+           dedup.containment_pairs(spark, SF_DIR).collect()}
+    docs = {r["doc_id"]: r["text"] for r in
+            dedup._documents(spark, SF_DIR).select("doc_id", "text")
+            .collect()}
+
+    def sh(t):
+        import re
+        ts = re.split(r"\s+", t.strip()) if t.strip() else [""]
+        k = dedup.CONTAINMENT_GRAM
+        return {" ".join(ts[i:i + k])
+                for i in range(max(1, len(ts) - k + 1))}
+
+    sets = {d: sh(t) for d, t in docs.items()}
+    want = {}
+    for a, sa in sets.items():
+        for b, sb in sets.items():
+            if a == b or not sa:
+                continue
+            # Spark/DuckDB round() is half-UP; Python's is banker's
+            c = math.floor(len(sa & sb) / len(sa) * 1e6 + 0.5) / 1e6
+            if c >= dedup.CONTAINMENT_THRESHOLD:
+                want[(a, b)] = c
+    assert got == want
+    # the corpus exercises true asymmetry: some pair qualifies one way only
+    assert any((b, a) not in got for a, b in got)
