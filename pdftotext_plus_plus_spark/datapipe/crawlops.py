@@ -34,6 +34,8 @@ from pdftotext_plus_plus_spark.datapipe.webtext import (
     _canon_col,
     _documents,
     _edges,
+    rank_iter_sql,
+    rank_iterations,
 )
 
 # ---------------------------------------------------------------------------
@@ -412,7 +414,7 @@ FROM outs o FULL OUTER JOIN ins i ON i.dst_host = o.src_host
 # seeded trust propagation (TrustRank)
 # ---------------------------------------------------------------------------
 
-TRUST_ITERS = 3
+# iteration count comes from webtext.PAGERANK_ITERS via rank_iterations
 TRUST_UNIT = 1_000_000          # integer trust units (floats don't commute)
 TRUST_SEED_MOD = 50             # every 50th page is a hand-vetted seed
 
@@ -431,53 +433,31 @@ def trust_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     gate is a pure map-side residue expression, costing nothing.
     """
     docs = _documents(spark, sf_dir)
-    edges = _edges(docs)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src")
     seed = (F.col("doc_id") % TRUST_SEED_MOD == 0).cast("long")
-    trust = docs.select(
-        "doc_id", (seed * F.lit(TRUST_UNIT)).cast("long").alias("t"))
-    for _ in range(TRUST_ITERS):
-        contrib = (ed.join(trust, ed.src == trust.doc_id)
-                   .select("dst", F.expr("div(t, deg)").alias("c")))
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        trust = (docs.select("doc_id")
-                 .join(sums, F.col("doc_id") == F.col("dst"), "left")
-                 .select("doc_id",
-                         (F.expr("div(850 * coalesce(s, 0), 1000)")
-                          + seed * F.lit(150_000)).cast("long").alias("t")))
+    trust, _ = rank_iterations(docs, _edges(docs),
+                               init=seed * F.lit(TRUST_UNIT),
+                               teleport=seed * F.lit(150_000))
     return docs.select(
         "doc_id", seed.cast("int").alias("is_seed")).join(
         trust, "doc_id").select(
-        "doc_id", "is_seed", F.col("t").alias("trust_ppm"))
+        "doc_id", "is_seed", F.col("r").alias("trust_ppm"))
 
 
-_TRUST_ITER_SQL = f"""
-SELECT d.doc_id,
-       CAST((850 * COALESCE(s.s, 0)) // 1000
-            + CASE WHEN d.doc_id % {TRUST_SEED_MOD} = 0
-                   THEN 150000 ELSE 0 END AS BIGINT) AS t
-FROM documents d LEFT JOIN (
-  SELECT e.dst, sum(r.t // g.deg) AS s
-  FROM edges e
-  JOIN {{prev}} r ON r.doc_id = e.src
-  JOIN deg g ON g.src = e.src
-  GROUP BY e.dst
-) s ON s.dst = d.doc_id
-"""
+_TRUST_ITER_SQL = rank_iter_sql(
+    f"CASE WHEN d.doc_id % {TRUST_SEED_MOD} = 0 THEN 150000 ELSE 0 END")
 
 TRUST_PROPAGATION_SQL = f"""
 WITH {EDGES_SQL},
 deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
 t0 AS (SELECT doc_id,
               CAST(CASE WHEN doc_id % {TRUST_SEED_MOD} = 0
-                        THEN {TRUST_UNIT} ELSE 0 END AS BIGINT) AS t
+                        THEN {TRUST_UNIT} ELSE 0 END AS BIGINT) AS r
        FROM documents),
 it1 AS ({_TRUST_ITER_SQL.format(prev="t0")}),
 it2 AS ({_TRUST_ITER_SQL.format(prev="it1")}),
 it3 AS ({_TRUST_ITER_SQL.format(prev="it2")})
 SELECT r.doc_id,
        CASE WHEN r.doc_id % {TRUST_SEED_MOD} = 0 THEN 1 ELSE 0 END AS is_seed,
-       r.t AS trust_ppm
+       r.r AS trust_ppm
 FROM it3 r
 """

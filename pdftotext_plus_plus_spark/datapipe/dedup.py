@@ -122,10 +122,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("n_sh").alias("n_a"))
     b = prefix.select(F.col("doc_id").alias("id_b"), "sh",
                       F.col("n_sh").alias("n_b"))
+    # size prune, INTEGER-exact (5*n_b >= 4*n_a ⟺ n_b >= ceil(0.8*n_a)
+    # for integers — no float boundary case can widen or narrow it)
     cand = (a.join(b, ["sh"])
             .filter((F.col("id_a") < F.col("id_b"))
-                    & (F.col("n_b") >= F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_a")))
-                    & (F.col("n_a") >= F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_b"))))
+                    & (5 * F.col("n_b") >= 4 * F.col("n_a"))
+                    & (5 * F.col("n_a") >= 4 * F.col("n_b")))
             .select("id_a", "id_b").distinct())
 
     # exact intersection counts on candidates only (keyed by (doc_id, sh))
@@ -135,11 +137,16 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # the QUALIFICATION is integer-exact (5*inter >= 4*union ⟺ J >= 4/5
+    # with no rounding), so the kept set is exactly the set the prefix
+    # filter guarantees candidates for — a pair whose true Jaccard is
+    # just below t but ROUNDS to t must not be admitted, because the
+    # pigeonhole argument doesn't cover it; the rounded column is
+    # display only
+    union = F.col("n_a") + F.col("n_b") - F.col("n_common")
     return (common.join(sa, "id_a").join(sb, "id_b")
-            .withColumn("jaccard",
-                        F.round(F.col("n_common")
-                                / (F.col("n_a") + F.col("n_b") - F.col("n_common")), 6))
-            .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+            .filter(5 * F.col("n_common") >= 4 * union)
+            .withColumn("jaccard", F.round(F.col("n_common") / union, 6))
             .select("id_a", "id_b", "jaccard"))
 
 
@@ -161,7 +168,7 @@ SELECT c.id_a, c.id_b,
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.id_a
 JOIN sizes sb ON sb.doc_id = c.id_b
-WHERE round(c.n_common / (sa.n_sh + sb.n_sh - c.n_common), 6) >= {JACCARD_THRESHOLD}
+WHERE 5 * c.n_common >= 4 * (sa.n_sh + sb.n_sh - c.n_common)
 """
 
 
@@ -180,11 +187,15 @@ def _word_grams(docs: DataFrame) -> DataFrame:
     qualifying pairs at sf0.1 vs 498 with word grams) — the
     quote-detection unit must be selective, and 5 consecutive words is
     the same unit duplicate_ngram_spans and benchmark_decontaminate
-    already use."""
+    already use — INCLUDING their short-document rule: a document under
+    5 tokens has NO 5-gram signal and emits no grams (it cannot pair),
+    rather than pairing on a sub-unit fragment."""
     ts = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.expr(
-        f"transform(sequence(1, greatest(1, size(ts) - {CONTAINMENT_GRAM - 1})),"
-        f" i -> array_join(slice(ts, i, {CONTAINMENT_GRAM}), ' '))")
+        f"CASE WHEN size(ts) >= {CONTAINMENT_GRAM} THEN "
+        f"transform(sequence(1, size(ts) - {CONTAINMENT_GRAM - 1}),"
+        f" i -> array_join(slice(ts, i, {CONTAINMENT_GRAM}), ' ')) "
+        f"ELSE array() END")
     return (docs.select("doc_id", ts.alias("ts"))
             .select("doc_id", F.explode(grams).alias("g"))
             .dropDuplicates(["doc_id", "g"]))
@@ -220,10 +231,18 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("pos") <= F.col("n_sh")
         - F.ceil(F.lit(CONTAINMENT_THRESHOLD) * F.col("n_sh")) + 1)
 
-    a = prefix.select(F.col("doc_id").alias("id_a"), "g")
-    b = sh.select(F.col("doc_id").alias("id_b"), "g")
+    a = prefix.select(F.col("doc_id").alias("id_a"), "g",
+                      F.col("n_sh").alias("n_a"))
+    b = (sh.join(sizes, "doc_id")
+         .select(F.col("doc_id").alias("id_b"), "g",
+                 F.col("n_sh").alias("n_b")))
+    # asymmetric size prune, INTEGER-exact: C(A->B) >= 9/10 forces
+    # n_common >= 9*n_a/10 and n_common <= n_b, so 10*n_b >= 9*n_a —
+    # tiny B docs sharing a rare gram with a huge A can never qualify
+    # and are dropped before the intersection stage
     cand = (a.join(b, ["g"])
-            .filter(F.col("id_a") != F.col("id_b"))
+            .filter((F.col("id_a") != F.col("id_b"))
+                    & (10 * F.col("n_b") >= 9 * F.col("n_a")))
             .select("id_a", "id_b").distinct())
 
     x = sh.select(F.col("doc_id").alias("id_a"), "g")
@@ -232,10 +251,15 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
               .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("id_a"),
                       F.col("n_sh").alias("n_a"))
+    # qualification is INTEGER-exact (10*common >= 9*n_a ⟺ C >= 9/10,
+    # no rounding): the kept set is exactly the set the prefix filter
+    # guarantees candidates for — a pair just below t that ROUNDS to t
+    # is outside the pigeonhole guarantee and must not be admitted.
+    # The rounded column is display only.
     return (common.join(sa, "id_a")
+            .filter(10 * F.col("n_common") >= 9 * F.col("n_a"))
             .withColumn("containment",
                         F.round(F.col("n_common") / F.col("n_a"), 6))
-            .filter(F.col("containment") >= CONTAINMENT_THRESHOLD)
             .select("id_a", "id_b", "containment"))
 
 
@@ -248,9 +272,9 @@ WITH toks AS (
          array_to_string(list_slice(ts, i, i + {CONTAINMENT_GRAM - 1}), ' ')
            AS g
   FROM (SELECT doc_id, ts,
-               unnest(generate_series(
-                 1, greatest(1, len(ts) - {CONTAINMENT_GRAM - 1}))) AS i
-        FROM toks)
+               unnest(generate_series(1, len(ts) - {CONTAINMENT_GRAM - 1}))
+                 AS i
+        FROM toks WHERE len(ts) >= {CONTAINMENT_GRAM})
 ), sizes AS (
   SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id
 ), common AS (
@@ -262,7 +286,7 @@ SELECT c.id_a, c.id_b,
        round(c.n_common / sa.n_sh, 6) AS containment
 FROM common c
 JOIN sizes sa ON sa.doc_id = c.id_a
-WHERE round(c.n_common / sa.n_sh, 6) >= {CONTAINMENT_THRESHOLD}
+WHERE 10 * c.n_common >= 9 * sa.n_sh
 """
 
 

@@ -514,6 +514,29 @@ def _edges(docs: DataFrame) -> DataFrame:
     return e
 
 
+def rank_iterations(docs: DataFrame, edges: DataFrame,
+                    init: F.Column, teleport: F.Column):
+    """The shared fixed-iteration rank loop (PageRank AND TrustRank —
+    the two differ ONLY in where the teleport mass goes): per round one
+    keyed edges⋈rank equi-join + one dst hash aggregate, rank' =
+    div(850 * Σ contrib, 1000) + teleport, all in integer rank units.
+    Returns (ranks DataFrame with columns (doc_id, r), out-degree dim).
+    """
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src")
+    ranks = docs.select("doc_id", init.cast("long").alias("r"))
+    for _ in range(PAGERANK_ITERS):
+        contrib = (ed.join(ranks, ed.src == ranks.doc_id)
+                   .select("dst", F.expr("div(r, deg)").alias("c")))
+        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        ranks = (docs.select("doc_id")
+                 .join(sums, F.col("doc_id") == F.col("dst"), "left")
+                 .select("doc_id",
+                         (F.expr("div(850 * coalesce(s, 0), 1000)")
+                          + teleport).cast("long").alias("r")))
+    return ranks, deg
+
+
 def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Three exact PageRank iterations over the synthetic outlink graph.
 
@@ -526,21 +549,10 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     docs = _documents(spark, sf_dir)
     edges = _edges(docs)
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src")
     indeg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
-    ranks = docs.select("doc_id",
-                        F.lit(PAGERANK_UNIT).cast("long").alias("r"))
-    for _ in range(PAGERANK_ITERS):
-        contrib = (ed.join(ranks, ed.src == ranks.doc_id)
-                   .select("dst", F.expr("div(r, deg)").alias("c")))
-        sums = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
-        ranks = (docs.select("doc_id")
-                 .join(sums, F.col("doc_id") == F.col("dst"), "left")
-                 .select("doc_id",
-                         (F.lit(150_000)
-                          + F.expr("div(850 * coalesce(s, 0), 1000)"))
-                         .cast("long").alias("r")))
+    ranks, deg = rank_iterations(docs, edges,
+                                 init=F.lit(PAGERANK_UNIT),
+                                 teleport=F.lit(150_000))
     return (ranks
             .join(deg, ranks.doc_id == deg.src, "left")
             .join(indeg, ranks.doc_id == indeg.dst, "left")
@@ -550,9 +562,12 @@ def link_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("r").alias("rank_ppm")))
 
 
-_PR_ITER_SQL = """
+# one iteration of the shared rank loop in SQL; `teleport` is the only
+# difference between PageRank (constant) and TrustRank (seed-gated) —
+# substituted FIRST, leaving {prev} for the CTE chain
+_RANK_ITER_SQL = """
 SELECT d.doc_id,
-       CAST(150000 + (850 * COALESCE(s.s, 0)) // 1000 AS BIGINT) AS r
+       CAST((850 * COALESCE(s.s, 0)) // 1000 + {teleport} AS BIGINT) AS r
 FROM documents d LEFT JOIN (
   SELECT e.dst, sum(r.r // g.deg) AS s
   FROM edges e
@@ -561,6 +576,15 @@ FROM documents d LEFT JOIN (
   GROUP BY e.dst
 ) s ON s.dst = d.doc_id
 """
+
+
+def rank_iter_sql(teleport: str) -> str:
+    """The iteration template with the teleport expression filled in;
+    `{prev}` stays open for the caller's CTE chain."""
+    return _RANK_ITER_SQL.replace("{teleport}", teleport)
+
+
+_PR_ITER_SQL = rank_iter_sql("150000")
 
 LINK_PAGERANK_SQL = f"""
 WITH {EDGES_SQL},

@@ -463,9 +463,12 @@ def wat_from_warc(name: str, blob: bytes) -> bytes:
          ("WARC-Date", WET_DATE),
          ("WARC-Filename", name + ".wat"),
          ("Content-Type", "application/warc-fields")], info_block)]
-    records, _ = _walk(blob)
     i = 0
-    for h, body, start, end in records:
+    # stream via the generator: the eager _walk would hold every body
+    # slice at once — a second full copy of the shard's bytes on top of
+    # the blob itself, breaking the one-shard + one-in-flight-record
+    # memory envelope this module documents
+    for h, body, start, end in _iter_records(blob, {"corrupt": 0}):
         if h.get("warc-type") != "response":
             continue
         payload = _payload_of(body)

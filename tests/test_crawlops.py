@@ -12,8 +12,9 @@ from pdftotext_plus_plus_spark.datapipe import crawlops
 SF_DIR = "/root/testdata/sf0.001"
 
 
-def _py_hll(urls):
-    """Independent HLL reference: registers + raw estimate."""
+def _py_regs(urls):
+    """Independent register construction (the single reference copy of
+    the hash/bucket/rho math — every HLL test derives from it)."""
     regs = {}
     for u in urls:
         h = int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
@@ -21,6 +22,12 @@ def _py_hll(urls):
         rho = crawlops.HLL_RHO_CAP if w == 0 \
             else crawlops.HLL_RHO_CAP - w.bit_length()
         regs[b] = max(regs.get(b, 0), rho)
+    return regs
+
+
+def _py_hll(urls):
+    """Independent HLL reference: registers + raw estimate."""
+    regs = _py_regs(urls)
     s = sum(1 << (crawlops.HLL_RHO_CAP - r) for r in regs.values())
     s += (crawlops.HLL_BUCKETS - len(regs)) << crawlops.HLL_RHO_CAP
     est = float(crawlops._HLL_EST_NUM) / float(s)
@@ -136,19 +143,7 @@ def test_hll_registers_merge_across_snapshots(spark):
         .select("canon_url").distinct().collect()
     urls = sorted(r["canon_url"] for r in frame)
     a, b = urls[::2], urls[1::2]
-
-    def regs_of(us):
-        import hashlib
-        regs = {}
-        for u in us:
-            h = int(hashlib.md5(u.encode()).hexdigest()[:15], 16)
-            bkt, w = h % crawlops.HLL_BUCKETS, h // crawlops.HLL_BUCKETS
-            rho = crawlops.HLL_RHO_CAP if w == 0 \
-                else crawlops.HLL_RHO_CAP - w.bit_length()
-            regs[bkt] = max(regs.get(bkt, 0), rho)
-        return regs
-
-    ra, rb, run = regs_of(a), regs_of(b), regs_of(urls)
+    ra, rb, run = _py_regs(a), _py_regs(b), _py_regs(urls)
     merged = {k: max(ra.get(k, 0), rb.get(k, 0)) for k in set(ra) | set(rb)}
     assert merged == run
 

@@ -776,10 +776,11 @@ def test_containment_pairs_exactness_and_asymmetry(spark):
 
     def sh(t):
         import re
-        ts = re.split(r"\s+", t.strip()) if t.strip() else [""]
+        ts = re.split(r"\s+", t.strip()) if t.strip() else []
         k = dedup.CONTAINMENT_GRAM
-        return {" ".join(ts[i:i + k])
-                for i in range(max(1, len(ts) - k + 1))}
+        # <k-token docs carry no k-gram signal (the duplicate_ngram_spans
+        # / benchmark_decontaminate rule)
+        return {" ".join(ts[i:i + k]) for i in range(len(ts) - k + 1)}
 
     sets = {d: sh(t) for d, t in docs.items()}
     want = {}
@@ -787,10 +788,12 @@ def test_containment_pairs_exactness_and_asymmetry(spark):
         for b, sb in sets.items():
             if a == b or not sa:
                 continue
-            # Spark/DuckDB round() is half-UP; Python's is banker's
-            c = math.floor(len(sa & sb) / len(sa) * 1e6 + 0.5) / 1e6
-            if c >= dedup.CONTAINMENT_THRESHOLD:
-                want[(a, b)] = c
+            # qualification is INTEGER-exact (matches the op and its
+            # oracle: no rounded-up-to-threshold admissions); the value
+            # column rounds half-UP (Spark/DuckDB round, not banker's)
+            if 10 * len(sa & sb) >= 9 * len(sa):
+                want[(a, b)] = \
+                    math.floor(len(sa & sb) / len(sa) * 1e6 + 0.5) / 1e6
     assert got == want
     # the corpus exercises true asymmetry: some pair qualifies one way only
     assert any((b, a) not in got for a, b in got)
