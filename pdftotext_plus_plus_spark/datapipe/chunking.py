@@ -8,7 +8,11 @@
   propagation).  K fixed rounds keeps it SQL-expressible and
   oracle-checkable; the 10^12-row path iterates the same join to a
   fixpoint (or uses a connected-components step), checkpointing labels
-  between rounds.
+  between rounds.  The graph is the STAR-EDGE form (member <-> bucket
+  hub), never the all-pairs LSH pair list: identical connected
+  components at O(M) instead of O(M^2) edges per bucket — the quadratic
+  pair blow-up inside degenerate boilerplate buckets is exactly the
+  100 TB skew case.
 """
 
 from __future__ import annotations
@@ -16,7 +20,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .dedup import MINHASH_LSH_PAIRS_SQL, minhash_lsh_pairs
+from .dedup import (MINHASH_LSH_PAIRS_SQL, MINHASH_SIG_CTES,
+                    minhash_signatures)
 
 CHUNK_TOKENS = 64
 CHUNK_STRIDE = 48
@@ -55,9 +60,38 @@ FROM grid
 
 
 def _undirected_edges(docs: DataFrame, pairs: DataFrame) -> DataFrame:
-    """Undirected near-dup edges incl. self-loops."""
+    """Undirected edges incl. self-loops from an explicit pair list —
+    the generic graph builder :func:`propagate_to_fixpoint` tests run
+    on; the production cluster path builds :func:`_star_edges` from the
+    signature table instead and never materializes pairs."""
     return (pairs.selectExpr("id_a AS src", "id_b AS dst")
             .union(pairs.selectExpr("id_b AS src", "id_a AS dst"))
+            .union(docs.selectExpr("doc_id AS src", "doc_id AS dst")))
+
+
+def _star_edges(docs: DataFrame, sig: DataFrame) -> DataFrame:
+    """Undirected near-dup edges: ONE star per (band, minhash) bucket.
+
+    The all-pairs LSH edge list (every pair of docs sharing a bucket)
+    is O(M^2) edges for an M-member bucket — post-dedup boilerplate
+    buckets are exactly the skew case that makes this the one
+    quadratic exposure at 100 TB.  Star edges connect every bucket
+    member to the bucket's HUB (its minimum doc_id) instead: any two
+    members of a bucket are 2-hop connected through the hub, so the
+    connected components — and therefore every fixpoint cluster label
+    — are IDENTICAL to the all-pairs graph's, at O(M) edges per bucket
+    (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    use the same star contraction).  Built straight from the signature
+    table: one (band, minhash) hash agg for the hubs, one join back —
+    the pair self-join never runs.  Self-loops keep isolated docs in
+    the label frame."""
+    hubs = sig.groupBy("band", "minhash").agg(F.min("doc_id").alias("hub"))
+    star = (sig.join(hubs, ["band", "minhash"])
+            .filter(F.col("doc_id") != F.col("hub"))
+            .select(F.col("doc_id").alias("src"), F.col("hub").alias("dst"))
+            .distinct())
+    return (star
+            .union(star.selectExpr("dst AS src", "src AS dst"))
             .union(docs.selectExpr("doc_id AS src", "doc_id AS dst")))
 
 
@@ -118,12 +152,18 @@ def propagate_to_fixpoint(edges: DataFrame, labels: DataFrame,
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup cluster label per doc after PROP_ROUNDS of min-label
-    propagation over the undirected MinHash-LSH pair graph."""
+    """Near-dup cluster label per doc: bounded min-label propagation over
+    the star-edge MinHash-LSH bucket graph.
+
+    A star round covers half a pair-hop (member -> hub -> member), so
+    the bounded variant runs 2*PROP_ROUNDS star rounds — at least the
+    reach of PROP_ROUNDS rounds over the all-pairs graph (measured at
+    sf0.01: strictly closer to the fixpoint labels than the pair-graph
+    variant ever was), at O(M) instead of O(M^2) edges per bucket."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    edges = _undirected_edges(docs, minhash_lsh_pairs(spark, sf_dir))
+    edges = _star_edges(docs, minhash_signatures(spark, sf_dir))
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("label"))
-    for _ in range(PROP_ROUNDS):
+    for _ in range(2 * PROP_ROUNDS):
         labels = _propagate_round(edges, labels)
     return labels.select("doc_id", F.col("label").alias("cluster_id"))
 
@@ -131,9 +171,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_clusters_fixpoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The scale path: the same propagation iterated to a FIXPOINT (chains
     longer than PROP_ROUNDS hops under-merge in the bounded variant), with
-    per-round checkpointing."""
+    per-round checkpointing.  The oracle deliberately stays the all-pairs
+    brute-force graph: star edges produce identical components, and the
+    independent construction is what PROVES it."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id")
-    edges = _undirected_edges(docs, minhash_lsh_pairs(spark, sf_dir)).persist()
+    edges = _star_edges(docs, minhash_signatures(spark, sf_dir)).persist()
     labels = docs.select(F.col("doc_id"), F.col("doc_id").alias("label"))
     out = propagate_to_fixpoint(edges, labels)
     return out.select("doc_id", F.col("label").alias("cluster_id"))
@@ -156,21 +198,35 @@ SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
 """
 
 
+# bounded-round labels depend on the GRAPH round for round, so this
+# oracle mirrors the star-edge construction exactly (the fixpoint
+# oracles below keep the independent all-pairs definition instead —
+# components are provably identical, and only fixpoint labels are
+# graph-shape-independent)
 DEDUP_CLUSTERS_SQL = f"""
-WITH pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+WITH {MINHASH_SIG_CTES},
+hubs AS (
+  SELECT band, minhash, min(doc_id) AS hub FROM sig GROUP BY band, minhash
+),
+star AS (
+  SELECT DISTINCT s.doc_id AS src, h.hub AS dst
+  FROM sig s JOIN hubs h ON h.band = s.band AND h.minhash = s.minhash
+  WHERE s.doc_id <> h.hub
+),
 edges AS (
-  SELECT id_a AS src, id_b AS dst FROM pairs
-  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+  SELECT src, dst FROM star
+  UNION ALL SELECT dst AS src, src AS dst FROM star
   UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents
 ),
 l0 AS (SELECT doc_id, doc_id AS label FROM documents),
-l1 AS (SELECT e.src AS doc_id, min(l.label) AS label
-       FROM edges e JOIN l0 l ON e.dst = l.doc_id GROUP BY e.src),
-l2 AS (SELECT e.src AS doc_id, min(l.label) AS label
-       FROM edges e JOIN l1 l ON e.dst = l.doc_id GROUP BY e.src),
-l3 AS (SELECT e.src AS doc_id, min(l.label) AS label
-       FROM edges e JOIN l2 l ON e.dst = l.doc_id GROUP BY e.src)
-SELECT doc_id, label AS cluster_id FROM l3
+{chr(10).join(
+    f"l{i} AS (SELECT e.src AS doc_id, min(l.label) AS label"
+    f" FROM edges e JOIN l{i - 1} l ON e.dst = l.doc_id GROUP BY e.src),"
+    for i in range(1, 2 * PROP_ROUNDS))}
+l{2 * PROP_ROUNDS} AS (SELECT e.src AS doc_id, min(l.label) AS label
+       FROM edges e JOIN l{2 * PROP_ROUNDS - 1} l ON e.dst = l.doc_id
+       GROUP BY e.src)
+SELECT doc_id, label AS cluster_id FROM l{2 * PROP_ROUNDS}
 """
 
 

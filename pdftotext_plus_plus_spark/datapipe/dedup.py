@@ -114,9 +114,12 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (sh.join(dfreq, "sh")
               .withColumn("pos", F.row_number().over(w))
               .join(sizes, "doc_id"))
+    # prefix bound INTEGER-exact like the size prune and qualification:
+    # ceil(0.8 * n) computed as div(4*n + 4, 5), never a float ceil whose
+    # rounding at a future threshold could shrink the prefix below the
+    # pigeonhole-safe size and silently drop qualifying pairs (ADVICE r7)
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh")
-        - F.ceil(F.lit(JACCARD_THRESHOLD) * F.col("n_sh")) + 1)
+        F.col("pos") <= F.expr("n_sh - div(4 * n_sh + 4, 5) + 1"))
 
     a = prefix.select(F.col("doc_id").alias("id_a"), "sh",
                       F.col("n_sh").alias("n_a"))
@@ -227,13 +230,25 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked = (sh.join(dfreq, "g")
               .withColumn("pos", F.row_number().over(w))
               .join(sizes, "doc_id"))
+    # integer-exact prefix bound: ceil(0.9 * n) = div(9*n + 9, 10) —
+    # the same integer discipline as the size prune and qualification
+    # below (a float ceil could overshoot an integer boundary under a
+    # future threshold change and silently shrink the prefix, ADVICE r7)
     prefix = ranked.filter(
-        F.col("pos") <= F.col("n_sh")
-        - F.ceil(F.lit(CONTAINMENT_THRESHOLD) * F.col("n_sh")) + 1)
+        F.col("pos") <= F.expr("n_sh - div(9 * n_sh + 9, 10) + 1"))
 
     a = prefix.select(F.col("doc_id").alias("id_a"), "g",
                       F.col("n_sh").alias("n_a"))
-    b = (sh.join(sizes, "doc_id")
+    # B cannot be prefix-filtered (it may be arbitrarily larger than A),
+    # but its gram stream IS prunable to the corpus-wide prefix-gram
+    # dictionary before the join: a gram appearing in no A-prefix can
+    # never seed a candidate, so a 10^8-gram mega-document contributes
+    # only (own grams ∩ prefix dictionary) join keys instead of its
+    # whole gram set (VERDICT r7 #6) — and prefix grams are rarest-first
+    # by construction, so that intersection is small for every B
+    pg = prefix.select("g").distinct()
+    b = (sh.join(pg, "g")
+         .join(sizes, "doc_id")
          .select(F.col("doc_id").alias("id_b"), "g",
                  F.col("n_sh").alias("n_b")))
     # asymmetric size prune, INTEGER-exact: C(A->B) >= 9/10 forces
@@ -245,8 +260,14 @@ def containment_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
                     & (10 * F.col("n_b") >= 9 * F.col("n_a")))
             .select("id_a", "id_b").distinct())
 
+    # the verify intersection is keyed on A's grams ONLY: the probe
+    # stream per candidate pair is A's gram set (<= |A| rows), and the
+    # B side is semi-pruned to docs that actually appear as candidate
+    # B's — a jumbo B contributes rows only where its grams match an
+    # A gram of one of its candidates, never its full gram set
     x = sh.select(F.col("doc_id").alias("id_a"), "g")
-    y = sh.select(F.col("doc_id").alias("id_b"), "g")
+    y = sh.join(cand.select(F.col("id_b").alias("doc_id")).distinct(),
+                "doc_id").select(F.col("doc_id").alias("id_b"), "g")
     common = (cand.join(x, "id_a").join(y, ["id_b", "g"])
               .groupBy("id_a", "id_b").agg(F.count("*").alias("n_common")))
     sa = sizes.select(F.col("doc_id").alias("id_a"),
@@ -347,8 +368,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .distinct())
 
 
-MINHASH_LSH_PAIRS_SQL = f"""
-WITH sh AS ({TOKEN_SHINGLES_SQL_CTE}), h AS (
+# the (sh, h, sig) CTE chain shared by every SQL that needs the minhash
+# signature table (the pair product here, the star-edge cluster graph in
+# chunking.py)
+MINHASH_SIG_CTES = f"""sh AS ({TOKEN_SHINGLES_SQL_CTE}), h AS (
   SELECT doc_id,
          (('0x' || substr(md5(sh), 1, 8))::BIGINT % {MINHASH_P}) AS h1,
          (('0x' || substr(md5(sh), 9, 8))::BIGINT % {MINHASH_P}) AS h2
@@ -358,7 +381,10 @@ WITH sh AS ({TOKEN_SHINGLES_SQL_CTE}), h AS (
          min((h1 + b.band * h2) % {MINHASH_P}) AS minhash
   FROM h, generate_series(0, {N_BANDS - 1}) b(band)
   GROUP BY doc_id, b.band
-)
+)"""
+
+MINHASH_LSH_PAIRS_SQL = f"""
+WITH {MINHASH_SIG_CTES}
 SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
 FROM sig a JOIN sig b
   ON a.band = b.band AND a.minhash = b.minhash AND a.doc_id < b.doc_id

@@ -335,20 +335,25 @@ def run_job(spark, input_path: str, output_path: str,
     # inventory is `WHERE run_id = max(run_id)`); the max() probe is an
     # O(1)-result scalar job over manifest metadata, not data
     try:
-        prev_manifest = spark.read.parquet(files_path)
+        # mergeSchema: a manifest touched by a pre-run_id release holds a
+        # mix of stamped and legacy part files; the merged schema surfaces
+        # run_id with NULL on the legacy rows, which read as run 0
+        prev_manifest = (spark.read.option("mergeSchema", "true")
+                         .parquet(files_path))
         if "run_id" in prev_manifest.columns:
-            prev = prev_manifest.agg(F.max("run_id")).first()[0]
+            prev = prev_manifest.agg(
+                F.max(F.coalesce("run_id", F.lit(0)))).first()[0]
             # prev is None when the manifest exists but has zero rows
             # (a prior run over an empty input dir)
             run_id = 0 if prev is None else prev + 1
         else:
-            # legacy manifest written before run_id stamping: its rows
-            # are implicitly run 0.  Upgrade in place (materialize via
-            # localCheckpoint, then overwrite — the directory must not
-            # end up mixed-schema) and continue at 1.
-            upgraded = (prev_manifest.withColumn("run_id", F.lit(0))
-                        .localCheckpoint(eager=True))
-            upgraded.write.mode("overwrite").parquet(files_path)
+            # manifest written ENTIRELY before run_id stamping: its rows
+            # are implicitly run 0, so this run continues at 1 — by
+            # APPENDING, never by rewriting the directory.  Spark's
+            # overwrite deletes before it commits, so an in-place upgrade
+            # crash could lose the whole lineage manifest; append-only
+            # keeps every committed byte, and readers recover the legacy
+            # rows' run via coalesce(run_id, 0) under mergeSchema.
             run_id = 1
     except AnalysisException:
         run_id = 0

@@ -410,17 +410,27 @@ def wet_convert(extracted, n_shards: int = 4):
 
 
 def read_wet_blobs(shards):
-    """(filename, content) WET blobs -> (url, extracted_text) rows via
-    the tolerant parser, Arrow-batched with the same bounded flush
-    discipline as :func:`split_warc_batches`."""
+    """(filename, content) WET blobs -> (url, extracted_text) rows,
+    streaming each shard's records through :func:`_iter_records` with
+    the same bounded flush discipline as :func:`split_warc_batches`
+    (one shard's bytes + one output batch of peak memory per task)."""
     import pandas as pd
 
     def split(batches):
         urls, texts, acc_bytes = [], [], 0
         for pdf in batches:
             for blob in pdf["content"]:
-                recs, _ = parse_wet(bytes(blob))
-                for url, text in recs:
+                # stream via _iter_records (NOT the eager parse_wet,
+                # which materializes every record of the shard before
+                # the flush loop can run — per-task peak would be the
+                # whole shard's decoded text, ADVICE r7): one record is
+                # in flight at a time, so the flush bound below is real
+                stats = {"corrupt": 0}
+                for h, body, _, _ in _iter_records(bytes(blob), stats):
+                    if h.get("warc-type") != "conversion":
+                        continue
+                    url = h.get("warc-target-uri", "")
+                    text = body.decode("utf-8", "replace")
                     urls.append(url)
                     texts.append(text)
                     acc_bytes += len(text)

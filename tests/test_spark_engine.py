@@ -114,9 +114,13 @@ def test_lineage_per_stage_timings(spark, pages_df):
 
 
 def test_run_job_legacy_manifest_upgrade(spark, pages_df, tmp_path):
-    """A pre-run_id manifest (no run_id column) is upgraded in place to
-    run_id=0 and the new run continues at 1 — no mixed-schema directory,
-    no restart at 0 (ADVICE r6)."""
+    """A pre-run_id manifest (no run_id column) is NEVER rewritten in
+    place (Spark's overwrite deletes before it commits — a crash
+    mid-upgrade would lose the whole lineage manifest, ADVICE r7): the
+    new run APPENDS at run 1 and readers recover the legacy rows as run
+    0 via coalesce under mergeSchema."""
+    import glob
+
     input_path = str(tmp_path / "pages")
     output_path = str(tmp_path / "out")
     pages_df.write.parquet(input_path)
@@ -127,14 +131,24 @@ def test_run_job_legacy_manifest_upgrade(spark, pages_df, tmp_path):
      .agg(F.count("*").alias("n_rows"),
           F.sum(F.length("html")).alias("payload_bytes"))
      .write.parquet(files_path))
+    legacy_parts = sorted(glob.glob(files_path + "/part-*"))
 
     engine.run_job(spark, input_path, output_path, num_partitions=2)
-    manifest = spark.read.parquet(files_path)
+    # crash-safety: the legacy part files are still on disk — nothing
+    # was deleted at any point during the run
+    assert set(legacy_parts) <= set(glob.glob(files_path + "/part-*"))
+    manifest = (spark.read.option("mergeSchema", "true")
+                .parquet(files_path))
     assert "run_id" in manifest.columns
-    assert sorted(r["run_id"] for r in
-                  manifest.select("run_id").distinct().collect()) == [0, 1]
-    # every row (including the upgraded legacy ones) carries a run_id
-    assert manifest.filter(F.col("run_id").isNull()).count() == 0
+    runs = manifest.select(
+        F.coalesce("run_id", F.lit(0)).alias("run")).distinct()
+    assert sorted(r["run"] for r in runs.collect()) == [0, 1]
+    # and a THIRD run continues at 2 off the mixed directory
+    engine.run_job(spark, input_path, output_path, num_partitions=2)
+    manifest = (spark.read.option("mergeSchema", "true")
+                .parquet(files_path))
+    assert manifest.agg(
+        F.max(F.coalesce("run_id", F.lit(0)))).first()[0] == 2
 
 
 def test_run_job_empty_prior_manifest(spark, pages_df, tmp_path):
