@@ -1079,6 +1079,26 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `trust_propagation` (seeded TrustRank) enter the head;
 # `event_sessionize` and `ann_bruteforce_topk` (both r6-green, shapes
 # covered — rationale at the tail entries) demoted.
+# Round-8 rotation (VERDICT r7 item #1 — freshness refresh, oldest
+# driver rows first): promoted are the FOUR rotation-#7 orphans that the
+# late batch-#8/#9/#10 promotions displaced past the driver's 50-row cap
+# before the r7 driver ran (`minhash_signatures`, `chunk_documents`,
+# `dedup_keep_list`, `extract_jsonl_figures` — newest rows r4/r5), EIGHT
+# more r5-stale queries (`simhash`, `token_counts`, `tfidf_keywords`,
+# `embedding_near_dup`, `image_phash`, `audio_energy_fingerprint`,
+# `audio_meta`, `video_frame_sample`), and the TWO round-8 ops
+# (`ann_ivfpq_topk`, `bm25_topk` — brand-new, first-round driver rows).
+# Demoted in exchange (ALL fourteen hold r7-green driver rows; rationale
+# at the tail entries): `extract_roles_model`,
+# `extract_text_role_filtered`, `stream_extract_equivalence`,
+# `regional_revenue`, `event_tumbling_counts`, `exact_dedup`,
+# `bigram_surprisal`, `lang_id`, `c4_quality_filter`,
+# `stratified_sample`, `sequence_packing`, `anchor_text_topk`,
+# `bitext_url_pairs`, `crawl_snapshot_diff`.  The dedup-cluster family
+# (`dedup_clusters`, `dedup_clusters_fixpoint`, `dedup_keep_list`) and
+# `containment_pairs` stay in/enter the head deliberately: their code
+# changed post-r7 (star-edge graph + B-side bound, VERDICT r7 items
+# #2/#6) and the fresh driver rows certify the changed code.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1112,23 +1132,18 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # entry never exercised by a driver artifact (was position 73)
     "extract_visualization_pdf": (extract_visualization_pdf, None),
     "extract_roles": (extract_roles, None),    # oracle filled in lazily below
-    # rotation #7 promotion: stalest driver row (r4)
-    "extract_roles_model": (extract_roles_model, None),  # same oracle shape
-    "extract_text_role_filtered": (extract_text_role_filtered, None),
+    # rotation #8 promotion: rotation-#7 orphan (r4 driver row, displaced
+    # past the 50-cap by the batch-#8/#9/#10 promotions before the driver
+    # ran — VERDICT r7 item #1)
+    "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
     "extract_stats": (extract_stats, None),    # oracle filled in lazily below
-    # rotation #7 promotion: stalest driver row (r4)
-    "stream_extract_equivalence": (stream_extract_equivalence, None),
-    # generic relational surface over the TPC-H-style driver tables
-    "regional_revenue": (relational.regional_revenue,
-                         relational.REGIONAL_REVENUE_SQL),
-    # windowed/relational ops over events (§2.5 surface)
-    # rotation #7 promotion: stalest driver row (r3)
-    "event_tumbling_counts": (events.tumbling_counts,
-                              events.TUMBLING_COUNTS_SQL),
     # dedup family
-    "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
+    # rotation #8 promotions: rotation-#7 orphan (r5) + r5-stale sibling
+    "minhash_signatures": (dedup.minhash_signatures,
+                           dedup.MINHASH_SIGNATURES_SQL),
+    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
     # round 6 batch #2: exact duplicated-span signal (Lee et al. 2022)
     "duplicate_ngram_spans": (dedup.duplicate_ngram_spans,
                               dedup.DUPLICATE_NGRAM_SPANS_SQL),
@@ -1136,11 +1151,20 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # signal Jaccard misses; A-prefix-filtered exact candidates
     "containment_pairs": (dedup.containment_pairs,
                           dedup.CONTAINMENT_PAIRS_SQL),
-    # rotation #7 promotions: stalest driver rows (r3)
+    # rotation #7 promotions: stalest driver rows (r3); star-edge graph
+    # rebuild landed post-r7 (VERDICT r7 item #2) — kept in the head so
+    # the changed code gets a fresh driver row
     "dedup_clusters": (chunking.dedup_clusters,
                        chunking.DEDUP_CLUSTERS_SQL),
     "dedup_clusters_fixpoint": (chunking.dedup_clusters_fixpoint,
                                 chunking.DEDUP_CLUSTERS_FIXPOINT_SQL),
+    # rotation #8 promotions: rotation-#7 orphans (r4 driver rows) — and
+    # dedup_keep_list consumes the post-r7 star-edge graph, so its fresh
+    # driver row certifies the changed code end to end
+    "dedup_keep_list": (chunking.dedup_keep_list,
+                        chunking.DEDUP_KEEP_LIST_SQL),
+    "chunk_documents": (chunking.chunk_documents,
+                        chunking.CHUNK_DOCUMENTS_SQL),
     # round 6 batch #2: SemDeDup-style cluster-then-prune (Abbas et al.)
     "semdedup_prune": (similarity.semdedup_prune,
                        similarity.SEMDEDUP_PRUNE_SQL),
@@ -1151,20 +1175,17 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 6 (VERDICT r5 item #1): the two-level quantizer, promoted
     # straight into the head so its first round gets a driver row
     "ann_ivf2_topk": (similarity.ann_ivf2_topk, similarity.ANN_IVF2_SQL),
+    # round 8 (VERDICT r7 item #3): IVF-PQ — product-quantized residuals,
+    # ADC scan, exact re-rank; brand-new, straight into the head
+    "ann_ivfpq_topk": (similarity.ann_ivfpq_topk, similarity.ANN_IVFPQ_SQL),
+    # rotation #8 promotion: r5-stale exact near-dup baseline
+    "embedding_near_dup": (dedup.embedding_near_dup,
+                           dedup.EMBEDDING_NEAR_DUP_SQL),
     # text analysis
-    # round 6 batch #2: conditional-LM perplexity proxy
-    "bigram_surprisal": (textstats.bigram_surprisal,
-                         textstats.BIGRAM_SURPRISAL_SQL),
-    # rotation #7 promotion: stalest driver row (r3)
-    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
-    # round 6 batch #2: C4 line/document rules (Raffel et al. 2020);
-    # oracle is lazily built (VALUES of the raw line-structured corpus)
-    "c4_quality_filter": (textstats.c4_quality_filter, None),
-    # round 6 batch #3: sampling / mixing / packing layer
-    "stratified_sample": (sampling.stratified_sample,
-                          sampling.STRATIFIED_SAMPLE_SQL),
-    "sequence_packing": (sampling.sequence_packing,
-                         sampling.SEQUENCE_PACKING_SQL),
+    # rotation #8 promotions: r5-stale token/ranking surfaces
+    "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
+    "tfidf_keywords": (textstats.tfidf_keywords,
+                       textstats.TFIDF_KEYWORDS_SQL),
     # round 6 batch #3: the flagship composition — dedup + Gopher gate +
     # surprisal band + stratified sample composed end to end; the oracle
     # nests each component's own SQL as a CTE
@@ -1179,17 +1200,15 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                           crawlops.TRUST_PROPAGATION_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
-    # round 7 batch #7: anchor text / redirect chains / bitext pairing /
-    # crawl-snapshot diff (brand-new, straight into the head for first-
-    # round driver rows — the ann_ivf2 precedent)
-    "anchor_text_topk": (webtext.anchor_text_topk,
-                         webtext.ANCHOR_TEXT_TOPK_SQL),
+    # round 8 (VERDICT r7 item #7): BM25 ranked retrieval over the index
+    # — brand-new, straight into the head
+    "bm25_topk": (webtext.bm25_topk, webtext.BM25_TOPK_SQL),
+    # round 7 batch #7: pointer-doubling redirect resolver (its three
+    # batch siblings hold r7-green rows and are demoted this rotation;
+    # the doubling plan is the registry's only log-rounds join chain, so
+    # it keeps a head slot)
     "redirect_resolution": (webtext.redirect_resolution,
                             webtext.REDIRECT_RESOLUTION_SQL),
-    "bitext_url_pairs": (webtext.bitext_url_pairs,
-                         webtext.BITEXT_URL_PAIRS_SQL),
-    "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
-                            webtext.CRAWL_SNAPSHOT_DIFF_SQL),
     # round 7 batch #8: crawl-operations layer (brand-new, straight into
     # the head for first-round driver rows — the batch-#7 precedent)
     "hll_url_cardinality": (crawlops.hll_url_cardinality,
@@ -1215,39 +1234,66 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # multimodal plumbing — rotation #7 promotion: stalest driver row (r3)
     "multimodal_meta": (multimodal.multimodal_meta,
                         multimodal.MULTIMODAL_META_SQL),
+    # rotation #8 promotions: the r5-stale decoded-content signatures
+    # (PNG/JPEG pixel decode, WAV framing, MJPEG demux) — their newest
+    # driver rows all date from r5
+    "image_phash": (multimodal.image_phash, multimodal.IMAGE_PHASH_SQL),
+    "audio_energy_fingerprint": (multimodal.audio_energy_fingerprint,
+                                 multimodal.AUDIO_ENERGY_FP_SQL),
+    "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
+    "video_frame_sample": (multimodal.video_frame_sample,
+                           multimodal.VIDEO_FRAME_SAMPLE_SQL),
     # HTML boilerplate strip (north-rule raw-HTML surface)
     "main_content_blocks": (
         lambda spark, sf_dir: htmlstrip.main_content_blocks(spark, sf_dir),
         None),  # oracle filled in lazily below
     # --- tail: transitively-covered variants (see ORDERING note above).
-    # Round-5 rotation #2: chunk_documents and dedup_keep_list moved to
-    # the tail — both have green driver-artifact rows from rounds 3-4
-    # and remain pytest+check_oracles covered — so the brand-new
-    # image_phash / audio_energy_fingerprint ops (never recorded) get
-    # driver rows. ---
-    # Round-6 rotation: minhash_signatures got its green driver row in r5
-    # (the reason it was promoted); it returns to the tail — its banding
-    # surface is transitively exercised by minhash_lsh_pairs (head) — to
-    # make room for the brand-new ann_ivf2_topk.
-    "minhash_signatures": (dedup.minhash_signatures,
-                           dedup.MINHASH_SIGNATURES_SQL),
-    "chunk_documents": (chunking.chunk_documents,
-                        chunking.CHUNK_DOCUMENTS_SQL),
-    "dedup_keep_list": (chunking.dedup_keep_list,
-                        chunking.DEDUP_KEEP_LIST_SQL),
-    # figures share the serializer path with extract_jsonl_shapes and the
-    # figure bboxes with extract_visualization's rect layer (both head)
-    "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
-    # round-6 rotation #2 demotions (green r5 driver rows in hand; head
-    # siblings cover their unique surfaces — see ORDERING note)
-    "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
-    # round-6 rotation #3 demotions (batch-3 promotions displace four
-    # more r5-green rows): quality_score's length/punct gate is covered
-    # by head gopher_quality_filter + c4_quality_filter; source_mix_weights'
-    # count-agg shape is stratified_sample's rate dim (head); the two
-    # decoded-content signatures ride the same codecs as head
-    # image_resize_meta / video_frame_sample and got their first driver
-    # rows in r5
+    # Rotation #8 demotions (ALL hold r7-green driver rows; VERDICT r7
+    # item #1 rotation, oldest-stale-first promotions in exchange):
+    # extract_roles_model / stream_extract_equivalence share their oracle
+    # SQL verbatim with head extract_roles / extract_text (the historical
+    # demotion rationale) and streaming has dedicated pytest coverage;
+    # extract_text_role_filtered is the serializer roles= path of head
+    # extract_text + extract_roles; regional_revenue's join+agg shape is
+    # the TPC-H tail family's; event_tumbling_counts is the hop==width
+    # special case of event_hopping_counts (tail, pytest-covered);
+    # exact_dedup's one-hash-agg runs inside head training_mix_pipeline;
+    # bigram_surprisal's integer-bit-length plan is unigram_surprisal's
+    # plus one bounded join and the surprisal band runs inside head
+    # training_mix_pipeline; lang_id is the stopword special case of
+    # lang_id_trigram; c4_quality_filter's line-rule gate shape is shared
+    # with c4_line_dedup and the head Gopher gate; stratified_sample and
+    # sequence_packing are composed inside head training_mix_pipeline;
+    # anchor_text_topk's WindowGroupLimit top-K shape is head
+    # url_frontier_priority's and inverted_index's; bitext_url_pairs'
+    # agg + slot equi-join and crawl_snapshot_diff's hash-reduced
+    # full-outer join got their first driver rows in r7.
+    "extract_roles_model": (extract_roles_model, None),  # same oracle shape
+    "extract_text_role_filtered": (extract_text_role_filtered, None),
+    "stream_extract_equivalence": (stream_extract_equivalence, None),
+    "regional_revenue": (relational.regional_revenue,
+                         relational.REGIONAL_REVENUE_SQL),
+    "event_tumbling_counts": (events.tumbling_counts,
+                              events.TUMBLING_COUNTS_SQL),
+    "exact_dedup": (dedup.exact_dedup, dedup.EXACT_DEDUP_SQL),
+    "bigram_surprisal": (textstats.bigram_surprisal,
+                         textstats.BIGRAM_SURPRISAL_SQL),
+    "lang_id": (textstats.lang_id, textstats.LANG_ID_SQL),
+    "c4_quality_filter": (textstats.c4_quality_filter, None),
+    "stratified_sample": (sampling.stratified_sample,
+                          sampling.STRATIFIED_SAMPLE_SQL),
+    "sequence_packing": (sampling.sequence_packing,
+                         sampling.SEQUENCE_PACKING_SQL),
+    "anchor_text_topk": (webtext.anchor_text_topk,
+                         webtext.ANCHOR_TEXT_TOPK_SQL),
+    "bitext_url_pairs": (webtext.bitext_url_pairs,
+                         webtext.BITEXT_URL_PAIRS_SQL),
+    "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
+                            webtext.CRAWL_SNAPSHOT_DIFF_SQL),
+    # round-6 rotation #3 demotions (batch-3 promotions displaced four
+    # r5-green rows): quality_score's length/punct gate is covered
+    # by head gopher_quality_filter; source_mix_weights'
+    # count-agg shape is stratified_sample's rate dim
     "quality_score": (textstats.quality_score, textstats.QUALITY_SCORE_SQL),
     "source_mix_weights": (textstats.source_mix_weights,
                            textstats.SOURCE_MIX_WEIGHTS_SQL),
@@ -1256,48 +1302,23 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # trigram-profile surface stays pytest+parity covered
     "lang_id_trigram": (textstats.lang_id_trigram,
                         textstats.LANG_ID_TRIGRAM_SQL),
-    "image_phash": (multimodal.image_phash, multimodal.IMAGE_PHASH_SQL),
-    "audio_energy_fingerprint": (multimodal.audio_energy_fingerprint,
-                                 multimodal.AUDIO_ENERGY_FP_SQL),
-    "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
     "vocab_top_tokens": (textstats.vocab_top_tokens,
                          textstats.VOCAB_TOP_TOKENS_SQL),
     "per_source_topk": (textstats.per_source_topk,
                         textstats.PER_SOURCE_TOPK_SQL),
-    # round-6 rotation #5 demotions (webtext batch-4 promotions displace
-    # five r5-green rows): token_counts / fingerprint / repetition_stats
-    # share the token hash-agg shape with head unigram/bigram_surprisal
-    # and dsir_importance_weights; pii_scrub's regexp-gate shape is head
-    # c4_quality_filter's; tfidf_keywords' df-agg + ranking window is
-    # per-document surprisal's dim plan plus perplexity_buckets' window.
-    "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
+    # round-6 rotation #5 demotions: fingerprint / repetition_stats
+    # share the token hash-agg shape with head unigram-surprisal-style
+    # plans and dsir_importance_weights; pii_scrub's regexp-gate shape is
+    # the C4 gate's.
     "fingerprint": (textstats.fingerprint, textstats.FINGERPRINT_SQL),
     "repetition_stats": (textstats.repetition_stats,
                          textstats.REPETITION_STATS_SQL),
     "pii_scrub": (textstats.pii_scrub, textstats.PII_SCRUB_SQL),
-    "tfidf_keywords": (textstats.tfidf_keywords,
-                       textstats.TFIDF_KEYWORDS_SQL),
-    # round-6 rotation #6 demotions (batch-5 promotions: robots_filter,
-    # warc_extract_equivalence, streaming_url_dedup): video_frame_sample
-    # rides the same MP4-demux+JPEG codec as head image_resize_meta's
-    # JPEG branch and got its green driver row in r5; boilerplate_strip's
-    # regexp-chain shape is head c4_quality_filter's and its HTML corpus
-    # is main_content_blocks' (head), green r5 row in hand;
-    # benchmark_decontaminate's broadcast-gram gate shape is head
-    # bloom_url_filter's broadcast-bitset probe, green r5 row in hand.
-    "video_frame_sample": (multimodal.video_frame_sample,
-                           multimodal.VIDEO_FRAME_SAMPLE_SQL),
     "boilerplate_strip": (
         lambda spark, sf_dir: htmlstrip.boilerplate_strip(spark, sf_dir),
         None),  # oracle filled in lazily below
     "benchmark_decontaminate": (dedup.benchmark_decontaminate,
                                 dedup.BENCHMARK_DECONTAMINATE_SQL),
-    # rotation #6 addendum: warc_cdx_index promotion displaces
-    # embedding_near_dup (green rows r4 AND r5; its Arrow-kernel tiled
-    # self-join shape is semdedup_prune's within-cluster pairwise stage
-    # (head) and its cosine kernel is ann_bruteforce_topk's (head))
-    "embedding_near_dup": (dedup.embedding_near_dup,
-                           dedup.EMBEDDING_NEAR_DUP_SQL),
     # rotation #6 addendum 2: inverted_index promotion displaces
     # event_gap_stats (green r5 row; its lag-window shape is head
     # event_sessionize's gap computation, its agg shape event_hopping's)

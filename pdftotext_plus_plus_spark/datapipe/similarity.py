@@ -755,6 +755,316 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ (product-quantized residuals + ADC scan + exact re-rank)
+# ---------------------------------------------------------------------------
+
+# The design every 100-TB embedding store actually ships (Jégou et al. 2011,
+# "Product Quantization for Nearest Neighbor Search"; FAISS IVFPQ): the
+# coarse IVF quantizer routes queries to inverted lists, and within a list
+# the FINE scan reads PQ codes — PQ_M small integers per vector instead of
+# D float64s — scored against a per-(query, list) asymmetric-distance
+# lookup table (ADC).  Memory per vector drops from 8*D bytes to PQ_M
+# bytes (64-dim float64 = 512 B -> 4 B here, a 128x scan-size reduction),
+# which is what makes a 10^12-vector fine scan I/O-feasible.  The ADC
+# shortlist is then re-ranked EXACTLY (true cosine over the shortlist
+# vectors only), so the output contract stays "exact top-K within the
+# probed lists" — identical to ann_ivf_topk's, just computed through the
+# compressed path.
+#
+# Everything is deterministic and closed-form so the DuckDB oracle
+# reproduces it bit-for-bit (the ivf2_strides precedent): codebooks are
+# NOT trained k-means — codeword c of subspace m is the residual
+# subvector of the c-th codebook-seed vector (seeds at
+# vec_id % (N // PQ_CODES) == 0, the PQ_CODES smallest), and every
+# distance is round(.., 4) with ties to the smaller code / vec_id.
+PQ_M = 4            # subspaces (D/PQ_M contiguous dims each)
+PQ_CODES = 16       # codewords per subspace -> 4 bits/code, PQ_M*4=16 bits
+PQ_SHORTLIST = 40   # ADC shortlist size re-ranked exactly (4 * TOP_K)
+
+
+def pq_seed_stride(n: int) -> int:
+    """Codebook-seed stride: ~PQ_CODES evenly-spaced ids; the PQ_CODES
+    smallest qualifying ids become codewords 0..PQ_CODES-1."""
+    return max(1, n // PQ_CODES)
+
+
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-k: coarse IVF routing, PQ-coded residual fine scan
+    via an ADC lookup table, exact re-rank of the shortlist.
+
+    Plan shape, bottom-up:
+      1. coarse assignment = ann_ivf_topk's (broadcast of <= IVF_K_CAP
+         centroids, per-vector argmax as ONE hash agg);
+      2. residual r(v) = v - centroid(v), a zip_with projection —
+         no extra shuffle (rides the assignment join);
+      3. codebook = PQ_CODES seed residuals split into PQ_M subvectors
+         (PQ_M * PQ_CODES rows -> broadcast); per-(vector, subspace)
+         encoding argmin is ONE hash agg over a broadcast-join fan-out
+         of PQ_CODES — the corpus-side cost is O(N * PQ_M * PQ_CODES)
+         narrow rows, embarrassingly parallel, shuffled once on
+         (vec_id, m) for the argmin partial agg;
+      4. ADC table: per (query, probed list, subspace, codeword) squared
+         distance between the QUERY residual subvector and the codeword
+         — N_QUERIES * IVF_NPROBE * PQ_M * PQ_CODES rows, broadcast;
+      5. candidate scoring reads ONLY codes: cands join codes join ADC,
+         summed per (query, vec) — the scan that at 10^12 rows streams
+         bytes instead of vectors;
+      6. the PQ_SHORTLIST best ADC rows per query are re-scored with the
+         true cosine (a shortlist-sized join back to the vectors) and
+         ranked; output schema matches the rest of the ANN ladder.
+    """
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    n = emb.count()
+    stride = ivf_stride(n)
+    cbs = pq_seed_stride(n)
+    cents = (emb.filter(F.col("vec_id") % stride == 0)
+             .select(F.col("vec_id").alias("cent_id"),
+                     F.col("embedding").alias("c_emb"),
+                     F.col("norm").alias("c_norm")))
+    cdot = F.aggregate(
+        F.zip_with("embedding", "c_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    csim = (emb.crossJoin(F.broadcast(cents))
+            .withColumn("sim", F.round(cdot / (F.col("norm") * F.col("c_norm")), 4))
+            .select("vec_id", "cent_id", "sim"))
+    assigned = (csim.groupBy("vec_id")
+                .agg(F.max(F.struct(
+                    F.col("sim"),
+                    (-F.col("cent_id")).alias("neg_cent"))).alias("m"))
+                .select("vec_id", (-F.col("m.neg_cent")).alias("cent_id")))
+
+    # residuals: one broadcast join back to the centroid table
+    resid = (emb.join(assigned, "vec_id")
+             .join(F.broadcast(cents.select("cent_id", "c_emb")), "cent_id")
+             .select("vec_id", "cent_id",
+                     F.zip_with("embedding", "c_emb",
+                                lambda x, y: x.cast("double")
+                                - y.cast("double")).alias("r")))
+    sublen = F.expr("div(size(r), %d)" % PQ_M)
+    subs = resid.select(
+        "vec_id", "cent_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.slice("r", F.lit(m) * sublen + 1, sublen)
+                     .alias("sub"))
+            for m in range(PQ_M)])).alias("e")
+    ).select("vec_id", "cent_id", "e.m", "e.sub")
+
+    # codebook: the PQ_CODES smallest seed ids' residual subvectors
+    # (seed set is ~PQ_CODES rows -> the global row_number window is a
+    # constant-size single partition, then broadcast)
+    w_seed = Window.orderBy("vec_id")
+    seeds = (resid.filter(F.col("vec_id") % cbs == 0)
+             .select("vec_id", "r")
+             .withColumn("code", F.row_number().over(w_seed) - 1)
+             .filter(F.col("code") < PQ_CODES))
+    cb_sublen = F.expr("div(size(r), %d)" % PQ_M)
+    codebook = seeds.select(
+        "code",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.slice("r", F.lit(m) * cb_sublen + 1, cb_sublen)
+                     .alias("cw"))
+            for m in range(PQ_M)])).alias("e")
+    ).select("code", "e.m", "e.cw")
+
+    sqdist = F.round(F.aggregate(
+        F.zip_with("sub", "cw", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0), lambda acc, x: acc + x), 4)
+    # per-(vector, subspace) encoding argmin: min over a (dist, code)
+    # struct = smallest distance, ties to the smaller code — ONE hash agg
+    codes = (subs.join(F.broadcast(codebook), "m")
+             .withColumn("d", sqdist)
+             .groupBy("vec_id", "m")
+             .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mn"))
+             .select("vec_id", "m", F.col("mn.code").alias("code")))
+
+    # query probes: identical to ann_ivf_topk (tiny query slice)
+    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
+                                                    F.asc("cent_id"))
+    probes = (csim.filter(F.col("vec_id") < N_QUERIES)
+              .withColumn("rn", F.row_number().over(w_assign))
+              .filter(F.col("rn") <= IVF_NPROBE)
+              .select(F.col("vec_id").alias("query_id"), "cent_id"))
+    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
+               .select(F.col("vec_id").alias("query_id"),
+                       F.col("embedding").alias("q_emb"),
+                       F.col("norm").alias("q_norm")))
+
+    # ADC lookup table: query residual vs every codeword, per probed list
+    q_resid = (probes
+               .join(F.broadcast(queries.select("query_id", "q_emb")),
+                     "query_id")
+               .join(F.broadcast(cents.select("cent_id", "c_emb")),
+                     "cent_id")
+               .select("query_id", "cent_id",
+                       F.zip_with("q_emb", "c_emb",
+                                  lambda x, y: x.cast("double")
+                                  - y.cast("double")).alias("r")))
+    qr_sublen = F.expr("div(size(r), %d)" % PQ_M)
+    q_subs = q_resid.select(
+        "query_id", "cent_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(m).alias("m"),
+                     F.slice("r", F.lit(m) * qr_sublen + 1, qr_sublen)
+                     .alias("sub"))
+            for m in range(PQ_M)])).alias("e")
+    ).select("query_id", "cent_id", "e.m", "e.sub")
+    adc = (q_subs.join(F.broadcast(codebook), "m")
+           .withColumn("qd", sqdist)
+           .select("query_id", "cent_id", "m", "code", "qd"))
+
+    # the compressed fine scan: candidates x their PQ_M codes x ADC rows
+    cands = (probes.join(assigned, "cent_id")
+             .filter(F.col("vec_id") != F.col("query_id"))
+             .select("query_id", "cent_id", "vec_id"))
+    approx = (cands.join(codes, "vec_id")
+              .join(F.broadcast(adc), ["query_id", "cent_id", "m", "code"])
+              .groupBy("query_id", "vec_id")
+              .agg(F.round(F.sum("qd"), 4).alias("adc_dist")))
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("adc_dist"),
+                                                     F.asc("vec_id"))
+    shortlist = (approx.withColumn("rn", F.row_number().over(w_short))
+                 .filter(F.col("rn") <= PQ_SHORTLIST)
+                 .select("query_id", "vec_id"))
+
+    # exact re-rank of the shortlist only
+    dot = F.aggregate(
+        F.zip_with("embedding", "q_emb",
+                   lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0), lambda acc, x: acc + x)
+    scored = (shortlist.join(emb, "vec_id")
+              .join(F.broadcast(queries), "query_id")
+              .withColumn("cosine",
+                          F.round(dot / (F.col("norm") * F.col("q_norm")), 4)))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"),
+                                               F.asc("vec_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= TOP_K)
+            .select("query_id", "rank", "vec_id", "cosine"))
+
+
+ANN_IVFPQ_SQL = f"""
+WITH elems AS (
+  SELECT vec_id, i, embedding[i]::DOUBLE AS x
+  FROM (SELECT e.vec_id, e.embedding,
+               unnest(generate_series(1, len(e.embedding))) AS i
+        FROM embeddings e)
+), norms AS (
+  SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
+), params AS (
+  -- stride: the same IEEE-double arithmetic as similarity.ivf_stride;
+  -- cbs / sublen: integer-exact (similarity.pq_seed_stride, D // PQ_M)
+  SELECT greatest(1, CAST(ceil(n / least({IVF_K_CAP},
+           CAST(ceil(sqrt(n::DOUBLE)) AS BIGINT))::DOUBLE) AS BIGINT)) AS s,
+         greatest(1, n // {PQ_CODES}) AS cbs,
+         (SELECT max(i) FROM elems) // {PQ_M} AS sublen
+  FROM (SELECT count(*) AS n FROM embeddings)
+), cdots AS (
+  SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
+  FROM elems v JOIN elems c ON c.i = v.i
+       AND c.vec_id % (SELECT s FROM params) = 0
+  GROUP BY v.vec_id, c.vec_id
+), csim AS (
+  SELECT d.vec_id, d.cent_id,
+         row_number() OVER (PARTITION BY d.vec_id
+                            ORDER BY round(d.dot / (nv.norm * nc.norm), 4)
+                                     DESC, d.cent_id ASC) AS rn
+  FROM cdots d
+  JOIN norms nv ON nv.vec_id = d.vec_id
+  JOIN norms nc ON nc.vec_id = d.cent_id
+), assigned AS (
+  SELECT vec_id, cent_id FROM csim WHERE rn = 1
+), relems AS (
+  -- residual elements: vector minus its assigned centroid, aligned on i;
+  -- m/j split the element index into (subspace, offset)
+  SELECT v.vec_id, a.cent_id,
+         (v.i - 1) // (SELECT sublen FROM params) AS m,
+         (v.i - 1) % (SELECT sublen FROM params) AS j,
+         v.x - c.x AS x
+  FROM elems v
+  JOIN assigned a ON a.vec_id = v.vec_id
+  JOIN elems c ON c.vec_id = a.cent_id AND c.i = v.i
+), seeds AS (
+  SELECT vec_id, code FROM (
+    SELECT vec_id,
+           row_number() OVER (ORDER BY vec_id) - 1 AS code
+    FROM embeddings WHERE vec_id % (SELECT cbs FROM params) = 0
+  ) WHERE code < {PQ_CODES}
+), cwelems AS (
+  SELECT s.code, r.m, r.j, r.x
+  FROM seeds s JOIN relems r ON r.vec_id = s.vec_id
+), codes AS (
+  -- per-(vector, subspace) encoding argmin, ties to the smaller code
+  SELECT vec_id, m, code FROM (
+    SELECT d.vec_id, d.m, d.code,
+           row_number() OVER (PARTITION BY d.vec_id, d.m
+                              ORDER BY d.dist ASC, d.code ASC) AS rn
+    FROM (SELECT r.vec_id, r.m, c.code,
+                 round(sum((r.x - c.x) * (r.x - c.x)), 4) AS dist
+          FROM relems r
+          JOIN cwelems c ON c.m = r.m AND c.j = r.j
+          GROUP BY r.vec_id, r.m, c.code) d
+  ) WHERE rn = 1
+), probes AS (
+  SELECT vec_id AS query_id, cent_id FROM csim
+  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
+), qrelems AS (
+  -- QUERY residual vs each PROBED list's centroid
+  SELECT p.query_id, p.cent_id,
+         (q.i - 1) // (SELECT sublen FROM params) AS m,
+         (q.i - 1) % (SELECT sublen FROM params) AS j,
+         q.x - c.x AS x
+  FROM probes p
+  JOIN elems q ON q.vec_id = p.query_id
+  JOIN elems c ON c.vec_id = p.cent_id AND c.i = q.i
+), adc AS (
+  SELECT r.query_id, r.cent_id, r.m, c.code,
+         round(sum((r.x - c.x) * (r.x - c.x)), 4) AS qd
+  FROM qrelems r
+  JOIN cwelems c ON c.m = r.m AND c.j = r.j
+  GROUP BY r.query_id, r.cent_id, r.m, c.code
+), cands AS (
+  SELECT p.query_id, p.cent_id, a.vec_id
+  FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
+  WHERE a.vec_id != p.query_id
+), approx AS (
+  SELECT c.query_id, c.vec_id, round(sum(t.qd), 4) AS adc_dist
+  FROM cands c
+  JOIN codes k ON k.vec_id = c.vec_id
+  JOIN adc t ON t.query_id = c.query_id AND t.cent_id = c.cent_id
+            AND t.m = k.m AND t.code = k.code
+  GROUP BY c.query_id, c.vec_id
+), shortlist AS (
+  SELECT query_id, vec_id FROM (
+    SELECT query_id, vec_id,
+           row_number() OVER (PARTITION BY query_id
+                              ORDER BY adc_dist ASC, vec_id ASC) AS rn
+    FROM approx
+  ) WHERE rn <= {PQ_SHORTLIST}
+), dots AS (
+  SELECT s.query_id, s.vec_id, sum(qe.x * ee.x) AS dot
+  FROM shortlist s
+  JOIN elems qe ON qe.vec_id = s.query_id
+  JOIN elems ee ON ee.vec_id = s.vec_id AND ee.i = qe.i
+  GROUP BY s.query_id, s.vec_id
+), scored AS (
+  SELECT d.query_id, d.vec_id, round(d.dot / (nq.norm * ne.norm), 4) AS cosine
+  FROM dots d
+  JOIN norms nq ON nq.vec_id = d.query_id
+  JOIN norms ne ON ne.vec_id = d.vec_id
+), ranked AS (
+  SELECT query_id, vec_id, cosine,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cosine DESC, vec_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # semantic dedup (SemDeDup-style cluster-then-prune)
 # ---------------------------------------------------------------------------
 

@@ -673,6 +673,163 @@ FROM toks GROUP BY tok
 
 
 # ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the index (decontamination lookups)
+# ---------------------------------------------------------------------------
+
+# The retrieval product a training-data pipeline actually runs against its
+# inverted index: given a handful of probe queries (here: the leading
+# word-BIGRAMS of the first BM25_N_QUERIES documents — the "did this
+# benchmark leak into the crawl" lookup shape), rank all documents by BM25
+# (Robertson et al., TREC-3) and keep the top K.  Terms are word bigrams,
+# not unigrams: decontamination lookups are phrase-shaped
+# (benchmark_decontaminate's n-grams), and on a bounded-vocabulary web
+# corpus every UNIGRAM is stop-word-frequency (df > N/2 -> idf clamps to
+# 0, correctly — measured on the fixture corpus: every single token
+# appears in ~380 of 500 docs) while bigram df concentrates at ~N/18.
+#
+# INTEGER-EXACT by construction so the DuckDB oracle matches to the hash
+# (the unigram_surprisal discipline — no float log, no float division):
+#   * idf is the BIT LENGTH of the integer ratio
+#     (2N - 2df + 1) // (2df + 1) — the classic
+#     ln((N - df + 0.5) / (df + 0.5)) with the 0.5s scaled to integers and
+#     ln replaced by floor(log2)+1; terms in more than ~half the corpus
+#     get idf 0 (Lucene clamps negative idf the same way) and are pruned
+#     BEFORE the posting join, so stop words never fan out;
+#   * the tf saturation k1=1.2, b=0.75 term
+#     tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) is evaluated as the
+#     integer rational (22 * tf * avgdl_milli * 10^6) //
+#     (10*tf*avgdl_milli + 3*avgdl_milli + 9000*dl) with
+#     avgdl_milli = 1000 * sum(dl) // n_docs — numerator and denominator
+#     both scaled by 10 * avgdl_milli, magnitudes bounded by the PER-DOC
+#     length (not the corpus total), so the int64 headroom is
+#     corpus-size-independent.
+#
+# Plan shape at 100 TB: tf is ONE (doc, tok) hash agg and df ONE (tok)
+# hash agg (both map-side partial — the inverted_index scan); the query
+# term table is tiny and idf-pruned -> broadcast; the posting join fans
+# out only documents containing a surviving (idf >= 1) query term; the
+# per-(query, doc) score is one more hash agg; the final top-K is a
+# row_number window per query that Catalyst plans as WindowGroupLimit
+# (partial top-K before the exchange).
+BM25_N_QUERIES = 5
+BM25_QUERY_LEN = 6
+BM25_TOP_K = 10
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-query BM25 top-K documents in integer micro-units."""
+    docs = _documents(spark, sf_dir)
+    # terms = word bigrams of the whitespace token stream
+    toked = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
+        .alias("t")).select(
+        "doc_id",
+        F.expr("CASE WHEN size(t) >= 2 THEN"
+               " transform(sequence(1, size(t) - 1),"
+               "  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+               " ELSE CAST(array() AS array<string>) END")
+        .alias("toks"))
+    lens = toked.select("doc_id", F.size("toks").alias("dl"))
+    corpus = lens.agg(
+        F.count("*").alias("n_docs"),
+        F.expr("div(sum(dl) * 1000, count(*))").alias("avgdl_milli"))
+    toks = toked.select("doc_id", F.explode("toks").alias("tok"))
+    tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
+    df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
+    idf = (df_.crossJoin(F.broadcast(corpus.select("n_docs")))
+           .withColumn("q", F.expr("div(2 * n_docs - 2 * df + 1,"
+                                   "    2 * df + 1)"))
+           .withColumn("idf_bits",
+                       F.when(F.col("q") >= 1, F.length(F.bin("q")))
+                       .otherwise(F.lit(0)))
+           .select("tok", "idf_bits"))
+    q_terms = (toked.filter(F.col("doc_id") < BM25_N_QUERIES)
+               .select(F.col("doc_id").alias("query_id"),
+                       F.explode(F.slice("toks", 1, BM25_QUERY_LEN))
+                       .alias("tok"))
+               .distinct()
+               .join(idf, "tok")
+               .filter(F.col("idf_bits") >= 1))   # stop-word pruning
+    scored = (tf.join(F.broadcast(q_terms), "tok")
+              .join(lens, "doc_id")
+              .crossJoin(F.broadcast(corpus.select("avgdl_milli")))
+              .withColumn(
+                  "term_score",
+                  F.col("idf_bits").cast("long")
+                  * F.expr("div(22 * tf * avgdl_milli * 1000000,"
+                           "    10 * tf * avgdl_milli + 3 * avgdl_milli"
+                           "    + 9000 * dl)"))
+              .groupBy("query_id", "doc_id")
+              .agg(F.sum("term_score").alias("score_u")))
+    w = Window.partitionBy("query_id").orderBy(F.desc("score_u"),
+                                               F.asc("doc_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .filter(F.col("rank") <= BM25_TOP_K)
+            .select("query_id", "rank", "doc_id",
+                    F.col("score_u").cast("long").alias("score_u")))
+
+
+BM25_TOPK_SQL = f"""
+WITH unitoks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(text, ' '), '\\s+'),
+                     x -> length(x) > 0) AS t
+  FROM documents
+), toked AS (
+  SELECT doc_id,
+         CASE WHEN len(t) >= 2 THEN
+           list_transform(generate_series(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i + 1])
+         ELSE [] END AS toks
+  FROM unitoks
+), lens AS (
+  SELECT doc_id, len(toks) AS dl FROM toked
+), corpus AS (
+  SELECT count(*) AS n_docs, sum(dl) * 1000 // count(*) AS avgdl_milli
+  FROM lens
+), toks AS (
+  SELECT doc_id, unnest(toks) AS tok FROM toked
+), tf AS (
+  SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY doc_id, tok
+), idf AS (
+  SELECT tok,
+         CASE WHEN q >= 1 THEN length(printf('%b', CAST(q AS BIGINT)))
+              ELSE 0 END AS idf_bits
+  FROM (SELECT tok,
+               (2 * (SELECT n_docs FROM corpus) - 2 * count(DISTINCT doc_id)
+                + 1) // (2 * count(DISTINCT doc_id) + 1) AS q
+        FROM toks GROUP BY tok)
+), q_terms AS (
+  SELECT DISTINCT q.query_id, q.tok, i.idf_bits
+  FROM (SELECT doc_id AS query_id,
+               unnest(list_slice(toks, 1, {BM25_QUERY_LEN})) AS tok
+        FROM toked WHERE doc_id < {BM25_N_QUERIES}) q
+  JOIN idf i ON i.tok = q.tok
+  WHERE i.idf_bits >= 1
+), scored AS (
+  SELECT qt.query_id, t.doc_id,
+         sum(qt.idf_bits *
+             (22 * t.tf * c.avgdl_milli * 1000000 //
+              (10 * t.tf * c.avgdl_milli + 3 * c.avgdl_milli
+               + 9000 * l.dl))) AS score_u
+  FROM tf t
+  JOIN q_terms qt ON qt.tok = t.tok
+  JOIN lens l ON l.doc_id = t.doc_id
+  CROSS JOIN corpus c
+  GROUP BY qt.query_id, t.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, score_u,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY score_u DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, rank, doc_id, CAST(score_u AS BIGINT) AS score_u
+FROM ranked WHERE rank <= {BM25_TOP_K}
+"""
+
+
+# ---------------------------------------------------------------------------
 # round 7 batch #7: anchor text, redirect chains, bitext pairing, crawl diff
 # ---------------------------------------------------------------------------
 

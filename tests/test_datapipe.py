@@ -868,3 +868,69 @@ def test_containment_pairs_jumbo_b(spark, tmp_path):
     n_jumbo = len(grams(jumbo))
     n_a = len(grams(quote))
     assert n_jumbo > 100 * n_a
+
+
+def test_ann_ivfpq_exact_rerank_and_pq_fidelity(spark):
+    """IVF-PQ results are EXACT for the pairs they return (the shortlist
+    is re-ranked with the true cosine — ADC only selects, never scores the
+    output), the PQ-compressed shortlist preserves most of plain IVF's
+    exact output (the compression-fidelity measure: same lists probed, so
+    any loss is the ADC shortlist's), and recall@10 vs brute force matches
+    the probed-list ceiling the IVF family shares."""
+    bf = {(r["query_id"], r["vec_id"]): r["cosine"]
+          for r in similarity.ann_bruteforce_topk(spark, SF_DIR).collect()}
+    pq_rows = similarity.ann_ivfpq_topk(spark, SF_DIR).collect()
+    for r in pq_rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in bf:  # overlapping pair -> identical exact cosine
+            assert bf[key] == r["cosine"], key
+    ivf = {(r["query_id"], r["vec_id"])
+           for r in similarity.ann_ivf_topk(spark, SF_DIR).collect()}
+    pq = {(r["query_id"], r["vec_id"]) for r in pq_rows}
+    assert len(ivf & pq) / len(ivf) >= 0.8, (len(ivf & pq), len(ivf))
+    exact, approx = {}, {}
+    for (q, v) in bf:
+        exact.setdefault(q, set()).add(v)
+    for r in pq_rows:
+        approx.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recalls = [len(exact[q] & approx.get(q, set())) / len(exact[q])
+               for q in exact]
+    assert sum(recalls) / len(recalls) >= 0.3, recalls
+
+
+def _write_embeddings(spark, tmp_path, vecs):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([
+        T.StructField("vec_id", T.LongType()),
+        T.StructField("embedding", T.ArrayType(T.FloatType())),
+        T.StructField("label", T.IntegerType()),
+    ])
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v], 0) for i, v in enumerate(vecs)], schema)
+    sf_dir = str(tmp_path / "emb_sf")
+    df.write.parquet(f"{sf_dir}/embeddings.parquet")
+    return sf_dir
+
+
+def test_ann_ivfpq_equals_bruteforce_when_all_lists_probed(spark, tmp_path):
+    """With N small enough that IVF_NPROBE covers every inverted list and
+    the candidate count fits inside PQ_SHORTLIST, the compressed path must
+    reproduce brute force EXACTLY — the end-to-end proof that the ADC
+    shortlist + exact re-rank preserves the top-K contract and the PQ
+    machinery only ever narrows, never corrupts."""
+    import random
+
+    rng = random.Random(8)
+    # 9 vectors -> K = 3 lists, IVF_NPROBE = 3 probes them all; 8
+    # candidates per query << PQ_SHORTLIST
+    vecs = [[rng.uniform(-1, 1) for _ in range(8)] for _ in range(9)]
+    sf_dir = _write_embeddings(spark, tmp_path, vecs)
+    bf = [(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+          for r in similarity.ann_bruteforce_topk(spark, sf_dir)
+          .orderBy("query_id", "rank").collect()]
+    pq = [(r["query_id"], r["rank"], r["vec_id"], r["cosine"])
+          for r in similarity.ann_ivfpq_topk(spark, sf_dir)
+          .orderBy("query_id", "rank").collect()]
+    assert bf == pq
+    assert len(bf) > 0

@@ -251,3 +251,64 @@ def test_inverted_index_plan_bounded_postings(spark):
     assert "windowspecdefinition(tok" in plan
     assert "CartesianProduct" not in plan
     assert "HashAggregate" in plan or "ObjectHashAggregate" in plan
+
+
+def test_bm25_semantics_on_hand_corpus(spark, tmp_path):
+    """BM25 over word-bigram terms: the query document retrieves itself
+    first (the decontamination self-hit), a document repeating the query
+    phrase outscores one mentioning it once (tf saturation still
+    monotone), phrase-free documents never appear, and every score is a
+    positive integer (the hash-exact micro-unit contract)."""
+    import pandas as pd
+
+    phrase = "alpha beta"
+    filler = lambda tag, n: " ".join(f"{tag}{i}" for i in range(n))
+    rows = [
+        (0, "alpha beta gamma delta"),              # the query doc
+        (1, f"alpha beta alpha beta {filler('x', 8)}"),   # phrase twice
+        (2, f"alpha beta {filler('y', 10)}"),             # phrase once
+    ] + [(i, filler(f"z{i}_", 12)) for i in range(3, 12)]  # unrelated
+    pd.DataFrame({
+        "doc_id": pd.array([i for i, _ in rows], dtype="int64"),
+        "text": [t for _, t in rows],
+        "lang": ["en"] * len(rows),
+        "source": ["unit"] * len(rows),
+        "n_chars": pd.array([len(t) for _, t in rows], dtype="int64"),
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {}
+    for r in webtext.bm25_topk(spark, str(tmp_path)).collect():
+        got.setdefault(r["query_id"], []).append(
+            (r["rank"], r["doc_id"], r["score_u"]))
+    q0 = sorted(got[0])
+    ranked_docs = [d for _, d, _ in q0]
+    # self-hit first: doc 0 matches all three of its own bigrams
+    assert ranked_docs[0] == 0, q0
+    # tf monotonicity: doc 1 (phrase x2) above doc 2 (phrase x1)
+    assert ranked_docs.index(1) < ranked_docs.index(2), q0
+    # phrase-free docs never match any query-0 bigram
+    assert set(ranked_docs) <= {0, 1, 2}, q0
+    assert all(s > 0 for _, _, s in q0), q0
+
+
+def test_bm25_stop_bigrams_prune_before_join(spark, tmp_path):
+    """A bigram present in more than ~half the corpus gets idf 0 (the
+    integer ratio (2N-2df+1)//(2df+1) floors to 0 — Lucene's negative-idf
+    clamp) and is pruned from the query term table BEFORE the posting
+    join, so a query made only of stop bigrams returns nothing."""
+    import pandas as pd
+
+    rows = [(i, "the end " + " ".join(f"u{i}_{j}" for j in range(6)))
+            for i in range(10)]
+    pd.DataFrame({
+        "doc_id": pd.array([i for i, _ in rows], dtype="int64"),
+        "text": [t for _, t in rows],
+        "lang": ["en"] * len(rows),
+        "source": ["unit"] * len(rows),
+        "n_chars": pd.array([len(t) for _, t in rows], dtype="int64"),
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    out = webtext.bm25_topk(spark, str(tmp_path)).collect()
+    # every doc's leading bigram "the end" has df = N -> idf 0 -> pruned;
+    # the remaining query bigrams ("end u<i>_0", "u<i>_0 u<i>_1", ...)
+    # are doc-unique -> each query doc can only ever retrieve itself
+    for r in out:
+        assert r["doc_id"] == r["query_id"], r
