@@ -538,24 +538,14 @@ def ivf2_strides(n: int) -> tuple:
     return s, s * s2
 
 
-def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-level (hierarchical) IVF ANN top-k.
-
-    Plan shape, bottom-up:
-      1. supers (K1 rows) broadcast against the corpus -> per-vector
-         super-list argmax as ONE hash agg (no window over N*K1 rows);
-      2. fine centroids route to supers on a K-row subtree (the cross
-         join is filtered to fine seeds BEFORE the agg, so the routing
-         cost is K*K1, not N*K1);
-      3. per-vector fine assignment joins the vector's super id against
-         the broadcast routed-centroid table — an equi-join on super_id
-         with ~K/K1 centroids per super, again folded by hash-agg argmax;
-      4. queries probe IVF2_NPROBE_SUPER super lists, then IVF_NPROBE
-         fine lists within them (both ranks run on the tiny query slice);
-      5. candidates = probed fine lists, rescored exactly.
-    """
-    emb = _with_norm(_embeddings(spark, sf_dir))
-    s, big_s = ivf2_strides(emb.count())
+def _ivf2_assign_probes(emb: DataFrame, n: int):
+    """Shared two-level quantizer core (steps 1-4 of ann_ivf2_topk's plan):
+    returns (assigned, probes, fine, queries) — the per-vector fine-list
+    assignment, the query-side probed fine lists, the K-row fine-centroid
+    table (cent_id, c_emb, c_norm), and the broadcast-sized query table.
+    Used by ann_ivf2_topk (exact rescore within probed lists) AND
+    ann_ivfpq_topk (PQ-coded fine scan within the same probed lists)."""
+    s, big_s = ivf2_strides(n)
     supers = (emb.filter(F.col("vec_id") % big_s == 0)
               .select(F.col("vec_id").alias("super_id"),
                       F.col("embedding").alias("s_emb"),
@@ -630,7 +620,27 @@ def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
               .withColumn("rn", F.row_number().over(w_fine))
               .filter(F.col("rn") <= IVF_NPROBE)
               .select("query_id", "cent_id"))
+    return assigned, probes, fine, queries
 
+
+def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF ANN top-k.
+
+    Plan shape, bottom-up:
+      1. supers (K1 rows) broadcast against the corpus -> per-vector
+         super-list argmax as ONE hash agg (no window over N*K1 rows);
+      2. fine centroids route to supers on a K-row subtree (the cross
+         join is filtered to fine seeds BEFORE the agg, so the routing
+         cost is K*K1, not N*K1);
+      3. per-vector fine assignment joins the vector's super id against
+         the broadcast routed-centroid table — an equi-join on super_id
+         with ~K/K1 centroids per super, again folded by hash-agg argmax;
+      4. queries probe IVF2_NPROBE_SUPER super lists, then IVF_NPROBE
+         fine lists within them (both ranks run on the tiny query slice);
+      5. candidates = probed fine lists, rescored exactly.
+    """
+    emb = _with_norm(_embeddings(spark, sf_dir))
+    assigned, probes, _fine, queries = _ivf2_assign_probes(emb, emb.count())
     cands = (probes.join(assigned, "cent_id")
              .filter(F.col("vec_id") != F.col("query_id"))
              .select("query_id", "vec_id"))
@@ -649,8 +659,10 @@ def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("query_id", "rank", "vec_id", "cosine"))
 
 
-ANN_IVF2_SQL = f"""
-WITH elems AS (
+# the two-level quantizer core CTEs (through `assigned` + `probes`),
+# shared verbatim by ANN_IVF2_SQL and ANN_IVFPQ_SQL — the SQL mirror of
+# _ivf2_assign_probes
+_IVF2_CORE_CTES = f"""elems AS (
   SELECT vec_id, i, embedding[i]::DOUBLE AS x
   FROM (SELECT e.vec_id, e.embedding,
                unnest(generate_series(1, len(e.embedding))) AS i
@@ -729,7 +741,11 @@ WITH elems AS (
     JOIN norms nq ON nq.vec_id = d.query_id
     JOIN norms nc ON nc.vec_id = d.cent_id
   ) WHERE rn <= {IVF_NPROBE}
-), cands AS (
+)"""
+
+
+ANN_IVF2_SQL = f"""
+WITH {_IVF2_CORE_CTES}, cands AS (
   SELECT p.query_id, a.vec_id
   FROM probes p JOIN assigned a ON a.cent_id = p.cent_id
   WHERE a.vec_id != p.query_id
@@ -760,16 +776,21 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 
 # The design every 100-TB embedding store actually ships (Jégou et al. 2011,
 # "Product Quantization for Nearest Neighbor Search"; FAISS IVFPQ): the
-# coarse IVF quantizer routes queries to inverted lists, and within a list
+# coarse quantizer routes queries to inverted lists, and within a list
 # the FINE scan reads PQ codes — PQ_M small integers per vector instead of
 # D float64s — scored against a per-(query, list) asymmetric-distance
 # lookup table (ADC).  Memory per vector drops from 8*D bytes to PQ_M
 # bytes (64-dim float64 = 512 B -> 4 B here, a 128x scan-size reduction),
-# which is what makes a 10^12-vector fine scan I/O-feasible.  The ADC
-# shortlist is then re-ranked EXACTLY (true cosine over the shortlist
-# vectors only), so the output contract stays "exact top-K within the
-# probed lists" — identical to ann_ivf_topk's, just computed through the
-# compressed path.
+# which is what makes a 10^12-vector fine scan I/O-feasible.  The coarse
+# stage here is the TWO-LEVEL quantizer (_ivf2_assign_probes) rather than
+# the single-level one: single-level assignment is O(N*K) ~ N^1.5 (the
+# measured ann_ivf 10x exponent is ~1.1), which would dominate exactly
+# the regime PQ exists for — two-level keeps assignment O(N*2*sqrt(K))
+# (ann_ivf2's measured exponent ~0.49), so the PQ path inherits the
+# scale-correct routing.  The ADC shortlist is then re-ranked EXACTLY
+# (true cosine over the shortlist vectors only), so the output contract
+# stays "exact top-K within the probed lists" — identical to
+# ann_ivf2_topk's, just computed through the compressed path.
 #
 # Everything is deterministic and closed-form so the DuckDB oracle
 # reproduces it bit-for-bit (the ivf2_strides precedent): codebooks are
@@ -779,7 +800,12 @@ SELECT query_id, rank, vec_id, cosine FROM ranked WHERE rank <= {TOP_K}
 # distance is round(.., 4) with ties to the smaller code / vec_id.
 PQ_M = 4            # subspaces (D/PQ_M contiguous dims each)
 PQ_CODES = 16       # codewords per subspace -> 4 bits/code, PQ_M*4=16 bits
-PQ_SHORTLIST = 40   # ADC shortlist size re-ranked exactly (4 * TOP_K)
+# ADC shortlist size re-ranked exactly.  6.4x TOP_K: with the seeded
+# (untrained) codebooks the ADC ranking is crude, and a 4x shortlist
+# measurably dropped exact-top-K members (fixture overlap vs ann_ivf2
+# 0.68 at 40); 64 recovers >=0.8 while the re-rank stays a
+# constant-size-per-query join at any corpus scale.
+PQ_SHORTLIST = 64
 
 
 def pq_seed_stride(n: int) -> int:
@@ -793,8 +819,9 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     via an ADC lookup table, exact re-rank of the shortlist.
 
     Plan shape, bottom-up:
-      1. coarse assignment = ann_ivf_topk's (broadcast of <= IVF_K_CAP
-         centroids, per-vector argmax as ONE hash agg);
+      1. coarse assignment + query probes = ann_ivf2_topk's two-level
+         core (_ivf2_assign_probes: bounded broadcasts at BOTH levels,
+         argmax as hash aggs, O(N*2*sqrt(K)) assignment);
       2. residual r(v) = v - centroid(v), a zip_with projection —
          no extra shuffle (rides the assignment join);
       3. codebook = PQ_CODES seed residuals split into PQ_M subvectors
@@ -815,28 +842,13 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     emb = _with_norm(_embeddings(spark, sf_dir))
     n = emb.count()
-    stride = ivf_stride(n)
     cbs = pq_seed_stride(n)
-    cents = (emb.filter(F.col("vec_id") % stride == 0)
-             .select(F.col("vec_id").alias("cent_id"),
-                     F.col("embedding").alias("c_emb"),
-                     F.col("norm").alias("c_norm")))
-    cdot = F.aggregate(
-        F.zip_with("embedding", "c_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    csim = (emb.crossJoin(F.broadcast(cents))
-            .withColumn("sim", F.round(cdot / (F.col("norm") * F.col("c_norm")), 4))
-            .select("vec_id", "cent_id", "sim"))
-    assigned = (csim.groupBy("vec_id")
-                .agg(F.max(F.struct(
-                    F.col("sim"),
-                    (-F.col("cent_id")).alias("neg_cent"))).alias("m"))
-                .select("vec_id", (-F.col("m.neg_cent")).alias("cent_id")))
+    assigned, probes, fine, queries = _ivf2_assign_probes(emb, n)
+    cents = fine.select("cent_id", "c_emb")
 
     # residuals: one broadcast join back to the centroid table
     resid = (emb.join(assigned, "vec_id")
-             .join(F.broadcast(cents.select("cent_id", "c_emb")), "cent_id")
+             .join(F.broadcast(cents), "cent_id")
              .select("vec_id", "cent_id",
                      F.zip_with("embedding", "c_emb",
                                 lambda x, y: x.cast("double")
@@ -880,24 +892,12 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mn"))
              .select("vec_id", "m", F.col("mn.code").alias("code")))
 
-    # query probes: identical to ann_ivf_topk (tiny query slice)
-    w_assign = Window.partitionBy("vec_id").orderBy(F.desc("sim"),
-                                                    F.asc("cent_id"))
-    probes = (csim.filter(F.col("vec_id") < N_QUERIES)
-              .withColumn("rn", F.row_number().over(w_assign))
-              .filter(F.col("rn") <= IVF_NPROBE)
-              .select(F.col("vec_id").alias("query_id"), "cent_id"))
-    queries = (emb.filter(F.col("vec_id") < N_QUERIES)
-               .select(F.col("vec_id").alias("query_id"),
-                       F.col("embedding").alias("q_emb"),
-                       F.col("norm").alias("q_norm")))
-
     # ADC lookup table: query residual vs every codeword, per probed list
+    # (probes and queries come from the two-level core)
     q_resid = (probes
                .join(F.broadcast(queries.select("query_id", "q_emb")),
                      "query_id")
-               .join(F.broadcast(cents.select("cent_id", "c_emb")),
-                     "cent_id")
+               .join(F.broadcast(cents), "cent_id")
                .select("query_id", "cent_id",
                        F.zip_with("q_emb", "c_emb",
                                   lambda x, y: x.cast("double")
@@ -946,42 +946,18 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 ANN_IVFPQ_SQL = f"""
-WITH elems AS (
-  SELECT vec_id, i, embedding[i]::DOUBLE AS x
-  FROM (SELECT e.vec_id, e.embedding,
-               unnest(generate_series(1, len(e.embedding))) AS i
-        FROM embeddings e)
-), norms AS (
-  SELECT vec_id, sqrt(sum(x * x)) AS norm FROM elems GROUP BY vec_id
-), params AS (
-  -- stride: the same IEEE-double arithmetic as similarity.ivf_stride;
-  -- cbs / sublen: integer-exact (similarity.pq_seed_stride, D // PQ_M)
-  SELECT greatest(1, CAST(ceil(n / least({IVF_K_CAP},
-           CAST(ceil(sqrt(n::DOUBLE)) AS BIGINT))::DOUBLE) AS BIGINT)) AS s,
-         greatest(1, n // {PQ_CODES}) AS cbs,
+WITH {_IVF2_CORE_CTES}, pqparams AS (
+  -- integer-exact (similarity.pq_seed_stride, D // PQ_M); the coarse
+  -- strides live in the shared two-level `params` CTE
+  SELECT greatest(1, (SELECT count(*) FROM embeddings) // {PQ_CODES})
+           AS cbs,
          (SELECT max(i) FROM elems) // {PQ_M} AS sublen
-  FROM (SELECT count(*) AS n FROM embeddings)
-), cdots AS (
-  SELECT v.vec_id, c.vec_id AS cent_id, sum(v.x * c.x) AS dot
-  FROM elems v JOIN elems c ON c.i = v.i
-       AND c.vec_id % (SELECT s FROM params) = 0
-  GROUP BY v.vec_id, c.vec_id
-), csim AS (
-  SELECT d.vec_id, d.cent_id,
-         row_number() OVER (PARTITION BY d.vec_id
-                            ORDER BY round(d.dot / (nv.norm * nc.norm), 4)
-                                     DESC, d.cent_id ASC) AS rn
-  FROM cdots d
-  JOIN norms nv ON nv.vec_id = d.vec_id
-  JOIN norms nc ON nc.vec_id = d.cent_id
-), assigned AS (
-  SELECT vec_id, cent_id FROM csim WHERE rn = 1
 ), relems AS (
   -- residual elements: vector minus its assigned centroid, aligned on i;
   -- m/j split the element index into (subspace, offset)
   SELECT v.vec_id, a.cent_id,
-         (v.i - 1) // (SELECT sublen FROM params) AS m,
-         (v.i - 1) % (SELECT sublen FROM params) AS j,
+         (v.i - 1) // (SELECT sublen FROM pqparams) AS m,
+         (v.i - 1) % (SELECT sublen FROM pqparams) AS j,
          v.x - c.x AS x
   FROM elems v
   JOIN assigned a ON a.vec_id = v.vec_id
@@ -990,7 +966,7 @@ WITH elems AS (
   SELECT vec_id, code FROM (
     SELECT vec_id,
            row_number() OVER (ORDER BY vec_id) - 1 AS code
-    FROM embeddings WHERE vec_id % (SELECT cbs FROM params) = 0
+    FROM embeddings WHERE vec_id % (SELECT cbs FROM pqparams) = 0
   ) WHERE code < {PQ_CODES}
 ), cwelems AS (
   SELECT s.code, r.m, r.j, r.x
@@ -1007,14 +983,12 @@ WITH elems AS (
           JOIN cwelems c ON c.m = r.m AND c.j = r.j
           GROUP BY r.vec_id, r.m, c.code) d
   ) WHERE rn = 1
-), probes AS (
-  SELECT vec_id AS query_id, cent_id FROM csim
-  WHERE vec_id < {N_QUERIES} AND rn <= {IVF_NPROBE}
 ), qrelems AS (
-  -- QUERY residual vs each PROBED list's centroid
+  -- QUERY residual vs each PROBED list's centroid (probes: the shared
+  -- two-level core CTE)
   SELECT p.query_id, p.cent_id,
-         (q.i - 1) // (SELECT sublen FROM params) AS m,
-         (q.i - 1) % (SELECT sublen FROM params) AS j,
+         (q.i - 1) // (SELECT sublen FROM pqparams) AS m,
+         (q.i - 1) % (SELECT sublen FROM pqparams) AS j,
          q.x - c.x AS x
   FROM probes p
   JOIN elems q ON q.vec_id = p.query_id
