@@ -145,7 +145,13 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # round-8: IVF-PQ (ADC scan + exact re-rank, timed beside
                  # ivf/ivf2 so the three quantizer costs stay on record)
                  # and BM25 ranked retrieval over the bigram index
-                 "ann_ivfpq_topk", "bm25_topk"]
+                 "ann_ivfpq_topk", "bm25_topk",
+                 # round-8 batch #11: HITS (two pagerank-shaped shuffle
+                 # pairs per iteration), the fixed-weight linear quality
+                 # scorer (one hash agg), and pHash image near-dup pairs
+                 # (real decode + banding)
+                 "hits_scores", "quality_classifier",
+                 "image_phash_near_pairs"]
 
 
 def ensure_corpus() -> int:
@@ -404,7 +410,18 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # ivf2-class exponent (two bounded-broadcast scans
                        # + code-stream agg), bm25 is a token-dim join +
                        # bounded window (flat-ish).
-                       "ann_ivfpq_topk", "bm25_topk"]
+                       "ann_ivfpq_topk", "bm25_topk",
+                       # round-8 batch #11: hits is two pagerank-shaped
+                       # shuffle pairs per iteration (must stay linear in
+                       # edges); the linear scorer is one hash agg.
+                       # image_phash_near_pairs is EXCLUDED like
+                       # embedding_near_dup: the blob synthesizer's dim
+                       # formulas repeat at more doc_ids, so the TRUE
+                       # near-dup pair set grows superlinearly by corpus
+                       # construction (measured 85 -> 14,977 at 10x) —
+                       # the banding shape itself is probed via
+                       # simhash_near_pairs.
+                       "hits_scores", "quality_classifier"]
 # pair ops probed from a smaller base corpus: 1x timed inline at the base,
 # 10x on the perturbed-replica corpus built FROM that base
 SCALE_PROBE_SMALL_BASE = {

@@ -39,6 +39,7 @@ from typing import Iterator, Tuple
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from . import pixels
 
@@ -734,8 +735,9 @@ def image_phash(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PHASH_BITVAL = ("CASE WHEN k = 63 THEN (-9223372036854775807 - 1)"
                  " ELSE (1::BIGINT << k) END")
 
-IMAGE_PHASH_SQL = f"""
-WITH dims AS (
+# the pHash computation as a reusable CTE chain (image_phash emits it
+# directly; image_phash_near_pairs bands over it)
+_IMAGE_PHASH_CTES = f"""dims AS (
   SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN (doc_id * 37) % 1024 + 1
               ELSE ((doc_id * 37) % 128) * 8 + 8 END AS w,
@@ -756,13 +758,76 @@ WITH dims AS (
 ), m AS (
   SELECT doc_id, CAST(sum(g) // 64 AS BIGINT) AS mean_g FROM px
   GROUP BY doc_id
+), ph AS (
+  SELECT p.doc_id,
+         CAST(sum(CASE WHEN p.g > m.mean_g THEN {_PHASH_BITVAL}
+                       ELSE 0 END) AS BIGINT) AS phash,
+         m.mean_g AS mean_gray
+  FROM px p JOIN m ON p.doc_id = m.doc_id
+  GROUP BY p.doc_id, m.mean_g
+)"""
+
+IMAGE_PHASH_SQL = f"""
+WITH {_IMAGE_PHASH_CTES}
+SELECT doc_id, phash, mean_gray FROM ph
+"""
+
+
+# image near-dup pairs: the LAION-style pHash dedup product.  4 bands x
+# 16 bits over the 64-bit pHash; a pair within Hamming distance <= 3
+# must agree EXACTLY on at least one band (pigeonhole over 4 bands), so
+# the union of the band-equi joins is the complete qualifying pair set
+# with no cross join — the simhash_near_pairs machinery applied to
+# DECODED-pixel signatures.
+PHASH_BANDS = 4
+PHASH_HAMMING_MAX = 3
+
+
+def image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT near-duplicate IMAGE pairs (pHash Hamming <= 3) via
+    pigeonhole banding — the image-side analogue of simhash_near_pairs,
+    fed by the real PNG/JPEG decode.
+
+    Plan shape at 100 TB: the decode is Arrow-batched mapInPandas
+    (embarrassingly parallel); the pair stage is PHASH_BANDS band-equi
+    self-joins on 16-bit keys (65,536 buckets per band, ~N/65,536 rows
+    per bucket), never an all-pairs join; the Hamming verify is a
+    bit_count projection on candidate rows only."""
+    band_bits = 64 // PHASH_BANDS
+    sig = image_phash(spark, sf_dir).select("doc_id", "phash")
+    bands = spark.range(PHASH_BANDS).select(
+        F.col("id").cast("int").alias("band"))
+    keyed = (sig.crossJoin(F.broadcast(bands))
+             .withColumn("band_key", F.expr(
+                 f"(phash >> (band * {band_bits}))"
+                 f" & {(1 << band_bits) - 1}")))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.band_key") == F.col("b.band_key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("id_a"),
+                    F.col("b.doc_id").alias("id_b"),
+                    F.col("a.phash").alias("ph_a"),
+                    F.col("b.phash").alias("ph_b"))
+            .distinct()
+            .withColumn("hamming", F.bit_count(
+                F.col("ph_a").bitwiseXOR(F.col("ph_b"))))
+            .filter(F.col("hamming") <= PHASH_HAMMING_MAX)
+            .select("id_a", "id_b", "hamming"))
+
+
+IMAGE_PHASH_NEAR_PAIRS_SQL = f"""
+WITH {_IMAGE_PHASH_CTES}, keyed AS (
+  SELECT doc_id, phash, b.band,
+         (phash >> (b.band * {64 // PHASH_BANDS}))
+         & {(1 << (64 // PHASH_BANDS)) - 1} AS band_key
+  FROM ph, generate_series(0, {PHASH_BANDS - 1}) b(band)
 )
-SELECT p.doc_id,
-       CAST(sum(CASE WHEN p.g > m.mean_g THEN {_PHASH_BITVAL}
-                     ELSE 0 END) AS BIGINT) AS phash,
-       m.mean_g AS mean_gray
-FROM px p JOIN m ON p.doc_id = m.doc_id
-GROUP BY p.doc_id, m.mean_g
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM keyed a JOIN keyed b
+  ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+WHERE bit_count(xor(a.phash, b.phash)) <= {PHASH_HAMMING_MAX}
 """
 
 

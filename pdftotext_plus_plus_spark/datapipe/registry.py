@@ -1099,6 +1099,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # `containment_pairs` stay in/enter the head deliberately: their code
 # changed post-r7 (star-edge graph + B-side bound, VERDICT r7 items
 # #2/#6) and the fresh driver rows certify the changed code.
+# Round-8 batch #11 (same round): the three brand-new ops
+# `image_phash_near_pairs` (pHash Hamming<=3 image dedup via pigeonhole
+# banding over the decoded-pixel signature), `hits_scores` (Kleinberg
+# hubs/authorities, integer-ppm normalization, beside
+# PageRank/TrustRank), and `quality_classifier` (fastText/DCLM-style
+# fixed-weight integer linear scorer) enter the head for first-round
+# driver rows; demoted in exchange (all r7-green; rationale at the tail
+# entries): `semdedup_prune`, `ann_lsh_topk`, `duplicate_ngram_spans`.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1144,9 +1152,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "minhash_signatures": (dedup.minhash_signatures,
                            dedup.MINHASH_SIGNATURES_SQL),
     "simhash": (dedup.simhash, dedup.SIMHASH_SQL),
-    # round 6 batch #2: exact duplicated-span signal (Lee et al. 2022)
-    "duplicate_ngram_spans": (dedup.duplicate_ngram_spans,
-                              dedup.DUPLICATE_NGRAM_SPANS_SQL),
     # round 7 batch #10: asymmetric containment (quote detection) — the
     # signal Jaccard misses; A-prefix-filtered exact candidates
     "containment_pairs": (dedup.containment_pairs,
@@ -1165,12 +1170,7 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                         chunking.DEDUP_KEEP_LIST_SQL),
     "chunk_documents": (chunking.chunk_documents,
                         chunking.CHUNK_DOCUMENTS_SQL),
-    # round 6 batch #2: SemDeDup-style cluster-then-prune (Abbas et al.)
-    "semdedup_prune": (similarity.semdedup_prune,
-                       similarity.SEMDEDUP_PRUNE_SQL),
     # similarity search
-    # rotation #7 promotion: stalest driver row (r3)
-    "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
     "ann_ivf_topk": (similarity.ann_ivf_topk, similarity.ANN_IVF_SQL),
     # round 6 (VERDICT r5 item #1): the two-level quantizer, promoted
     # straight into the head so its first round gets a driver row
@@ -1186,6 +1186,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "token_counts": (textstats.token_counts, textstats.TOKEN_COUNTS_SQL),
     "tfidf_keywords": (textstats.tfidf_keywords,
                        textstats.TFIDF_KEYWORDS_SQL),
+    # round 8 batch #11: the MODEL-SHAPED quality gate (fastText/DCLM-
+    # style fixed-weight linear scorer, integer logits) — brand-new,
+    # straight into the head
+    "quality_classifier": (textstats.quality_classifier,
+                           textstats.QUALITY_CLASSIFIER_SQL),
     # round 6 batch #3: the flagship composition — dedup + Gopher gate +
     # surprisal band + stratified sample composed end to end; the oracle
     # nests each component's own SQL as a CTE
@@ -1198,6 +1203,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 7 batch #10: seeded TrustRank over the same edge machinery
     "trust_propagation": (crawlops.trust_propagation,
                           crawlops.TRUST_PROPAGATION_SQL),
+    # round 8 batch #11: HITS hubs & authorities (integer-exact ppm
+    # normalization) beside PageRank/TrustRank — brand-new, head
+    "hits_scores": (webtext.hits_scores, webtext.HITS_SCORES_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
     # round 8 (VERDICT r7 item #7): BM25 ranked retrieval over the index
@@ -1238,6 +1246,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # (PNG/JPEG pixel decode, WAV framing, MJPEG demux) — their newest
     # driver rows all date from r5
     "image_phash": (multimodal.image_phash, multimodal.IMAGE_PHASH_SQL),
+    # round 8 batch #11: pHash near-dup IMAGE pairs (pigeonhole banding
+    # over the decoded-pixel signature) — brand-new, head
+    "image_phash_near_pairs": (multimodal.image_phash_near_pairs,
+                               multimodal.IMAGE_PHASH_NEAR_PAIRS_SQL),
     "audio_energy_fingerprint": (multimodal.audio_energy_fingerprint,
                                  multimodal.AUDIO_ENERGY_FP_SQL),
     "audio_meta": (multimodal.audio_meta, multimodal.AUDIO_META_SQL),
@@ -1290,6 +1302,21 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          webtext.BITEXT_URL_PAIRS_SQL),
     "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
                             webtext.CRAWL_SNAPSHOT_DIFF_SQL),
+    # batch-#11 demotions (ALL r7-green; the three new ops take their
+    # head slots): semdedup_prune's cluster assignment is the ANN
+    # ladder's quantizer (head) and its within-cluster pairwise stage is
+    # embedding_near_dup's tiled kernel (now head); ann_lsh_topk is the
+    # single-table special case of ann_lsh_multiprobe_topk (tail,
+    # recall-gated in pytest) with the bucketed-ANN surface carried by
+    # head ivf/ivf2/ivfpq; duplicate_ngram_spans' gram hash-agg +
+    # frequency-join shape is containment_pairs' candidate machinery
+    # (head) and its 10x probe exponent (0.98, linear gram explode) is
+    # on record in three round artifacts.
+    "semdedup_prune": (similarity.semdedup_prune,
+                       similarity.SEMDEDUP_PRUNE_SQL),
+    "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
+    "duplicate_ngram_spans": (dedup.duplicate_ngram_spans,
+                              dedup.DUPLICATE_NGRAM_SPANS_SQL),
     # round-6 rotation #3 demotions (batch-3 promotions displaced four
     # r5-green rows): quality_score's length/punct gate is covered
     # by head gopher_quality_filter; source_mix_weights'

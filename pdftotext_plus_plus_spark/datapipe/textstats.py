@@ -652,6 +652,96 @@ FROM m
 
 
 # ---------------------------------------------------------------------------
+# model-based quality classifier (fastText/DCLM-style linear scorer)
+# ---------------------------------------------------------------------------
+
+# The MODEL-SHAPED quality gate modern pipelines run after the rule
+# gates: DCLM/FineWeb-Edu score every document with a trained linear
+# classifier (fastText over token features / a regression head) and keep
+# by threshold.  This implements exactly that scoring plan with FIXED
+# integer weights over four integer document features (token count, mean
+# token length in milli-chars, type-token ratio in ppm — the repetition
+# signal — and stopword rate per mille); a trained model's weights slot
+# into QC_W_* without changing any plan shape, the same
+# substitute-weights honesty contract as kernel/roles_net.  Everything
+# is integer arithmetic (// divisions), so the DuckDB oracle matches to
+# the hash; the threshold is corpus-calibrated to keep ~65% (the DCLM
+# paper keeps the top ~10-20% of a web crawl — on this already-clean
+# synthetic corpus the spread is narrower).
+#
+# Plan shape at 100 TB: ONE hash aggregate keyed by doc_id over the
+# token stream (count, sum-length, distinct-count, conditional count —
+# all map-side partial except the distinct, which Spark plans as a
+# two-phase partial-distinct agg), then a pure projection.  No joins,
+# no window, no UDF.  Zero-token documents have no token rows and emit
+# no score (they are un-scorable; the C4/Gopher gates already drop
+# them).
+QC_W_NTOK = 50          # length reward
+QC_W_MLEN = 1           # mean token length (milli), // 2
+QC_W_TTR = 1            # type-token ratio (ppm), // 500
+QC_W_STOP = 20          # stopword rate (per mille)
+QC_THRESHOLD = 6700     # keep iff logit > threshold (~65% of the fixture)
+
+
+def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document integer logit + keep verdict from the fixed-weight
+    linear scorer."""
+    docs = _documents(spark, sf_dir)
+    toks = _tokens(docs)
+    feats = toks.groupBy("doc_id").agg(
+        F.count("*").alias("n_tok"),
+        F.expr("div(sum(length(tok)) * 1000, count(*))").alias("mlen_milli"),
+        F.expr("div(count(DISTINCT tok) * 1000000, count(*))")
+        .alias("ttr_ppm"),
+        F.expr("div(sum(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END) * 1000,"
+               " count(*))".format(
+                   sw=", ".join("'%s'" % w for w in EN_STOPWORDS)))
+        .alias("stop_pm"))
+    logit = (F.lit(QC_W_NTOK) * F.col("n_tok")
+             + F.expr("div(%d * mlen_milli, 2)" % QC_W_MLEN)
+             + F.expr("div(%d * ttr_ppm, 500)" % QC_W_TTR)
+             + F.lit(QC_W_STOP) * F.col("stop_pm"))
+    return (feats
+            .withColumn("logit", logit.cast("long"))
+            .withColumn("keep",
+                        (F.col("logit") > QC_THRESHOLD).cast("int"))
+            .select("doc_id", "n_tok", "mlen_milli", "ttr_ppm", "stop_pm",
+                    "logit", "keep"))
+
+
+QUALITY_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, tok
+  FROM (SELECT d.doc_id,
+               unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
+        FROM documents d)
+  WHERE length(tok) > 0
+), feats AS (
+  SELECT doc_id,
+         count(*) AS n_tok,
+         sum(length(tok)) * 1000 // count(*) AS mlen_milli,
+         count(DISTINCT tok) * 1000000 // count(*) AS ttr_ppm,
+         sum(CASE WHEN tok IN ({{sw}}) THEN 1 ELSE 0 END) * 1000
+           // count(*) AS stop_pm
+  FROM toks GROUP BY doc_id
+)
+SELECT doc_id,
+       CAST(n_tok AS BIGINT) AS n_tok,
+       CAST(mlen_milli AS BIGINT) AS mlen_milli,
+       CAST(ttr_ppm AS BIGINT) AS ttr_ppm,
+       CAST(stop_pm AS BIGINT) AS stop_pm,
+       CAST({QC_W_NTOK} * n_tok + {QC_W_MLEN} * mlen_milli // 2
+            + {QC_W_TTR} * ttr_ppm // 500 + {QC_W_STOP} * stop_pm
+            AS BIGINT) AS logit,
+       CASE WHEN {QC_W_NTOK} * n_tok + {QC_W_MLEN} * mlen_milli // 2
+                 + {QC_W_TTR} * ttr_ppm // 500 + {QC_W_STOP} * stop_pm
+                 > {QC_THRESHOLD}
+            THEN 1 ELSE 0 END AS keep
+FROM feats
+""".replace("{sw}", ", ".join("'%s'" % w for w in EN_STOPWORDS))
+
+
+# ---------------------------------------------------------------------------
 # unigram surprisal (train-free perplexity-proxy quality filter)
 # ---------------------------------------------------------------------------
 

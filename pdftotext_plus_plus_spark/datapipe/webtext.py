@@ -607,6 +607,122 @@ PERPLEXITY_BUCKETS_SQL = _perplexity_buckets_sql()
 
 
 # ---------------------------------------------------------------------------
+# HITS (hubs & authorities) — the link-analysis complement of PageRank
+# ---------------------------------------------------------------------------
+
+# Kleinberg's HITS (JACM 1999) over the same synthetic outlink graph the
+# PageRank/TrustRank family uses: authority(v) = sum of hub scores of
+# pages linking TO v; hub(u) = sum of authority scores of pages u links
+# to; alternate and normalize.  A crawl pipeline runs it beside PageRank
+# because the two scores separate DIRECTORY pages (high hub) from
+# CONTENT pages (high authority) — a seed-selection and link-spam signal
+# PageRank's single score conflates.
+#
+# INTEGER-EXACT normalization so the DuckDB oracle matches to the hash:
+# instead of the classical L2 norm (a float sqrt), each half-step
+# rescales to parts-per-million of the corpus TOTAL — score' =
+# score_raw * 10^6 // sum(score_raw) — which preserves the ranking
+# (scale-invariance is the only property the iteration needs), keeps
+# every value a bounded integer, and is one 1-row aggregate broadcast
+# back.  int64 headroom: score_raw <= in_deg * 10^6, so the rescale
+# product is < 2^63 for any in_deg < 9.2e6; a 10^12-page graph with
+# hotter hubs rescales by // (sum // 10^6) first (noted, not needed at
+# fixture scale).
+HITS_ITERS = 3
+HITS_SCALE = 1_000_000
+
+
+def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page (authority_ppm, hub_ppm) after HITS_ITERS alternating
+    iterations, plus the degree dims.
+
+    Plan shape at 100 TB: per iteration TWO keyed edge⋈score equi-joins
+    and TWO hash aggregates (one keyed on dst for the authority
+    half-step, one on src for the hub half-step) — the PageRank shuffle
+    pair run in both directions — plus two 1-row total aggregates that
+    broadcast back for the ppm rescale.  Iterations chain as a
+    fixed-depth DAG; hot pages are ordinary skewed agg keys
+    (AQE-splittable).  An open-ended fixpoint adds per-round
+    localCheckpoint() exactly as dedup_clusters_fixpoint does."""
+    docs = _documents(spark, sf_dir)
+    edges = _edges(docs)
+    hub = docs.select("doc_id", F.lit(1000).cast("long").alias("h"))
+    auth = None
+    for _ in range(HITS_ITERS):
+        araw = (edges.join(hub, edges.src == hub.doc_id)
+                .groupBy("dst").agg(F.sum("h").alias("ar")))
+        ta = araw.agg(F.sum("ar").alias("ta"))
+        auth = (docs.select("doc_id")
+                .join(araw, F.col("doc_id") == F.col("dst"), "left")
+                .crossJoin(F.broadcast(ta))
+                .select("doc_id",
+                        F.expr(f"div(coalesce(ar, 0) * {HITS_SCALE}, ta)")
+                        .cast("long").alias("a")))
+        hraw = (edges.join(auth, edges.dst == auth.doc_id)
+                .groupBy("src").agg(F.sum("a").alias("hr")))
+        th = hraw.agg(F.sum("hr").alias("th"))
+        hub = (docs.select("doc_id")
+               .join(hraw, F.col("doc_id") == F.col("src"), "left")
+               .crossJoin(F.broadcast(th))
+               .select("doc_id",
+                       F.expr(f"div(coalesce(hr, 0) * {HITS_SCALE}, th)")
+                       .cast("long").alias("h")))
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    indeg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
+    return (auth.join(hub, "doc_id")
+            .join(deg, auth.doc_id == deg.src, "left")
+            .join(indeg, auth.doc_id == indeg.dst, "left")
+            .select("doc_id",
+                    F.col("a").alias("authority_ppm"),
+                    F.col("h").alias("hub_ppm"),
+                    F.coalesce("deg", F.lit(0)).cast("long")
+                    .alias("out_deg"),
+                    F.coalesce("in_deg", F.lit(0)).cast("long")
+                    .alias("in_deg")))
+
+
+# one HITS iteration in SQL: {hprev} -> authority CTE pair -> hub CTE
+# pair; the 1-row totals are scalar subqueries (DuckDB evaluates them
+# once — the broadcast analogue)
+def _hits_iter_sql(i: int, hprev: str) -> str:
+    return f"""a{i}raw AS (
+  SELECT e.dst AS doc_id, sum(h.h) AS ar
+  FROM edges e JOIN {hprev} h ON h.doc_id = e.src GROUP BY e.dst
+), a{i} AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(r.ar, 0) * {HITS_SCALE}
+              // (SELECT sum(ar) FROM a{i}raw) AS BIGINT) AS a
+  FROM documents d LEFT JOIN a{i}raw r ON r.doc_id = d.doc_id
+), h{i}raw AS (
+  SELECT e.src AS doc_id, sum(a.a) AS hr
+  FROM edges e JOIN a{i} a ON a.doc_id = e.dst GROUP BY e.src
+), h{i} AS (
+  SELECT d.doc_id,
+         CAST(COALESCE(r.hr, 0) * {HITS_SCALE}
+              // (SELECT sum(hr) FROM h{i}raw) AS BIGINT) AS h
+  FROM documents d LEFT JOIN h{i}raw r ON r.doc_id = d.doc_id
+)"""
+
+
+HITS_SCORES_SQL = f"""
+WITH {EDGES_SQL},
+deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY src),
+indeg AS (SELECT dst, count(*) AS in_deg FROM edges GROUP BY dst),
+h0 AS (SELECT doc_id, CAST(1000 AS BIGINT) AS h FROM documents),
+{','.join(_hits_iter_sql(i + 1, 'h%d' % i) for i in range(HITS_ITERS))}
+SELECT a.doc_id AS doc_id,
+       a.a AS authority_ppm,
+       h.h AS hub_ppm,
+       CAST(COALESCE(g.deg, 0) AS BIGINT) AS out_deg,
+       CAST(COALESCE(i.in_deg, 0) AS BIGINT) AS in_deg
+FROM a{HITS_ITERS} a
+JOIN h{HITS_ITERS} h ON h.doc_id = a.doc_id
+LEFT JOIN deg g ON g.src = a.doc_id
+LEFT JOIN indeg i ON i.dst = a.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
 # inverted index build (search over the crawl)
 # ---------------------------------------------------------------------------
 

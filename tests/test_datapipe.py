@@ -935,3 +935,61 @@ def test_ann_ivfpq_equals_bruteforce_when_all_lists_probed(spark, tmp_path):
           .orderBy("query_id", "rank").collect()]
     assert bf == pq
     assert len(bf) > 0
+
+
+def test_quality_classifier_semantics(spark, tmp_path):
+    """The linear scorer is monotone in the features it claims to reward:
+    a token-diverse document outscores a repetitive one of identical
+    length and token lengths (the TTR term), stopword presence adds
+    score, zero-token documents emit no row, and the fixture keep rate
+    sits in a meaningful band (neither all-keep nor all-drop)."""
+    import pandas as pd
+
+    from pdftotext_plus_plus_spark.datapipe import textstats
+
+    diverse = " ".join(f"tok{i:02d}" for i in range(40))
+    repetitive = " ".join("tok00" if i % 2 == 0 else "tok01"
+                          for i in range(40))
+    stopful = " ".join(("the" if i % 4 == 0 else f"tok{i:02d}")
+                       for i in range(40))
+    rows = [(0, diverse), (1, repetitive), (2, stopful), (3, "   ")]
+    pd.DataFrame({
+        "doc_id": pd.array([i for i, _ in rows], dtype="int64"),
+        "text": [t for _, t in rows],
+        "lang": ["en"] * len(rows),
+        "source": ["unit"] * len(rows),
+        "n_chars": pd.array([len(t) for _, t in rows], dtype="int64"),
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    got = {r["doc_id"]: r for r in
+           textstats.quality_classifier(spark, str(tmp_path)).collect()}
+    assert 3 not in got                      # zero tokens -> no score row
+    assert got[0]["logit"] > got[1]["logit"]   # TTR rewards diversity
+    assert got[2]["stop_pm"] > got[0]["stop_pm"]
+    # fixture keep rate is a meaningful split
+    kept = textstats.quality_classifier(spark, SF_DIR).agg(
+        {"keep": "avg"}).collect()[0][0]
+    assert 0.3 < kept < 0.9, kept
+
+
+def test_image_phash_near_pairs_complete_vs_bruteforce(spark):
+    """Pigeonhole banding over the pHash is COMPLETE for Hamming <= 3:
+    the banded pair set equals the brute-force pair set computed in
+    Python over the full signature table (500 signatures -> 125k pairs,
+    trivially checkable), and every reported hamming matches the XOR
+    popcount of the signatures."""
+    from pdftotext_plus_plus_spark.datapipe import multimodal
+
+    sigs = {r["doc_id"]: r["phash"] & ((1 << 64) - 1)
+            for r in multimodal.image_phash(spark, SF_DIR).collect()}
+    ids = sorted(sigs)
+    brute = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            d = bin(sigs[a] ^ sigs[b]).count("1")
+            if d <= multimodal.PHASH_HAMMING_MAX:
+                brute[(a, b)] = d
+    got = {(r["id_a"], r["id_b"]): r["hamming"]
+           for r in multimodal.image_phash_near_pairs(spark, SF_DIR)
+           .collect()}
+    assert got == brute
+    assert len(got) > 0          # the fixture really has near-dup images

@@ -312,3 +312,47 @@ def test_bm25_stop_bigrams_prune_before_join(spark, tmp_path):
     # are doc-unique -> each query doc can only ever retrieve itself
     for r in out:
         assert r["doc_id"] == r["query_id"], r
+
+
+def test_hits_scores_match_pure_python_replay(spark):
+    """The integer-exact HITS iteration replayed in pure Python from the
+    same edge formula must reproduce every (authority_ppm, hub_ppm) row —
+    a third, engine-independent implementation (the HLL property-test
+    pattern), plus the structural invariants: ppm totals bounded by the
+    scale, zero in-degree -> zero authority, zero out-degree -> zero hub."""
+    sf_dir = "/root/testdata/sf0.001"
+    rows = {r["doc_id"]: r for r in webtext.hits_scores(spark, sf_dir).collect()}
+    n = len(rows)
+    assert n == 500
+
+    edges = []
+    for src in range(n):
+        for j in range(1, webtext.PAGERANK_FANOUT + 1):
+            if j <= 1 + src % webtext.PAGERANK_FANOUT:
+                dst = (src * 7 + j) % n
+                if dst != src:
+                    edges.append((src, dst))
+    hub = {v: 1000 for v in range(n)}
+    auth = {}
+    for _ in range(webtext.HITS_ITERS):
+        araw = {v: 0 for v in range(n)}
+        for s, d in edges:
+            araw[d] += hub[s]
+        ta = sum(araw.values())
+        auth = {v: araw[v] * webtext.HITS_SCALE // ta for v in range(n)}
+        hraw = {v: 0 for v in range(n)}
+        for s, d in edges:
+            hraw[s] += auth[d]
+        th = sum(hraw.values())
+        hub = {v: hraw[v] * webtext.HITS_SCALE // th for v in range(n)}
+
+    for v in range(n):
+        assert rows[v]["authority_ppm"] == auth[v], v
+        assert rows[v]["hub_ppm"] == hub[v], v
+    assert sum(auth.values()) <= webtext.HITS_SCALE
+    assert sum(hub.values()) <= webtext.HITS_SCALE
+    for v, r in rows.items():
+        if r["in_deg"] == 0:
+            assert r["authority_ppm"] == 0
+        if r["out_deg"] == 0:
+            assert r["hub_ppm"] == 0
