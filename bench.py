@@ -748,12 +748,14 @@ def main() -> None:
         query_secs[name] = round(time.perf_counter() - t0, 3)
     # 10x-docs scale probe (VERDICT r4 item #4): re-time the join-heavy
     # datapipe queries on a SCALE_FACTOR x corpus and report the observed
-    # scaling exponent log(t_hi/t_lo)/log(factor).  Fixed per-job overhead
-    # (session scheduling, ~0.3-0.5 s) rides in BOTH timings, so the
-    # exponent UNDERSTATES work growth for sub-second queries — the gate
-    # to watch is exponent <= ~1: super-linear means a bucket blew up.
-    # Soft-gated on the bench time budget so a loaded box still yields the
-    # core record.
+    # scaling exponent log(t_hi/t_lo)/log(factor).  BOTH sides are warm
+    # second passes (round-8 review: a cold t_hi against the headline's
+    # warm t_lo biased exponents upward by the 10x first-scan tax).
+    # Fixed per-job overhead (session scheduling, ~0.3-0.5 s) still
+    # rides in BOTH timings, so the exponent UNDERSTATES work growth for
+    # sub-second queries — the gate to watch is exponent <= ~1:
+    # super-linear means a bucket blew up.  Soft-gated on the bench time
+    # budget so a loaded box still yields the core record.
     import math as _math
     scale_probe = {"factor": SCALE_FACTOR}
     if (time.time() - wall_t0 < 0.75 * budget
@@ -764,11 +766,19 @@ def main() -> None:
                 scale_probe.setdefault("skipped_past_deadline", []).append(name)
                 continue
             if name in SCALE_PROBE_INLINE_1X:
-                # not a headline query: take its (warm) 1x time inline
+                # not a headline query: time its 1x inline under the
+                # same cold-then-warm protocol as the headline list
+                t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).count()
+                query_secs_cold[name] = round(time.perf_counter() - t0, 3)
                 t0 = time.perf_counter()
                 qs[name](spark, SF_DIR).count()
                 query_secs[name] = round(time.perf_counter() - t0, 3)
+            # WARM/WARM exponent (round-8 review): t_lo is the headline's
+            # warm second pass, so t_hi must be a warm second pass too —
+            # a cold 10x run would absorb the 10x corpus's first-scan tax
+            # on one side only and bias every exponent upward
+            qs[name](spark, scale_dir).count()
             t0 = time.perf_counter()
             qs[name](spark, scale_dir).count()
             t_hi = time.perf_counter() - t0
@@ -792,6 +802,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs[name](spark, base).count()
             t_lo = max(time.perf_counter() - t0, 1e-3)
+            qs[name](spark, small_scale_dir).count()   # warm/warm
             t0 = time.perf_counter()
             qs[name](spark, small_scale_dir).count()
             t_hi = time.perf_counter() - t0
@@ -811,6 +822,7 @@ def main() -> None:
             t0 = time.perf_counter()
             qs["dedup_clusters"](spark, SF_DIR).count()
             t_lo = max(time.perf_counter() - t0, 1e-3)
+            qs["dedup_clusters"](spark, skew_dir).count()   # warm/warm
             t0 = time.perf_counter()
             qs["dedup_clusters"](spark, skew_dir).count()
             t_hi = time.perf_counter() - t0

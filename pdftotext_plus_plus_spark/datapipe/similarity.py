@@ -954,7 +954,10 @@ WITH {_IVF2_CORE_CTES}, pqparams AS (
          (SELECT max(i) FROM elems) // {PQ_M} AS sublen
 ), relems AS (
   -- residual elements: vector minus its assigned centroid, aligned on i;
-  -- m/j split the element index into (subspace, offset)
+  -- m/j split the element index into (subspace, offset).  Trailing
+  -- dims of a D % PQ_M != 0 vector are DROPPED (m < PQ_M), mirroring
+  -- the Spark path's fixed-length slices exactly — without the filter
+  -- they would form a phantom (PQ_M+1)-th subspace here only
   SELECT v.vec_id, a.cent_id,
          (v.i - 1) // (SELECT sublen FROM pqparams) AS m,
          (v.i - 1) % (SELECT sublen FROM pqparams) AS j,
@@ -962,6 +965,7 @@ WITH {_IVF2_CORE_CTES}, pqparams AS (
   FROM elems v
   JOIN assigned a ON a.vec_id = v.vec_id
   JOIN elems c ON c.vec_id = a.cent_id AND c.i = v.i
+  WHERE (v.i - 1) // (SELECT sublen FROM pqparams) < {PQ_M}
 ), seeds AS (
   SELECT vec_id, code FROM (
     SELECT vec_id,
@@ -985,7 +989,7 @@ WITH {_IVF2_CORE_CTES}, pqparams AS (
   ) WHERE rn = 1
 ), qrelems AS (
   -- QUERY residual vs each PROBED list's centroid (probes: the shared
-  -- two-level core CTE)
+  -- two-level core CTE); same trailing-dim drop as relems
   SELECT p.query_id, p.cent_id,
          (q.i - 1) // (SELECT sublen FROM pqparams) AS m,
          (q.i - 1) % (SELECT sublen FROM pqparams) AS j,
@@ -993,6 +997,7 @@ WITH {_IVF2_CORE_CTES}, pqparams AS (
   FROM probes p
   JOIN elems q ON q.vec_id = p.query_id
   JOIN elems c ON c.vec_id = p.cent_id AND c.i = q.i
+  WHERE (q.i - 1) // (SELECT sublen FROM pqparams) < {PQ_M}
 ), adc AS (
   SELECT r.query_id, r.cent_id, r.m, c.code,
          round(sum((r.x - c.x) * (r.x - c.x)), 4) AS qd

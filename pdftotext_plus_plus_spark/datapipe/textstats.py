@@ -694,8 +694,7 @@ def quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("div(count(DISTINCT tok) * 1000000, count(*))")
         .alias("ttr_ppm"),
         F.expr("div(sum(CASE WHEN tok IN ({sw}) THEN 1 ELSE 0 END) * 1000,"
-               " count(*))".format(
-                   sw=", ".join("'%s'" % w for w in EN_STOPWORDS)))
+               " count(*))".format(sw=_sw_list_sql()))
         .alias("stop_pm"))
     logit = (F.lit(QC_W_NTOK) * F.col("n_tok")
              + F.expr("div(%d * mlen_milli, 2)" % QC_W_MLEN)
@@ -738,7 +737,7 @@ SELECT doc_id,
                  > {QC_THRESHOLD}
             THEN 1 ELSE 0 END AS keep
 FROM feats
-""".replace("{sw}", ", ".join("'%s'" % w for w in EN_STOPWORDS))
+""".replace("{sw}", _sw_list_sql())
 
 
 # ---------------------------------------------------------------------------

@@ -649,23 +649,28 @@ def hits_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     hub = docs.select("doc_id", F.lit(1000).cast("long").alias("h"))
     auth = None
     for _ in range(HITS_ITERS):
+        # the totals coalesce to 1 so a degenerate corpus (no edges, or
+        # all mass on zero-out-degree pages) yields all-zero scores
+        # instead of NULL //-by-NULL rows
         araw = (edges.join(hub, edges.src == hub.doc_id)
                 .groupBy("dst").agg(F.sum("h").alias("ar")))
-        ta = araw.agg(F.sum("ar").alias("ta"))
+        ta = araw.agg(F.coalesce(F.sum("ar"), F.lit(1)).alias("ta"))
         auth = (docs.select("doc_id")
                 .join(araw, F.col("doc_id") == F.col("dst"), "left")
                 .crossJoin(F.broadcast(ta))
                 .select("doc_id",
-                        F.expr(f"div(coalesce(ar, 0) * {HITS_SCALE}, ta)")
+                        F.expr(f"div(coalesce(ar, 0) * {HITS_SCALE},"
+                               f" greatest(ta, 1))")
                         .cast("long").alias("a")))
         hraw = (edges.join(auth, edges.dst == auth.doc_id)
                 .groupBy("src").agg(F.sum("a").alias("hr")))
-        th = hraw.agg(F.sum("hr").alias("th"))
+        th = hraw.agg(F.coalesce(F.sum("hr"), F.lit(1)).alias("th"))
         hub = (docs.select("doc_id")
                .join(hraw, F.col("doc_id") == F.col("src"), "left")
                .crossJoin(F.broadcast(th))
                .select("doc_id",
-                       F.expr(f"div(coalesce(hr, 0) * {HITS_SCALE}, th)")
+                       F.expr(f"div(coalesce(hr, 0) * {HITS_SCALE},"
+                              f" greatest(th, 1))")
                        .cast("long").alias("h")))
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     indeg = edges.groupBy("dst").agg(F.count("*").alias("in_deg"))
@@ -691,7 +696,8 @@ def _hits_iter_sql(i: int, hprev: str) -> str:
 ), a{i} AS (
   SELECT d.doc_id,
          CAST(COALESCE(r.ar, 0) * {HITS_SCALE}
-              // (SELECT sum(ar) FROM a{i}raw) AS BIGINT) AS a
+              // greatest(COALESCE((SELECT sum(ar) FROM a{i}raw), 1), 1)
+              AS BIGINT) AS a
   FROM documents d LEFT JOIN a{i}raw r ON r.doc_id = d.doc_id
 ), h{i}raw AS (
   SELECT e.src AS doc_id, sum(a.a) AS hr
@@ -699,7 +705,8 @@ def _hits_iter_sql(i: int, hprev: str) -> str:
 ), h{i} AS (
   SELECT d.doc_id,
          CAST(COALESCE(r.hr, 0) * {HITS_SCALE}
-              // (SELECT sum(hr) FROM h{i}raw) AS BIGINT) AS h
+              // greatest(COALESCE((SELECT sum(hr) FROM h{i}raw), 1), 1)
+              AS BIGINT) AS h
   FROM documents d LEFT JOIN h{i}raw r ON r.doc_id = d.doc_id
 )"""
 
@@ -813,12 +820,15 @@ FROM toks GROUP BY tok
 #     BEFORE the posting join, so stop words never fan out;
 #   * the tf saturation k1=1.2, b=0.75 term
 #     tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) is evaluated as the
-#     integer rational (22 * tf * avgdl_milli * 10^6) //
-#     (10*tf*avgdl_milli + 3*avgdl_milli + 9000*dl) with
+#     integer rational (22 * tf * 10^6) // (10*tf + 3 + dlr) with
+#     dlr = (9000 * dl) // avgdl_milli and
 #     avgdl_milli = 1000 * sum(dl) // n_docs — numerator and denominator
-#     both scaled by 10 * avgdl_milli, magnitudes bounded by the PER-DOC
-#     length (not the corpus total), so the int64 headroom is
-#     corpus-size-independent.
+#     scaled by 10, the length ratio pre-reduced per doc, so the largest
+#     intermediate is 22*10^6*tf: int64-safe for any tf < 4.1e11, i.e.
+#     for ANY physical document, independent of corpus size AND document
+#     size (an earlier form multiplied tf * avgdl_milli * 10^6, which a
+#     multi-million-token spam doc could overflow).  dlr's truncation
+#     costs < 1 part in the denominator — sub-ppm on the score.
 #
 # Plan shape at 100 TB: tf is ONE (doc, tok) hash agg and df ONE (tok)
 # hash agg (both map-side partial — the inverted_index scan); the query
@@ -867,15 +877,15 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                .distinct()
                .join(idf, "tok")
                .filter(F.col("idf_bits") >= 1))   # stop-word pruning
+    lens_r = (lens.crossJoin(F.broadcast(corpus.select("avgdl_milli")))
+              .select("doc_id", F.expr(
+                  "div(9000 * dl, greatest(avgdl_milli, 1))").alias("dlr")))
     scored = (tf.join(F.broadcast(q_terms), "tok")
-              .join(lens, "doc_id")
-              .crossJoin(F.broadcast(corpus.select("avgdl_milli")))
+              .join(lens_r, "doc_id")
               .withColumn(
                   "term_score",
                   F.col("idf_bits").cast("long")
-                  * F.expr("div(22 * tf * avgdl_milli * 1000000,"
-                           "    10 * tf * avgdl_milli + 3 * avgdl_milli"
-                           "    + 9000 * dl)"))
+                  * F.expr("div(22 * tf * 1000000, 10 * tf + 3 + dlr)"))
               .groupBy("query_id", "doc_id")
               .agg(F.sum("term_score").alias("score_u")))
     w = Window.partitionBy("query_id").orderBy(F.desc("score_u"),
@@ -923,16 +933,17 @@ WITH unitoks AS (
         FROM toked WHERE doc_id < {BM25_N_QUERIES}) q
   JOIN idf i ON i.tok = q.tok
   WHERE i.idf_bits >= 1
+), lensr AS (
+  SELECT doc_id,
+         9000 * dl // greatest((SELECT avgdl_milli FROM corpus), 1) AS dlr
+  FROM lens
 ), scored AS (
   SELECT qt.query_id, t.doc_id,
          sum(qt.idf_bits *
-             (22 * t.tf * c.avgdl_milli * 1000000 //
-              (10 * t.tf * c.avgdl_milli + 3 * c.avgdl_milli
-               + 9000 * l.dl))) AS score_u
+             (22 * t.tf * 1000000 // (10 * t.tf + 3 + l.dlr))) AS score_u
   FROM tf t
   JOIN q_terms qt ON qt.tok = t.tok
-  JOIN lens l ON l.doc_id = t.doc_id
-  CROSS JOIN corpus c
+  JOIN lensr l ON l.doc_id = t.doc_id
   GROUP BY qt.query_id, t.doc_id
 ), ranked AS (
   SELECT query_id, doc_id, score_u,

@@ -320,8 +320,8 @@ def test_hits_scores_match_pure_python_replay(spark):
     a third, engine-independent implementation (the HLL property-test
     pattern), plus the structural invariants: ppm totals bounded by the
     scale, zero in-degree -> zero authority, zero out-degree -> zero hub."""
-    sf_dir = "/root/testdata/sf0.001"
-    rows = {r["doc_id"]: r for r in webtext.hits_scores(spark, sf_dir).collect()}
+    rows = {r["doc_id"]: r
+            for r in webtext.hits_scores(spark, SF_DIR).collect()}
     n = len(rows)
     assert n == 500
 
@@ -356,3 +356,22 @@ def test_hits_scores_match_pure_python_replay(spark):
             assert r["authority_ppm"] == 0
         if r["out_deg"] == 0:
             assert r["hub_ppm"] == 0
+
+
+def test_hits_scores_degenerate_corpus_yields_zero_not_null(spark, tmp_path):
+    """A corpus whose generated edge set is empty (one document: every
+    candidate edge is a self-loop) must yield all-zero scores, not NULLs
+    from a //-by-NULL total (round-8 review finding)."""
+    import pandas as pd
+
+    pd.DataFrame({
+        "doc_id": pd.array([0], dtype="int64"),
+        "text": ["solo page"],
+        "lang": ["en"], "source": ["unit"],
+        "n_chars": pd.array([9], dtype="int64"),
+    }).to_parquet(str(tmp_path / "documents.parquet"))
+    rows = webtext.hits_scores(spark, str(tmp_path)).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["authority_ppm"] == 0 and r["hub_ppm"] == 0
+    assert r["out_deg"] == 0 and r["in_deg"] == 0
