@@ -151,7 +151,14 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # scorer (one hash agg), and pHash image near-dup pairs
                  # (real decode + banding)
                  "hits_scores", "quality_classifier",
-                 "image_phash_near_pairs"]
+                 "image_phash_near_pairs",
+                 # round-8 batch #12: the CCNet curation composition (one
+                 # md5 hash-agg + the surprisal plan + one per-(lang,
+                 # first-copy) window), URL fetch gating (pure codegen
+                 # projection — the cheapest op in the list by design),
+                 # and the DOM heading outline (one mapInPandas pass over
+                 # the html column, per-page stack state)
+                 "ccnet_pipeline", "url_classify", "html_outline"]
 
 
 def ensure_corpus() -> int:
@@ -421,7 +428,15 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # construction (measured 85 -> 14,977 at 10x) —
                        # the banding shape itself is probed via
                        # simhash_near_pairs.
-                       "hits_scores", "quality_classifier"]
+                       "hits_scores", "quality_classifier",
+                       # round-8 batch #12: ccnet composes three linear
+                       # plans (hash-agg + surprisal + per-(lang,first)
+                       # ntile window — the one n log n term, per-shard);
+                       # url_classify is the no-shuffle projection floor.
+                       # html_outline excluded: its corpus is the fixed
+                       # 40-page synthetic HTML set (constant work at any
+                       # sf, like c4_quality_filter / main_content).
+                       "ccnet_pipeline", "url_classify"]
 # pair ops probed from a smaller base corpus: 1x timed inline at the base,
 # 10x on the perturbed-replica corpus built FROM that base
 SCALE_PROBE_SMALL_BASE = {

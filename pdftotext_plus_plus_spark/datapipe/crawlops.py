@@ -461,3 +461,138 @@ SELECT r.doc_id,
        r.r AS trust_ppm
 FROM it3 r
 """
+
+
+# ---------------------------------------------------------------------------
+# URL classification (fetch gating by document type + trap heuristics)
+# ---------------------------------------------------------------------------
+
+# Deterministic classified-URL synthesis — a RICHER shape than
+# _RAW_URL_SPARK (which the canonicalizer family shares and must not
+# change): leaf filenames cycle through the extension classes a crawler
+# gates on, path depth varies 1-4, and query strings exercise the
+# session-id and parameter-count trap heuristics.  The OPERATOR works
+# only on the final URL string; the residues below are construction.
+_CLASS_LEAVES = ("index.html", "doc.pdf", "img.jpg", "clip.mp4",
+                 "feed.xml", "archive.zip", "page", "style.css")
+
+_CLASS_URL_SPARK = f"""
+concat('http://', source, '.example.com',
+  CASE WHEN doc_id % 4 >= 1 THEN concat('/d', CAST(doc_id % 3 AS STRING))
+       ELSE '' END,
+  CASE WHEN doc_id % 4 >= 2 THEN '/sub' ELSE '' END,
+  CASE WHEN doc_id % 4 >= 3 THEN '/deep' ELSE '' END,
+  '/', element_at(array({', '.join("'%s'" % l for l in _CLASS_LEAVES)}),
+                  CAST(doc_id % 8 AS INT) + 1),
+  CASE WHEN doc_id % 6 = 0
+         THEN concat('?sessionid=', CAST(doc_id % 50 AS STRING))
+       WHEN doc_id % 6 = 3
+         THEN '?ref=a&p=1&q=2&r=3&s=4'
+       WHEN doc_id % 6 = 4 THEN '?p=1'
+       ELSE '' END)
+"""
+
+_CLASS_URL_DUCK = f"""
+'http://' || source || '.example.com' ||
+(CASE WHEN doc_id % 4 >= 1 THEN '/d' || (doc_id % 3) ELSE '' END) ||
+(CASE WHEN doc_id % 4 >= 2 THEN '/sub' ELSE '' END) ||
+(CASE WHEN doc_id % 4 >= 3 THEN '/deep' ELSE '' END) ||
+'/' || ([{', '.join("'%s'" % l for l in _CLASS_LEAVES)}])[(doc_id % 8) + 1] ||
+(CASE WHEN doc_id % 6 = 0 THEN '?sessionid=' || (doc_id % 50)
+      WHEN doc_id % 6 = 3 THEN '?ref=a&p=1&q=2&r=3&s=4'
+      WHEN doc_id % 6 = 4 THEN '?p=1'
+      ELSE '' END)
+"""
+
+_MEDIA_EXTS = ("jpg", "jpeg", "png", "gif", "mp4", "mp3", "css", "js", "ico")
+_DOC_EXTS = ("pdf", "doc", "ps")
+_ARCHIVE_EXTS = ("zip", "gz", "tar")
+URL_TRAP_MAX_PARAMS = 4
+
+
+def url_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classify every frontier URL into a document type and a fetch
+    action — the gate a crawler applies BEFORE spending a fetch slot
+    (media/archive skipped, session-id and parameter-blowup URLs
+    deferred as crawler-trap suspects, the rest fetched).
+
+    Every feature is derived from the URL STRING with built-in
+    string/regexp expressions (whole-stage codegen, no UDF): at 10^12
+    rows this is one narrow projection pass, no shuffle at all — the
+    classifier composes with url_frontier_priority's per-domain top-K
+    upstream of the fetch fleet.
+    """
+    docs = _documents(spark, sf_dir)
+    urls = docs.select("doc_id", F.expr(_CLASS_URL_SPARK).alias("url"))
+    rest = F.regexp_replace("url", r"^[a-z]+://[^/]*", "")
+    path = F.regexp_replace(rest, r"\?.*$", "")
+    query = F.regexp_extract("url", r"\?(.*)$", 1)
+    ext = F.lower(F.regexp_extract(path, r"\.([a-zA-Z0-9]+)$", 1))
+    path_depth = (F.length(path)
+                  - F.length(F.regexp_replace(path, r"/", ""))).cast("int")
+    n_params = F.when(F.length(query) == 0, F.lit(0)) \
+                .otherwise(F.size(F.split(query, "&"))).cast("int")
+    has_session = query.contains("sessionid=").cast("int")
+    doc_type = (F.when(ext.isin(*_MEDIA_EXTS), F.lit("media"))
+                .when(ext.isin(*_DOC_EXTS), F.lit("document"))
+                .when((ext == "xml") & path.contains("feed"), F.lit("feed"))
+                .when(ext.isin(*_ARCHIVE_EXTS), F.lit("archive"))
+                .otherwise(F.lit("page")))
+    action = (F.when(doc_type.isin("media", "archive"), F.lit("skip"))
+              .when((has_session == 1)
+                    | (n_params >= URL_TRAP_MAX_PARAMS), F.lit("defer"))
+              .otherwise(F.lit("fetch")))
+    return urls.select("doc_id", "url", ext.alias("ext"),
+                       path_depth.alias("path_depth"),
+                       n_params.alias("n_params"),
+                       has_session.alias("has_session"),
+                       doc_type.alias("doc_type"), action.alias("action"))
+
+
+def _url_classify_sql() -> str:
+    media = ", ".join("'%s'" % e for e in _MEDIA_EXTS)
+    doc = ", ".join("'%s'" % e for e in _DOC_EXTS)
+    arch = ", ".join("'%s'" % e for e in _ARCHIVE_EXTS)
+    return f"""
+WITH urls AS (
+  SELECT doc_id, {_CLASS_URL_DUCK} AS url FROM documents
+),
+feat AS (
+  SELECT doc_id, url,
+         regexp_replace(regexp_replace(url, '^[a-z]+://[^/]*', ''),
+                        '\\?.*$', '') AS path,
+         regexp_extract(url, '\\?(.*)$', 1) AS query
+  FROM urls
+),
+f2 AS (
+  SELECT doc_id, url,
+         lower(regexp_extract(path, '\\.([a-zA-Z0-9]+)$', 1)) AS ext,
+         CAST(length(path) - length(replace(path, '/', '')) AS INTEGER)
+           AS path_depth,
+         CAST(CASE WHEN length(query) = 0 THEN 0
+                   ELSE len(string_split(query, '&')) END AS INTEGER)
+           AS n_params,
+         CASE WHEN contains(query, 'sessionid=') THEN 1 ELSE 0 END
+           AS has_session,
+         path
+  FROM feat
+),
+f3 AS (
+  SELECT *,
+         CASE WHEN ext IN ({media}) THEN 'media'
+              WHEN ext IN ({doc}) THEN 'document'
+              WHEN ext = 'xml' AND contains(path, 'feed') THEN 'feed'
+              WHEN ext IN ({arch}) THEN 'archive'
+              ELSE 'page' END AS doc_type
+  FROM f2
+)
+SELECT doc_id, url, ext, path_depth, n_params, has_session, doc_type,
+       CASE WHEN doc_type IN ('media', 'archive') THEN 'skip'
+            WHEN has_session = 1 OR n_params >= {URL_TRAP_MAX_PARAMS}
+              THEN 'defer'
+            ELSE 'fetch' END AS action
+FROM f3
+"""
+
+
+URL_CLASSIFY_SQL = _url_classify_sql()

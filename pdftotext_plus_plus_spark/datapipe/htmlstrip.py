@@ -204,3 +204,122 @@ def main_content_blocks_oracle_sql() -> str:
                           % (url, j, text.replace("'", "''")))
     return ("SELECT * FROM (VALUES\n%s\n) AS t(url, block_idx, block_text)"
             % ",\n".join(values))
+
+
+# ---------------------------------------------------------------------------
+# heading outline (DOM hierarchy via monotonic stack)
+# ---------------------------------------------------------------------------
+
+_HEADING_RE = re.compile(r"(?s)<h([1-6])[^>]*>(.*?)</h\1>")
+
+
+def build_outline_corpus(n_docs: int = N_HTML_DOCS, seed: int = 13):
+    """(url, html, golden_headings): pages rendered from an explicit
+    random heading TREE (max depth 6, children emitted in DFS preorder at
+    exactly depth = level), so every golden ``parent_idx`` comes from the
+    tree structure — never from running the extractor's stack algorithm.
+    Headings carry random attributes and occasional inline markup to
+    exercise fragment cleaning; paragraph junk is interleaved."""
+    rows = []
+    for i in range(n_docs):
+        rng = random.Random(seed * 65537 + i)
+        headings = []          # (idx, level, clean_text, parent_idx)
+        parts = ["<html><body>"]
+        counter = [0]
+
+        def emit(level, parent_idx, rng=rng, parts=parts,
+                 headings=headings, counter=counter):
+            idx = counter[0]
+            counter[0] += 1
+            words = [rng.choice(_WORDS) for _ in range(rng.randint(2, 5))]
+            text = " ".join(words)
+            if rng.random() < 0.3:          # inline markup inside heading
+                k = rng.randrange(len(words))
+                words_html = list(words)
+                words_html[k] = "<em>%s</em>" % words[k]
+                inner = " ".join(words_html)
+            else:
+                inner = text
+            attr = (' class="s%d"' % rng.randint(0, 3)
+                    if rng.random() < 0.5 else "")
+            parts.append("<h%d%s>%s</h%d>" % (level, attr, inner, level))
+            headings.append((idx, level, text, parent_idx))
+            if rng.random() < 0.6:
+                parts.append("<p>%s</p>" % " ".join(
+                    rng.choice(_WORDS) for _ in range(6)))
+            if level < 6:
+                for _ in range(rng.randint(0, 2)):
+                    emit(level + 1, idx)
+
+        for _ in range(rng.randint(1, 3)):
+            emit(1, -1)
+        parts.append("</body></html>")
+        rows.append(("https://html.test/outline-%04d" % i,
+                     "".join(parts), headings))
+    return rows
+
+
+def outline_py(html: str):
+    """Monotonic-stack heading-hierarchy extraction: the parent of a
+    heading is the nearest PRECEDING heading of smaller level, -1 at the
+    top — the DOM analogue of the reference's text-line hierarchy pass
+    (TextLinesDetectionUtils.cpp:49-141; kernel/lines.py
+    _compute_line_hierarchy runs the same stack over layout lines)."""
+    out = []
+    stack = []                 # (level, idx), strictly increasing levels
+    for idx, m in enumerate(_HEADING_RE.finditer(html)):
+        level = int(m.group(1))
+        while stack and stack[-1][0] >= level:
+            stack.pop()
+        parent = stack[-1][1] if stack else -1
+        out.append((idx, level, _clean_fragment(m.group(2)), parent))
+        stack.append((level, idx))
+    return out
+
+
+def html_outline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched outline extraction: one page -> N ordered headings
+    with hierarchy, computed inside the kernel (mapInPandas).  At 10^12
+    rows this is one narrow pass over the html column — no shuffle; the
+    per-page stack state never leaves the kernel."""
+    import pandas as pd
+
+    corpus = [(u, h) for u, h, _ in build_outline_corpus()]
+    df = spark.createDataFrame(corpus, "url string, html string")
+
+    def kernel(batches):
+        for pdf in batches:
+            urls, idxs, levels, texts, parents = [], [], [], [], []
+            for url, html in zip(pdf["url"], pdf["html"]):
+                for idx, level, text, parent in outline_py(html):
+                    urls.append(url)
+                    idxs.append(idx)
+                    levels.append(level)
+                    texts.append(text)
+                    parents.append(parent)
+            yield pd.DataFrame({
+                "url": pd.Series(urls, dtype="object"),
+                "heading_idx": pd.Series(idxs, dtype="int64"),
+                "level": pd.Series(levels, dtype="int64"),
+                "heading": pd.Series(texts, dtype="object"),
+                "parent_idx": pd.Series(parents, dtype="int64"),
+            })
+
+    return df.mapInPandas(
+        kernel,
+        "url string, heading_idx bigint, level bigint, "
+        "heading string, parent_idx bigint")
+
+
+def html_outline_oracle_sql() -> str:
+    """VALUES oracle from the CONSTRUCTION-TIME tree (never from the
+    stack algorithm)."""
+    values = []
+    for url, _, golden in build_outline_corpus():
+        for idx, level, text, parent in golden:
+            values.append("('%s', %d, %d, '%s', %d)"
+                          % (url, idx, level,
+                             text.replace("'", "''"), parent))
+    return ("SELECT * FROM (VALUES\n%s\n) "
+            "AS t(url, heading_idx, level, heading, parent_idx)"
+            % ",\n".join(values))

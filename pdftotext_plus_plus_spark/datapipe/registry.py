@@ -1107,6 +1107,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # fixed-weight integer linear scorer) enter the head for first-round
 # driver rows; demoted in exchange (all r7-green; rationale at the tail
 # entries): `semdedup_prune`, `ann_lsh_topk`, `duplicate_ngram_spans`.
+# Round-8 batch #12 (same round): the three brand-new ops
+# `ccnet_pipeline` (the CCNet dedup->lang->perplexity-band curation
+# composition), `url_classify` (URL-feature fetch gating: type +
+# crawler-trap heuristics), and `html_outline` (DOM heading hierarchy
+# via the reference's monotonic-stack line-hierarchy semantics) enter
+# the head for first-round driver rows; demoted in exchange (all
+# r7-green; rationale at the tail entries): `extract_jsonl_pages`,
+# `multimodal_meta`, `extract_stats`.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1133,8 +1141,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     "extract_word_counts": (extract_word_counts, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
-    # rotation #7 promotion: stalest driver row (r3)
-    "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
     "extract_visualization": (extract_visualization, None),  # oracle below
     # rotation #7 promotion (r6 verdict item #3): the ONLY registry
     # entry never exercised by a driver artifact (was position 73)
@@ -1144,7 +1150,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # past the 50-cap by the batch-#8/#9/#10 promotions before the driver
     # ran — VERDICT r7 item #1)
     "extract_jsonl_figures": (extract_jsonl_figures, None),  # oracle below
-    "extract_stats": (extract_stats, None),    # oracle filled in lazily below
     # dedup family
     "minhash_lsh_pairs": (dedup.minhash_lsh_pairs,
                           dedup.MINHASH_LSH_PAIRS_SQL),
@@ -1196,6 +1201,10 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # nests each component's own SQL as a CTE
     "training_mix_pipeline": (sampling.training_mix_pipeline,
                               sampling.TRAINING_MIX_SQL),
+    # round 8 batch #12: the CCNet curation composition (exact dedup ->
+    # language -> per-lang perplexity tercile, tail band dropped) —
+    # brand-new, straight into the head
+    "ccnet_pipeline": (webtext.ccnet_pipeline, webtext.CCNET_PIPELINE_SQL),
     # round 6 batch #4: webtext provenance layer (URLs / domains / link
     # graph) — see rotation #5 in the ORDERING note
     "domain_stats": (webtext.domain_stats, webtext.DOMAIN_STATS_SQL),
@@ -1227,6 +1236,9 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                               crawlops.URL_FRONTIER_PRIORITY_SQL),
     "host_graph_stats": (crawlops.host_graph_stats,
                          crawlops.HOST_GRAPH_STATS_SQL),
+    # round 8 batch #12: URL-feature fetch gating (doc-type + crawler-
+    # trap heuristics, pure codegen projection) — brand-new, head
+    "url_classify": (crawlops.url_classify, crawlops.URL_CLASSIFY_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
     "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
@@ -1239,9 +1251,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "warc_wat_records": (warc_wat_records, None),  # oracle filled below
     "streaming_url_dedup": (streaming_url_dedup_equivalence,
                             STREAMING_URL_DEDUP_SQL),
-    # multimodal plumbing — rotation #7 promotion: stalest driver row (r3)
-    "multimodal_meta": (multimodal.multimodal_meta,
-                        multimodal.MULTIMODAL_META_SQL),
     # rotation #8 promotions: the r5-stale decoded-content signatures
     # (PNG/JPEG pixel decode, WAV framing, MJPEG demux) — their newest
     # driver rows all date from r5
@@ -1258,6 +1267,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # HTML boilerplate strip (north-rule raw-HTML surface)
     "main_content_blocks": (
         lambda spark, sf_dir: htmlstrip.main_content_blocks(spark, sf_dir),
+        None),  # oracle filled in lazily below
+    # round 8 batch #12: DOM heading hierarchy (monotonic-stack parents,
+    # the reference's line-hierarchy semantics on the HTML side) —
+    # brand-new, head
+    "html_outline": (
+        lambda spark, sf_dir: htmlstrip.html_outline(spark, sf_dir),
         None),  # oracle filled in lazily below
     # --- tail: transitively-covered variants (see ORDERING note above).
     # Rotation #8 demotions (ALL hold r7-green driver rows; VERDICT r7
@@ -1312,6 +1327,20 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # frequency-join shape is containment_pairs' candidate machinery
     # (head) and its 10x probe exponent (0.98, linear gram explode) is
     # on record in three round artifacts.
+    # batch-#12 demotions (ALL r7-green; the three new ops take their
+    # head slots): extract_jsonl_pages is the trivial page-dims
+    # projection of head extract_jsonl's sink surface; multimodal_meta
+    # runs the same full pixel decode as head image_phash /
+    # image_phash_near_pairs (which checksum the decoded content) — its
+    # unique surface is only the decode-derived payload_bytes
+    # projection; extract_stats' A1-A3 statistics kernels run
+    # transitively inside EVERY head extraction query (they gate word/
+    # line/block detection) and carry dedicated pytest coverage
+    # (test_kernel_stages).
+    "extract_jsonl_pages": (extract_jsonl_pages, None),  # oracle below
+    "multimodal_meta": (multimodal.multimodal_meta,
+                        multimodal.MULTIMODAL_META_SQL),
+    "extract_stats": (extract_stats, None),    # oracle filled in lazily below
     "semdedup_prune": (similarity.semdedup_prune,
                        similarity.SEMDEDUP_PRUNE_SQL),
     "ann_lsh_topk": (ann_lsh_topk, similarity.ANN_LSH_SQL),
@@ -1486,6 +1515,7 @@ def oracle_sql() -> Dict[str, str]:
     oracles["extract_blocks"] = extract_blocks_oracle_sql()
     oracles["boilerplate_strip"] = htmlstrip.boilerplate_strip_oracle_sql()
     oracles["main_content_blocks"] = htmlstrip.main_content_blocks_oracle_sql()
+    oracles["html_outline"] = htmlstrip.html_outline_oracle_sql()
     oracles["c4_quality_filter"] = textstats.c4_quality_filter_oracle_sql()
     oracles["c4_line_dedup"] = textstats.c4_line_dedup_oracle_sql()
     oracles["extract_word_counts"] = extract_word_counts_oracle_sql()

@@ -1233,3 +1233,88 @@ SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
             ELSE 'changed' END AS status
 FROM a FULL OUTER JOIN b ON a.doc_id = b.doc_id
 """
+
+
+# ---------------------------------------------------------------------------
+# CCNet-style curation pipeline (dedup -> language -> perplexity band)
+# ---------------------------------------------------------------------------
+
+def ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet curation composed end to end (Wenzek et al., LREC 2020):
+    exact dedup (first copy per md5(text) wins), language split, and a
+    per-language LM-perplexity tercile cut with the tail band dropped.
+
+    Composition, not re-derivation: the surprisal score is
+    textstats.unigram_surprisal's integer-exact mean_centibits and the
+    dedup decision is exact_dedup's min-doc_id-per-hash, exactly as
+    ``training_mix_pipeline`` composes its stages.  CCNet buckets AFTER
+    dedup, so the tercile window partitions on (lang, is_first_copy):
+    duplicate rows keep their surprisal but can never shift a band
+    boundary, and their bucket is pinned to 0 ('dup').
+
+    Plan shape at 100 TB: one md5 hash-agg with map-side partials (the
+    exact_dedup plan) + the surprisal plan (two hash aggs + a dim join)
+    + ONE per-(lang, first-copy) window — per-shard sort, never global.
+    At extreme scale the ntile window is replaced by broadcast tercile
+    thresholds from a percentile sort-agg; ntile is the integer-exact
+    form the oracle can hash-match (the perplexity_buckets note).
+    """
+    from . import textstats as _textstats
+    docs = _documents(spark, sf_dir)
+    sur = _textstats.unigram_surprisal(spark, sf_dir) \
+        .select("doc_id", "mean_centibits")
+    keyed = docs.select("doc_id", "lang", F.md5("text").alias("h"))
+    keep_ids = keyed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    j = (keyed.join(keep_ids, "h")
+         .withColumn("is_first_copy",
+                     (F.col("doc_id") == F.col("keep_id")).cast("int"))
+         .join(sur, "doc_id"))
+    w = Window.partitionBy("lang", "is_first_copy") \
+              .orderBy("mean_centibits", "doc_id")
+    b = j.withColumn("t", F.ntile(3).over(w))
+    bucket = F.when(F.col("is_first_copy") == 1, F.col("t")) \
+              .otherwise(F.lit(0))
+    band = (F.when(F.col("is_first_copy") == 0, F.lit("dup"))
+            .when(F.col("t") == 1, F.lit("head"))
+            .when(F.col("t") == 2, F.lit("middle"))
+            .otherwise(F.lit("tail")))
+    keep = ((F.col("is_first_copy") == 1) & (F.col("t") <= 2)).cast("int")
+    return b.select("doc_id", "lang", "mean_centibits", "is_first_copy",
+                    bucket.alias("bucket"), band.alias("band"),
+                    keep.alias("keep"))
+
+
+def _ccnet_pipeline_sql() -> str:
+    from . import textstats as _textstats
+    return f"""
+WITH sur AS ({_textstats.UNIGRAM_SURPRISAL_SQL}),
+keyed AS (
+  SELECT d.doc_id, d.lang, md5(d.text) AS h FROM documents d
+),
+keep_ids AS (SELECT h, min(doc_id) AS keep_id FROM keyed GROUP BY h),
+j AS (
+  SELECT k.doc_id, k.lang,
+         CASE WHEN k.doc_id = ki.keep_id THEN 1 ELSE 0 END AS is_first_copy,
+         s.mean_centibits
+  FROM keyed k
+  JOIN keep_ids ki ON ki.h = k.h
+  JOIN sur s ON s.doc_id = k.doc_id
+),
+b AS (
+  SELECT doc_id, lang, mean_centibits, is_first_copy,
+         CAST(ntile(3) OVER (PARTITION BY lang, is_first_copy
+                             ORDER BY mean_centibits, doc_id) AS INTEGER)
+           AS t
+  FROM j
+)
+SELECT doc_id, lang, mean_centibits, is_first_copy,
+       CASE WHEN is_first_copy = 1 THEN t ELSE 0 END AS bucket,
+       CASE WHEN is_first_copy = 0 THEN 'dup'
+            WHEN t = 1 THEN 'head' WHEN t = 2 THEN 'middle'
+            ELSE 'tail' END AS band,
+       CASE WHEN is_first_copy = 1 AND t <= 2 THEN 1 ELSE 0 END AS keep
+FROM b
+"""
+
+
+CCNET_PIPELINE_SQL = _ccnet_pipeline_sql()

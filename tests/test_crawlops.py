@@ -169,3 +169,47 @@ def test_trust_propagation_seed_and_isolation_invariants(spark):
     # trust reaches beyond the seed set (propagation actually happens)
     assert any(r["trust_ppm"] > 0 and not r["is_seed"]
                for r in rows.values())
+
+
+def test_url_classify_gates_and_features(spark):
+    """Fetch-gating invariants derived ONLY from the output URL string
+    (the operator must not lean on construction residues): extension
+    parsing, media/archive skip, session-id and param-blowup deferral,
+    feed detection, and depth counting."""
+    rows = crawlops.url_classify(spark, SF_DIR).collect()
+    assert len(rows) == 500
+    for r in rows:
+        path_q = r["url"].split(".example.com", 1)[1]
+        path = path_q.split("?", 1)[0]
+        query = path_q.split("?", 1)[1] if "?" in path_q else ""
+        leaf = path.rsplit("/", 1)[1]
+        # features recomputed independently from the string
+        assert r["ext"] == (leaf.rsplit(".", 1)[1].lower()
+                            if "." in leaf else "")
+        assert r["path_depth"] == path.count("/")
+        assert r["n_params"] == (len(query.split("&")) if query else 0)
+        assert r["has_session"] == int("sessionid=" in query)
+        # gating
+        if r["ext"] in crawlops._MEDIA_EXTS:
+            assert r["doc_type"] == "media" and r["action"] == "skip"
+        elif r["ext"] in crawlops._ARCHIVE_EXTS:
+            assert r["doc_type"] == "archive" and r["action"] == "skip"
+        elif r["has_session"] or r["n_params"] >= crawlops.URL_TRAP_MAX_PARAMS:
+            assert r["action"] == "defer"
+        else:
+            assert r["action"] == "fetch"
+        if leaf == "feed.xml":
+            assert r["doc_type"] == "feed"
+    # every class and action occurs on the fixture corpus
+    assert {r["doc_type"] for r in rows} == {
+        "page", "document", "media", "feed", "archive"}
+    assert {r["action"] for r in rows} == {"fetch", "skip", "defer"}
+
+
+def test_url_classify_plan_is_pure_projection(spark):
+    """The classifier is one codegen projection: NO exchange anywhere in
+    the plan (the 100-TB contract — it composes map-side with the
+    frontier's top-K upstream)."""
+    plan = (crawlops.url_classify(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

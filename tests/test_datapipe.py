@@ -993,3 +993,42 @@ def test_image_phash_near_pairs_complete_vs_bruteforce(spark):
            .collect()}
     assert got == brute
     assert len(got) > 0          # the fixture really has near-dup images
+
+
+def test_html_outline_tree_equals_stack():
+    """The core semantic claim: on DFS-preorder pages the monotonic-stack
+    extractor recovers EXACTLY the construction tree's parent edges (the
+    golden is the tree, never the algorithm) — the same stack semantics
+    as the reference's line hierarchy (TextLinesDetectionUtils.cpp:49-141,
+    kernel/lines.py)."""
+    from pdftotext_plus_plus_spark.datapipe import htmlstrip
+
+    corpus = htmlstrip.build_outline_corpus()
+    assert len(corpus) == htmlstrip.N_HTML_DOCS
+    n_headings = 0
+    for _, html, golden in corpus:
+        got = htmlstrip.outline_py(html)
+        assert got == golden
+        n_headings += len(golden)
+    assert n_headings > 10 * len(corpus) // 2  # non-trivial outlines
+
+
+def test_html_outline_non_tree_level_jumps():
+    """Pages that are NOT well-nested (level jumps down by >1, returns
+    above a pending subtree) still get the nearest-shallower-predecessor
+    parent, -1 at the top."""
+    from pdftotext_plus_plus_spark.datapipe.htmlstrip import outline_py
+
+    html = ("<h1>a</h1><h4 class='x'>b</h4><h2>c <em>d</em></h2>"
+            "<h6>e</h6><h3>f</h3><h1>g</h1><h3>h</h3>")
+    got = outline_py(html)
+    assert [(i, lv, t, p) for i, lv, t, p in got] == [
+        (0, 1, "a", -1),
+        (1, 4, "b", 0),    # jump down by 3: parent is still the h1
+        (2, 2, "c d", 0),  # pops the h4; inline markup cleaned
+        (3, 6, "e", 2),
+        (4, 3, "f", 2),    # pops the h6, lands under the h2
+        (5, 1, "g", -1),   # new root pops everything
+        (6, 3, "h", 5),
+    ]
+    assert outline_py("<p>no headings</p>") == []

@@ -375,3 +375,59 @@ def test_hits_scores_degenerate_corpus_yields_zero_not_null(spark, tmp_path):
     r = rows[0]
     assert r["authority_ppm"] == 0 and r["hub_ppm"] == 0
     assert r["out_deg"] == 0 and r["in_deg"] == 0
+
+
+def test_ccnet_pipeline_dup_band_and_keep(spark, tmp_path):
+    """CCNet composition invariants on a corpus WITH exact duplicates
+    (the sf fixtures have none): duplicate rows are banded 'dup' with
+    keep=0 and can never shift a band boundary; first copies split into
+    per-language terciles (counts differ by <= 1); keep == first copy in
+    head/middle.  Spark and the DuckDB oracle agree on the dup rows."""
+    import duckdb
+    import pandas as pd
+
+    texts, langs = [], []
+    for i in range(24):
+        texts.append("alpha beta gamma delta %d word%d" % (i, i % 7))
+        langs.append("en" if i % 2 == 0 else "fr")
+    # doc 24..29 duplicate docs 0..5 verbatim (same lang)
+    for i in range(6):
+        texts.append(texts[i])
+        langs.append(langs[i])
+    pdf = pd.DataFrame({
+        "doc_id": list(range(30)),
+        "text": texts,
+        "lang": langs,
+        "source": ["t"] * 30,
+        "n_chars": [len(t) for t in texts],
+    })
+    root = tmp_path / "ccnet"
+    root.mkdir()
+    pdf.to_parquet(root / "documents.parquet")
+
+    out = webtext.ccnet_pipeline(spark, str(root)).collect()
+    rows = {r["doc_id"]: r for r in out}
+    assert len(rows) == 30
+    for i in range(24, 30):
+        assert rows[i]["is_first_copy"] == 0
+        assert rows[i]["band"] == "dup"
+        assert rows[i]["bucket"] == 0
+        assert rows[i]["keep"] == 0
+    firsts = [r for r in out if r["is_first_copy"] == 1]
+    assert len(firsts) == 24
+    for lang in ("en", "fr"):
+        buckets = [r["bucket"] for r in firsts if r["lang"] == lang]
+        counts = [buckets.count(b) for b in (1, 2, 3)]
+        assert max(counts) - min(counts) <= 1
+    for r in out:
+        assert r["keep"] == int(r["is_first_copy"] == 1
+                                and r["band"] in ("head", "middle"))
+
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS SELECT * FROM "
+            f"'{root}/documents.parquet'")
+    rel = con.sql(webtext.CCNET_PIPELINE_SQL)
+    drows = {r[0]: r for r in rel.fetchall()}
+    cols = [d[0] for d in rel.description]
+    for r in out:
+        assert tuple(r[c] for c in cols) == drows[r["doc_id"]]
