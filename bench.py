@@ -158,7 +158,12 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # projection — the cheapest op in the list by design),
                  # and the DOM heading outline (one mapInPandas pass over
                  # the html column, per-page stack state)
-                 "ccnet_pipeline", "url_classify", "html_outline"]
+                 "ccnet_pipeline", "url_classify", "html_outline",
+                 # round-8 batch #13: revisit-record snapshot write+read
+                 # (journal equi-join -> per-bucket WARC build -> shard
+                 # parse-back) and the politeness timetable (frontier
+                 # composition, map-side arithmetic only)
+                 "warc_revisit_records", "fetch_scheduler"]
 
 
 def ensure_corpus() -> int:
@@ -436,7 +441,14 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # html_outline excluded: its corpus is the fixed
                        # 40-page synthetic HTML set (constant work at any
                        # sf, like c4_quality_filter / main_content).
-                       "ccnet_pipeline", "url_classify"]
+                       "ccnet_pipeline", "url_classify",
+                       # round-8 batch #13: the revisit write+read path
+                       # is linear end to end (journal hash join, bucket
+                       # build, streaming parse) and must measure so.
+                       # fetch_scheduler excluded like budget/frontier:
+                       # map-side arithmetic over the frontier's
+                       # dim-sized window output.
+                       "warc_revisit_records"]
 # pair ops probed from a smaller base corpus: 1x timed inline at the base,
 # 10x on the perturbed-replica corpus built FROM that base
 SCALE_PROBE_SMALL_BASE = {

@@ -596,3 +596,51 @@ FROM f3
 
 
 URL_CLASSIFY_SQL = _url_classify_sql()
+
+
+# ---------------------------------------------------------------------------
+# fetch scheduling (politeness time slots over the frontier)
+# ---------------------------------------------------------------------------
+
+# deterministic per-domain crawl delay (the robots.txt Crawl-delay
+# surrogate): 100-500 ms keyed on the domain string, NOT on residues,
+# so the scheduler composes with any upstream frontier
+CRAWL_DELAY_BASE_MS = 100
+
+
+def fetch_scheduler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Turn the prioritized frontier into a politeness-correct fetch
+    TIMETABLE: each domain's slots fire its crawl-delay apart, so slot k
+    is scheduled at (k-1) * delay_ms; ``wave`` buckets the schedule into
+    1-second dispatch rounds (what a fetch fleet actually consumes).
+
+    Composition, not re-derivation: the input is url_frontier_priority's
+    output (canonical dedup + scoring + per-domain WindowGroupLimit
+    top-K), and this op adds only map-side arithmetic — NO new shuffle
+    beyond the frontier's own window exchange, at any corpus size.
+    """
+    frontier = url_frontier_priority(spark, sf_dir)
+    delay = (F.lit(CRAWL_DELAY_BASE_MS)
+             * (F.lit(1) + F.length("domain") % 5)).cast("long")
+    out = (frontier
+           .withColumn("delay_ms", delay)
+           .withColumn("scheduled_ms",
+                       ((F.col("slot") - 1).cast("long")
+                        * F.col("delay_ms"))))
+    return out.select("doc_id", "canon_url", "domain", "priority", "slot",
+                      "delay_ms", "scheduled_ms",
+                      F.expr("scheduled_ms DIV 1000").alias("wave"))
+
+
+FETCH_SCHEDULER_SQL = f"""
+WITH frontier AS ({URL_FRONTIER_PRIORITY_SQL}),
+d AS (
+  SELECT *, CAST({CRAWL_DELAY_BASE_MS} * (1 + length(domain) % 5)
+                 AS BIGINT) AS delay_ms
+  FROM frontier
+)
+SELECT doc_id, canon_url, domain, priority, slot, delay_ms,
+       CAST((slot - 1) * delay_ms AS BIGINT) AS scheduled_ms,
+       CAST(((slot - 1) * delay_ms) // 1000 AS BIGINT) AS wave
+FROM d
+"""

@@ -210,6 +210,68 @@ def warc_wat_records(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(root, ignore_errors=True)
 
 
+def warc_revisit_records(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot payload dedup at WARC write time (ISO 28500 §6.7
+    revisit records — how CommonCrawl-style archives avoid storing the
+    unchanged web twice): snapshot B of the documents corpus is written
+    against snapshot A's digest journal, unchanged payloads becoming
+    EMPTY ``revisit`` records (WARC-Profile identical-payload-digest,
+    WARC-Refers-To-Target-URI, WARC-Payload-Digest) and new/changed
+    payloads full ``response`` records; the shards are then parsed back
+    and each stored record reported as (url, record_type,
+    payload_digest, stored_len).
+
+    The OPERATOR decides by digest comparison (a url-keyed equi-join
+    against the journal, hash join at 10^12 rows), never by the
+    synthesis residues the oracle uses — and the response digests are
+    RECOMPUTED from the parsed-back bytes, so a writer/parser byte slip
+    fails the hash.  Plan shape at 100 TB: journal equi-join (AQE-
+    splittable) -> one applyInPandas per url-hash bucket (deterministic
+    shard bytes, the wet_convert shape) -> one-task-per-shard streaming
+    parse-back with the splitter's bounded flush discipline.
+    """
+    from pyspark.sql import functions as F
+
+    from .. import warc as warcmod
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    url = F.concat(F.lit("https://snap.test/"),
+                   F.col("doc_id").cast("string"))
+    payload_b = F.when(F.col("doc_id") % 5 == 0,
+                       F.concat(F.col("text"), F.lit("|v2"))) \
+                 .otherwise(F.col("text"))
+    b = docs.select(url.alias("url"),
+                    F.encode(payload_b, "UTF-8").alias("payload"))
+    journal = (docs.filter(F.col("doc_id") % 7 != 3)
+               .select(url.alias("url"),
+                       F.md5(F.encode(F.col("text"), "UTF-8"))
+                       .alias("journal_digest")))
+    joined = b.join(journal, "url", "left")
+    shards = warcmod.snapshot_warc_shards(joined)
+    return warcmod.read_snapshot_records(shards).localCheckpoint(eager=True)
+
+
+WARC_REVISIT_RECORDS_SQL = """
+WITH b AS (
+  SELECT doc_id, 'https://snap.test/' || doc_id AS url,
+         CASE WHEN doc_id % 5 = 0 THEN text || '|v2' ELSE text END
+           AS payload
+  FROM documents
+),
+a AS (
+  SELECT 'https://snap.test/' || doc_id AS url, md5(text) AS digest_a
+  FROM documents WHERE doc_id % 7 <> 3
+)
+SELECT b.url,
+       CASE WHEN a.digest_a IS NOT NULL AND md5(b.payload) = a.digest_a
+            THEN 'revisit' ELSE 'response' END AS record_type,
+       md5(b.payload) AS payload_digest,
+       CAST(CASE WHEN a.digest_a IS NOT NULL AND md5(b.payload) = a.digest_a
+                 THEN 0 ELSE strlen(b.payload) END AS BIGINT) AS stored_len
+FROM b LEFT JOIN a ON a.url = b.url
+"""
+
+
 def warc_wat_records_oracle_sql() -> str:
     """VALUES oracle built WITHOUT the WAT writer/parser: CDX-walk each
     shard (index_warc), fetch each record slice (read_record), hash the
@@ -1115,6 +1177,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the head for first-round driver rows; demoted in exchange (all
 # r7-green; rationale at the tail entries): `extract_jsonl_pages`,
 # `multimodal_meta`, `extract_stats`.
+# Round-8 batch #13 (same round): the two brand-new ops
+# `warc_revisit_records` (ISO 28500 revisit records — cross-snapshot
+# payload dedup at WARC write time, digest-journal equi-join + writer/
+# parser round trip) and `fetch_scheduler` (politeness fetch timetable
+# composed over the frontier's top-K) enter the head for first-round
+# driver rows; demoted in exchange (both r7-green; rationale at the
+# tail entries): `extract_visualization`, `warc_cdx_index`.
 # The tail entries remain transitively covered by an earlier entry AND by
 # the pytest oracle gate (test_datapipe.py runs ALL entries vs DuckDB):
 #   dedup_clusters      — the bounded variant of dedup_clusters_fixpoint
@@ -1141,7 +1210,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
     "extract_word_counts": (extract_word_counts, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
-    "extract_visualization": (extract_visualization, None),  # oracle below
     # rotation #7 promotion (r6 verdict item #3): the ONLY registry
     # entry never exercised by a driver artifact (was position 73)
     "extract_visualization_pdf": (extract_visualization_pdf, None),
@@ -1239,12 +1307,19 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 8 batch #12: URL-feature fetch gating (doc-type + crawler-
     # trap heuristics, pure codegen projection) — brand-new, head
     "url_classify": (crawlops.url_classify, crawlops.URL_CLASSIFY_SQL),
+    # round 8 batch #13: the politeness fetch timetable composed over
+    # the frontier's per-domain top-K — brand-new, head
+    "fetch_scheduler": (crawlops.fetch_scheduler,
+                        crawlops.FETCH_SCHEDULER_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
-    "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
     # round 7 batch #8 addendum: the WARC->WET conversion product,
     # round-tripped through the engine (oracle = extract_text's golden)
     "warc_wet_records": (warc_wet_records, None),  # oracle filled below
+    # round 8 batch #13: ISO 28500 revisit records (cross-snapshot
+    # payload dedup at WARC write time) — brand-new, head
+    "warc_revisit_records": (warc_revisit_records,
+                             WARC_REVISIT_RECORDS_SQL),
     # round 7 batch #9: the WAT metadata product (JSON envelopes),
     # completing the WARC/WAT/WET triad; oracled against an independent
     # index_warc+read_record+hashlib construction
@@ -1327,6 +1402,17 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # frequency-join shape is containment_pairs' candidate machinery
     # (head) and its 10x probe exponent (0.98, linear gram explode) is
     # on record in three round artifacts.
+    # batch-#13 demotions (both r7-green; the two new ops take their
+    # head slots): extract_visualization's SVG layer content is head
+    # extract_visualization_pdf's annotation layer over the same rect
+    # source (the historical pairing — r6 kept the SVG form and demoted
+    # the PDF form; the driver has green rows for BOTH now, so they
+    # swap); warc_cdx_index's random-access contract (seek+read_record
+    # byte-identity) is pytest-covered and its container coordinates are
+    # re-derived and oracled inside head warc_wat_records' JSON
+    # envelopes.
+    "extract_visualization": (extract_visualization, None),  # oracle below
+    "warc_cdx_index": (warc_cdx_index, None),  # oracle filled lazily below
     # batch-#12 demotions (ALL r7-green; the three new ops take their
     # head slots): extract_jsonl_pages is the trivial page-dims
     # projection of head extract_jsonl's sink surface; multimodal_meta

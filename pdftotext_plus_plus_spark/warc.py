@@ -583,3 +583,139 @@ def wat_index(spark, path: str):
         build,
         "url string, warc_date string, filename string, offset long, "
         "length long, payload_digest string, payload_len long")
+
+
+# ---------------------------------------------------------------------------
+# revisit records (cross-snapshot payload dedup at WARC write time)
+# ---------------------------------------------------------------------------
+
+# ISO 28500 §6.7: a crawler that re-fetches a page whose payload digest
+# matches a prior capture stores a ``revisit`` record with an EMPTY block
+# and a pointer to the original instead of the payload bytes — this is
+# how CommonCrawl-style archives avoid storing the unchanged web twice.
+REVISIT_PROFILE = ("http://netpreserve.org/warc/1.0/revisit/"
+                   "identical-payload-digest")
+SNAP_DATE = "2024-03-01T00:00:00Z"
+
+
+def encode_snapshot_warc(rows, filename: str = "snap.warc") -> bytes:
+    """Serialize one snapshot shard with dedup-journal awareness.
+
+    ``rows``: [(url, payload_bytes, journal_digest_or_None)] — the
+    journal digest is snapshot A's md5 for this url (None when A never
+    captured it).  A row whose payload digest equals the journal digest
+    becomes a ``revisit`` record (empty block, WARC-Profile +
+    WARC-Refers-To-Target-URI + WARC-Payload-Digest); anything else —
+    new url or changed payload — becomes a full ``response`` record.
+    """
+    import hashlib
+
+    info_block = b"software: pdftotext_plus_plus_spark\r\n"
+    parts = [_record(
+        [("WARC-Type", "warcinfo"),
+         ("WARC-Date", SNAP_DATE),
+         ("WARC-Filename", filename),
+         ("Content-Type", "application/warc-fields")], info_block)]
+    for i, (url, payload, journal_digest) in enumerate(rows):
+        digest = hashlib.md5(payload).hexdigest()
+        if journal_digest is not None and digest == journal_digest:
+            parts.append(_record(
+                [("WARC-Type", "revisit"),
+                 ("WARC-Target-URI", url),
+                 ("WARC-Date", SNAP_DATE),
+                 ("WARC-Record-ID", "<urn:revisit:%s:%d>" % (filename, i)),
+                 ("WARC-Profile", REVISIT_PROFILE),
+                 ("WARC-Refers-To-Target-URI", url),
+                 ("WARC-Payload-Digest", "md5:" + digest),
+                 ("Content-Type", "application/http; msgtype=response")],
+                b""))
+        else:
+            parts.append(_record(
+                [("WARC-Type", "response"),
+                 ("WARC-Target-URI", url),
+                 ("WARC-Date", SNAP_DATE),
+                 ("WARC-Record-ID", "<urn:snap:%s:%d>" % (filename, i)),
+                 ("WARC-Payload-Digest", "md5:" + digest),
+                 ("Content-Type", "application/http; msgtype=response")],
+                _http_wrap(payload)))
+    return b"".join(parts)
+
+
+def snapshot_warc_shards(joined, n_shards: int = 4):
+    """(url, payload binary, journal_digest nullable) DataFrame -> one
+    (filename, content) row per snapshot WARC shard.
+
+    Plan shape at 100 TB: the journal comparison data arrives as a
+    COLUMN (the caller's url-keyed equi-join against snapshot A's digest
+    journal — hash join, AQE-splittable), so the writer kernel is one
+    applyInPandas per url-hash bucket exactly like wet_convert: each
+    task holds one shard's rows, sorts by url for deterministic shard
+    bytes, and emits one blob."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    def build(key, pdf):
+        name = "snap-%02d.warc" % int(key[0])
+        pdf = pdf.sort_values(["url"])
+        rows = [(u, bytes(p), d if isinstance(d, str) else None)
+                for u, p, d in zip(pdf["url"], pdf["payload"],
+                                   pdf["journal_digest"])]
+        return pd.DataFrame(
+            {"filename": [name], "content": [encode_snapshot_warc(rows, name)]})
+
+    return (joined
+            .withColumn("bucket",
+                        F.pmod(F.xxhash64("url"), F.lit(n_shards)))
+            .groupBy("bucket")
+            .applyInPandas(build, "filename string, content binary"))
+
+
+def read_snapshot_records(shards):
+    """(filename, content) snapshot shards -> one row per stored record:
+    (url, record_type, payload_digest, stored_len), streamed via
+    :func:`_iter_records` with the splitter's bounded flush discipline.
+
+    ``stored_len`` is the byte length of the payload the archive
+    actually stores — 0 for a revisit record (whose digest is read back
+    from its WARC-Payload-Digest header), the HTTP-stripped payload
+    length for a response record (whose digest is recomputed from the
+    stored bytes, so a writer/parser byte slip fails the oracle hash)."""
+    import hashlib
+
+    import pandas as pd
+
+    def split(batches):
+        cols = {k: [] for k in ("url", "record_type", "payload_digest",
+                                "stored_len")}
+        n = 0
+        for pdf in batches:
+            for blob in pdf["content"]:
+                stats = {"corrupt": 0}
+                for h, body, _, _ in _iter_records(bytes(blob), stats):
+                    rtype = h.get("warc-type")
+                    if rtype == "response":
+                        payload = _payload_of(body)
+                        digest = hashlib.md5(payload).hexdigest()
+                        slen = len(payload)
+                    elif rtype == "revisit":
+                        digest = h.get("warc-payload-digest",
+                                       "").split(":", 1)[-1]
+                        slen = 0
+                    else:
+                        continue
+                    cols["url"].append(h.get("warc-target-uri", ""))
+                    cols["record_type"].append(rtype)
+                    cols["payload_digest"].append(digest)
+                    cols["stored_len"].append(slen)
+                    n += 1
+                    if n >= WARC_SPLIT_BATCH_ROWS:
+                        yield pd.DataFrame(cols)
+                        cols = {k: [] for k in cols}
+                        n = 0
+        if n:
+            yield pd.DataFrame(cols)
+
+    return shards.mapInPandas(
+        split,
+        "url string, record_type string, payload_digest string, "
+        "stored_len long")

@@ -213,3 +213,28 @@ def test_url_classify_plan_is_pure_projection(spark):
     plan = (crawlops.url_classify(spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+def test_fetch_scheduler_politeness_timetable(spark):
+    """Per-domain timetable invariants: consecutive slots fire exactly
+    delay_ms apart starting at 0, delay is a pure function of the domain
+    string, wave is the 1-second dispatch round, and the schedule covers
+    exactly the frontier's rows (composition adds no shuffle-side
+    effects)."""
+    rows = crawlops.fetch_scheduler(spark, SF_DIR).collect()
+    frontier_n = crawlops.url_frontier_priority(spark, SF_DIR).count()
+    assert len(rows) == frontier_n
+    by_domain = {}
+    for r in rows:
+        assert r["delay_ms"] == crawlops.CRAWL_DELAY_BASE_MS * (
+            1 + len(r["domain"]) % 5)
+        assert r["scheduled_ms"] == (r["slot"] - 1) * r["delay_ms"]
+        assert r["wave"] == r["scheduled_ms"] // 1000
+        by_domain.setdefault(r["domain"], []).append(r)
+    for domain, rs in by_domain.items():
+        rs.sort(key=lambda r: r["slot"])
+        assert [r["slot"] for r in rs] == list(range(1, len(rs) + 1))
+        gaps = {b["scheduled_ms"] - a["scheduled_ms"]
+                for a, b in zip(rs, rs[1:])}
+        assert gaps <= {rs[0]["delay_ms"]}
+        assert rs[0]["scheduled_ms"] == 0

@@ -299,3 +299,68 @@ def test_wat_spark_pipeline(spark, tmp_path):
         assert g["payload_digest"] == \
             "md5:" + hashlib.md5(r["html"]).hexdigest()
         assert g["payload_len"] == len(r["html"])
+
+
+def test_revisit_encode_parse_roundtrip():
+    """Revisit semantics at the byte level: a payload whose digest
+    matches the journal is stored as an EMPTY revisit record (digest
+    carried in the header), everything else as a full response whose
+    parsed-back digest equals md5 of the original bytes."""
+    import hashlib
+
+    from pdftotext_plus_plus_spark import warc as warcmod
+
+    rows = [
+        ("https://s.test/unchanged", b"same bytes as snapshot A",
+         hashlib.md5(b"same bytes as snapshot A").hexdigest()),
+        ("https://s.test/changed", b"new bytes",
+         hashlib.md5(b"old bytes").hexdigest()),
+        ("https://s.test/new", b"first capture", None),
+    ]
+    blob = warcmod.encode_snapshot_warc(rows, "t.warc")
+    records, n_corrupt = warcmod._walk(blob)
+    assert n_corrupt == 0
+    by_url = {h.get("warc-target-uri"): (h, body)
+              for h, body, _, _ in records
+              if h.get("warc-type") in ("revisit", "response")}
+    h, body = by_url["https://s.test/unchanged"]
+    assert h["warc-type"] == "revisit"
+    assert body == b""                       # the dedup saving is real
+    assert h["warc-profile"] == warcmod.REVISIT_PROFILE
+    assert h["warc-refers-to-target-uri"] == "https://s.test/unchanged"
+    assert h["warc-payload-digest"] == \
+        "md5:" + hashlib.md5(b"same bytes as snapshot A").hexdigest()
+    for url, payload in (("https://s.test/changed", b"new bytes"),
+                         ("https://s.test/new", b"first capture")):
+        h, body = by_url[url]
+        assert h["warc-type"] == "response"
+        assert warcmod._payload_of(body) == payload
+        assert h["warc-payload-digest"] == \
+            "md5:" + hashlib.md5(payload).hexdigest()
+
+
+def test_revisit_query_storage_savings(spark):
+    """End-to-end invariants of the registry query: revisit rows are
+    exactly the unchanged-and-journaled docs, they store ZERO payload
+    bytes, and every digest matches an independent hashlib computation
+    over the synthesized payloads."""
+    import hashlib
+
+    import duckdb
+
+    from pdftotext_plus_plus_spark.datapipe import registry
+
+    sf = "/root/testdata/sf0.001"
+    rows = {r["url"]: r for r in
+            registry.warc_revisit_records(spark, sf).collect()}
+    docs = duckdb.sql("SELECT doc_id, text FROM "
+                      f"read_parquet('{sf}/documents.parquet')").fetchall()
+    assert len(rows) == len(docs)
+    for doc_id, text in docs:
+        url = "https://snap.test/%d" % doc_id
+        payload = (text + "|v2" if doc_id % 5 == 0 else text).encode()
+        r = rows[url]
+        assert r["payload_digest"] == hashlib.md5(payload).hexdigest()
+        unchanged = doc_id % 5 != 0 and doc_id % 7 != 3
+        assert r["record_type"] == ("revisit" if unchanged else "response")
+        assert r["stored_len"] == (0 if unchanged else len(payload))
