@@ -163,7 +163,18 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # (journal equi-join -> per-bucket WARC build -> shard
                  # parse-back) and the politeness timetable (frontier
                  # composition, map-side arithmetic only)
-                 "warc_revisit_records", "fetch_scheduler"]
+                 "warc_revisit_records", "fetch_scheduler",
+                 # round-8 batch #14: host-template detection (line
+                 # explode + one (host,line) hash agg + N:1 join back),
+                 # sitemap round trip (per-host window -> bounded-state
+                 # shard agg -> regexp explode), and magic-byte sniffing
+                 # (pure codegen projection over real binary)
+                 "host_template_ratio", "sitemap_extract",
+                 "content_type_sniff",
+                 # round-8 batch #15: recrawl-rate estimation (snapshot
+                 # diff + one domain-dim agg) and postings d-gap
+                 # accounting (the inverted_index window plan + one agg)
+                 "change_rate_estimate", "postings_gap_stats"]
 
 
 def ensure_corpus() -> int:
@@ -448,7 +459,21 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # fetch_scheduler excluded like budget/frontier:
                        # map-side arithmetic over the frontier's
                        # dim-sized window output.
-                       "warc_revisit_records"]
+                       "warc_revisit_records",
+                       # round-8 batch #14: the onion-pass df-threshold
+                       # join must stay near-linear when every host gets
+                       # 10x pages (df and n_docs both scale 10x — the
+                       # threshold is scale-free); sitemap's window+agg
+                       # likewise.  content_type_sniff excluded like
+                       # url_classify: the no-shuffle projection floor.
+                       "host_template_ratio", "sitemap_extract",
+                       # batch #15: the d-gap window must scale like the
+                       # index build it mirrors (per-token sort,
+                       # spill-able).  change_rate_estimate excluded:
+                       # its output is domain-dim-sized (20 rows at any
+                       # sf) and the diff join is crawl_snapshot_diff's
+                       # probed shape already.
+                       "postings_gap_stats"]
 # pair ops probed from a smaller base corpus: 1x timed inline at the base,
 # 10x on the perturbed-replica corpus built FROM that base
 SCALE_PROBE_SMALL_BASE = {

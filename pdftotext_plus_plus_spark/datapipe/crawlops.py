@@ -644,3 +644,200 @@ SELECT doc_id, canon_url, domain, priority, slot, delay_ms,
        CAST(((slot - 1) * delay_ms) // 1000 AS BIGINT) AS wave
 FROM d
 """
+
+
+# ---------------------------------------------------------------------------
+# sitemap synthesis + extraction — the crawl's URL-discovery channel
+# ---------------------------------------------------------------------------
+
+# Real crawls discover most of a host's URLs from its sitemap files; the
+# sitemap protocol caps each file at 50,000 <url> entries, so large
+# hosts publish a SHARDED set.  Mirrored here at small scale: the host's
+# URLs are sharded SITEMAP_MAX_URLS per file (bounded per-group state —
+# never an unbounded per-host collect_list), each shard is serialized to
+# the protocol's urlset XML, and the extractor parses the XML back with
+# generic regexes.  The oracle is an INDEPENDENT direct construction
+# from the documents table (no XML anywhere in it), so any defect in the
+# writer OR the parser breaks parity — the warc_wat_records discipline.
+
+SITEMAP_MAX_URLS = 8
+
+
+def _sitemap_urls(docs: DataFrame) -> DataFrame:
+    host = F.concat(F.col("source"), F.lit(".example.com"))
+    return docs.select(
+        "doc_id", host.alias("host"),
+        F.concat(F.lit("http://"), host, F.lit("/p/"),
+                 F.col("doc_id").cast("string")).alias("url"),
+        F.concat(F.lit("2026-0"), (1 + F.col("doc_id") % 9).cast("string"),
+                 F.lit("-01")).alias("lastmod"),
+        (F.col("doc_id") % 10).cast("int").alias("prio"))
+
+
+def sitemap_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip the discovery channel: build the host's sharded
+    sitemap.xml files, then parse them back into (host, shard, pos,
+    loc, lastmod, priority_tenths) rows with generic regexes.
+
+    Plan shape at 10^12 URLs: ONE per-host window (row_number orders the
+    host's URLs — the per-host sort every sitemap writer needs) ->
+    hash agg per (host, shard) with AT MOST SITEMAP_MAX_URLS rows of
+    state per group (the protocol's own 50k cap is what bounds executor
+    memory; an unbounded per-host collect_list would OOM on a
+    100M-page host) -> narrow regexp explode back out.  Parsing is pure
+    built-in regexp (whole-stage codegen, no UDF).
+    """
+    docs = _documents(spark, sf_dir)
+    urls = _sitemap_urls(docs)
+    w = Window.partitionBy("host").orderBy("doc_id")
+    sharded = (urls.withColumn("rn", F.row_number().over(w))
+               .withColumn("shard", F.expr(
+                   f"CAST((rn - 1) DIV {SITEMAP_MAX_URLS} AS INT)")))
+    entry = F.concat(F.lit("<url><loc>"), F.col("url"),
+                     F.lit("</loc><lastmod>"), F.col("lastmod"),
+                     F.lit("</lastmod><priority>0."),
+                     F.col("prio").cast("string"),
+                     F.lit("</priority></url>"))
+    xml = (sharded.withColumn("entry", entry)
+           .groupBy("host", "shard")
+           .agg(F.concat(
+               F.lit('<?xml version="1.0" encoding="UTF-8"?><urlset>'),
+               F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct("rn", "entry"))),
+                       lambda s: s["entry"]), ""),
+               F.lit("</urlset>")).alias("xml")))
+    blocks = xml.select(
+        "host", "shard",
+        F.posexplode(F.expr(
+            r"regexp_extract_all(xml, '<url>(.*?)</url>', 1)"))
+        .alias("pos", "block"))
+    return blocks.select(
+        "host", "shard", "pos",
+        F.regexp_extract("block", r"<loc>(.*?)</loc>", 1).alias("loc"),
+        F.regexp_extract("block", r"<lastmod>(.*?)</lastmod>", 1)
+         .alias("lastmod"),
+        F.regexp_extract("block", r"<priority>0\.([0-9])</priority>", 1)
+         .cast("int").alias("priority_tenths"))
+
+
+SITEMAP_EXTRACT_SQL = f"""
+WITH u AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         'http://' || source || '.example.com/p/' || doc_id AS loc,
+         '2026-0' || (1 + doc_id % 9) || '-01' AS lastmod,
+         CAST(doc_id % 10 AS INTEGER) AS priority_tenths,
+         row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+  FROM documents
+)
+SELECT host, CAST((rn - 1) // {SITEMAP_MAX_URLS} AS INTEGER) AS shard,
+       CAST((rn - 1) % {SITEMAP_MAX_URLS} AS INTEGER) AS pos,
+       loc, lastmod, priority_tenths
+FROM u
+"""
+
+
+# ---------------------------------------------------------------------------
+# content-type sniffing — magic-byte dispatch on the fetched payload
+# ---------------------------------------------------------------------------
+
+# A crawler cannot trust the URL extension (nor the Content-Type header):
+# the payload's leading magic bytes are the authority, and a mismatch is
+# itself a quality/trap signal.  The payload is synthesized as REAL
+# BINARY (a magic prefix chosen by doc_id % 6, then the document's UTF-8
+# bytes); the sniffer reads only the binary — hex(substring(payload)) —
+# while the declared type comes from a DIFFERENT residue (doc_id % 7),
+# so agreements and mismatches both occur.  The oracle derives the
+# expected answer INDEPENDENTLY from the residues and byte arithmetic —
+# it never touches binary — so a defect anywhere in the Spark-side byte
+# handling breaks parity.
+
+# (residue -> (magic hex, mime, magic byte length))
+_SNIFF_MAGIC = [
+    ("255044462D312E37", "application/pdf", 8),     # %PDF-1.7
+    ("1F8B08", "application/gzip", 3),               # gzip deflate
+    ("3C21444F43545950452068746D6C3E", "text/html", 15),  # <!DOCTYPE html>
+    ("89504E470D0A1A0A", "image/png", 8),
+    ("504B0304", "application/zip", 4),
+    ("474946383961", "image/gif", 6),                # GIF89a
+]
+# declared extension cycle (period 7 vs the magic's 6 => mismatches)
+_SNIFF_EXTS = ["pdf", "gz", "html", "png", "zip", "gif", ""]
+_EXT_MIME = {"pdf": "application/pdf", "gz": "application/gzip",
+             "html": "text/html", "png": "image/png",
+             "zip": "application/zip", "gif": "image/gif"}
+
+
+def content_type_sniff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Magic-byte content-type detection over binary payloads, compared
+    against the URL-declared extension; emits the sniffed MIME, the
+    declared MIME, a mismatch flag, and the payload byte size.
+
+    Plan shape at 10^12 rows: ONE narrow whole-stage-codegen projection
+    — binary concat, substring, hex, CASE chain — no shuffle, no UDF;
+    the same zero-exchange shape as url_classify (this is the
+    payload-side gate that runs right after the fetch, before any
+    parse is attempted).
+    """
+    docs = _documents(spark, sf_dir)
+    magic_hex = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN '{h}'" for i, (h, _, _) in enumerate(_SNIFF_MAGIC)
+    ) + " END"
+    payload = F.expr(
+        f"concat(unhex({magic_hex}), encode(text, 'UTF-8'))")
+    p = docs.select("doc_id", payload.alias("payload"))
+    h16 = F.upper(F.hex(F.expr("substring(payload, 1, 16)")))
+    sniffed = F.lit("application/octet-stream")
+    for hx, mime, _ in reversed(_SNIFF_MAGIC):
+        sniffed = F.when(h16.startswith(hx), F.lit(mime)) \
+                   .otherwise(sniffed)
+    ext = F.element_at(F.array(*[F.lit(e) for e in _SNIFF_EXTS]),
+                       (F.col("doc_id") % 7 + 1).cast("int"))
+    declared = F.lit("unknown")
+    for e, mime in _EXT_MIME.items():
+        declared = F.when(ext == e, F.lit(mime)).otherwise(declared)
+    out = p.select(
+        "doc_id", ext.alias("ext"), declared.alias("declared_type"),
+        sniffed.alias("sniffed_type"),
+        F.length("payload").cast("int").alias("payload_bytes"))
+    return out.withColumn(
+        "mismatch",
+        ((F.col("declared_type") != "unknown")
+         & (F.col("declared_type") != F.col("sniffed_type"))).cast("int"))
+
+
+def _content_type_sniff_sql() -> str:
+    mime_case = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN '{m}'" for i, (_, m, _) in enumerate(_SNIFF_MAGIC)
+    ) + " END"
+    len_case = "CASE doc_id % 6 " + " ".join(
+        f"WHEN {i} THEN {n}" for i, (_, _, n) in enumerate(_SNIFF_MAGIC)
+    ) + " END"
+    ext_case = "CASE doc_id % 7 " + " ".join(
+        f"WHEN {i} THEN '{e}'" for i, e in enumerate(_SNIFF_EXTS)
+    ) + " END"
+    decl_case = "CASE ext " + " ".join(
+        f"WHEN '{e}' THEN '{m}'" for e, m in _EXT_MIME.items()
+    ) + " ELSE 'unknown' END"
+    return f"""
+WITH base AS (
+  SELECT doc_id, {mime_case} AS true_mime,
+         {len_case} AS magic_len, {ext_case} AS ext,
+         strlen(text) AS text_bytes
+  FROM documents
+), d AS (
+  SELECT doc_id, ext, {decl_case} AS declared_type, true_mime,
+         magic_len, text_bytes
+  FROM base
+)
+SELECT doc_id, ext, declared_type, true_mime AS sniffed_type,
+       CAST(magic_len + text_bytes AS INTEGER) AS payload_bytes,
+       CASE WHEN declared_type != 'unknown'
+                 AND declared_type != true_mime
+            THEN 1 ELSE 0 END AS mismatch
+FROM d
+"""
+
+
+CONTENT_TYPE_SNIFF_SQL = _content_type_sniff_sql()

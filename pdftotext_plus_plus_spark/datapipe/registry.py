@@ -1177,6 +1177,24 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the head for first-round driver rows; demoted in exchange (all
 # r7-green; rationale at the tail entries): `extract_jsonl_pages`,
 # `multimodal_meta`, `extract_stats`.
+# Round-8 batch #15 (same round): the two brand-new ops
+# `change_rate_estimate` (Cho & Garcia-Molina per-domain recrawl-rate
+# estimation over the snapshot diff) and `postings_gap_stats` (postings
+# d-gap + varint index-size accounting) enter the head, and
+# `crawl_snapshot_diff` is RE-promoted because its carving key changed
+# this round (phase-shifted DIV-20 residues — the changed-code
+# discipline); demoted in exchange (all r7-green AND unchanged since):
+# `domain_stats`, `host_graph_stats`, `trust_propagation`.
+# Round-8 batch #14 (same round): the three brand-new ops
+# `host_template_ratio` (CCNet onion-pass boilerplate detection by
+# within-host line document frequency), `sitemap_extract` (sharded
+# sitemap synthesis + regexp extraction, independent-construction
+# oracle), and `content_type_sniff` (magic-byte dispatch on real binary
+# payloads vs declared extension) enter the head for first-round driver
+# rows; demoted in exchange (all r7-green AND unchanged since r7 —
+# NEVER this round's own stale-row promotions, the VERDICT r7 item-#1
+# discipline; rationale at the tail entries): `extract_word_counts`,
+# `hll_url_cardinality`, `crawl_budget_allocation`.
 # Round-8 batch #13 (same round): the two brand-new ops
 # `warc_revisit_records` (ISO 28500 revisit records — cross-snapshot
 # payload dedup at WARC write time, digest-journal equi-join + writer/
@@ -1208,7 +1226,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # extraction engine (SURVEY.md §2 operators, end-to-end)
     "extract_text": (extract_text, None),     # oracle filled in lazily below
     "extract_blocks": (extract_blocks, None),  # oracle filled in lazily below
-    "extract_word_counts": (extract_word_counts, None),  # oracle below
     "extract_jsonl": (extract_jsonl, None),    # oracle filled in lazily below
     # rotation #7 promotion (r6 verdict item #3): the ONLY registry
     # entry never exercised by a driver artifact (was position 73)
@@ -1273,18 +1290,23 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # language -> per-lang perplexity tercile, tail band dropped) —
     # brand-new, straight into the head
     "ccnet_pipeline": (webtext.ccnet_pipeline, webtext.CCNET_PIPELINE_SQL),
+    # round 8 batch #14: CCNet's other half — per-host template
+    # (boilerplate) line detection by within-host document frequency —
+    # brand-new, straight into the head
+    "host_template_ratio": (webtext.host_template_ratio,
+                            webtext.HOST_TEMPLATE_RATIO_SQL),
     # round 6 batch #4: webtext provenance layer (URLs / domains / link
     # graph) — see rotation #5 in the ORDERING note
-    "domain_stats": (webtext.domain_stats, webtext.DOMAIN_STATS_SQL),
     "link_pagerank": (webtext.link_pagerank, webtext.LINK_PAGERANK_SQL),
-    # round 7 batch #10: seeded TrustRank over the same edge machinery
-    "trust_propagation": (crawlops.trust_propagation,
-                          crawlops.TRUST_PROPAGATION_SQL),
     # round 8 batch #11: HITS hubs & authorities (integer-exact ppm
     # normalization) beside PageRank/TrustRank — brand-new, head
     "hits_scores": (webtext.hits_scores, webtext.HITS_SCORES_SQL),
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
+    # round 8 batch #15: postings d-gap + varint size accounting (the
+    # index-compression estimator) — brand-new, head
+    "postings_gap_stats": (webtext.postings_gap_stats,
+                           webtext.POSTINGS_GAP_STATS_SQL),
     # round 8 (VERDICT r7 item #7): BM25 ranked retrieval over the index
     # — brand-new, straight into the head
     "bm25_topk": (webtext.bm25_topk, webtext.BM25_TOPK_SQL),
@@ -1294,16 +1316,19 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # it keeps a head slot)
     "redirect_resolution": (webtext.redirect_resolution,
                             webtext.REDIRECT_RESOLUTION_SQL),
-    # round 7 batch #8: crawl-operations layer (brand-new, straight into
-    # the head for first-round driver rows — the batch-#7 precedent)
-    "hll_url_cardinality": (crawlops.hll_url_cardinality,
-                            crawlops.HLL_URL_CARDINALITY_SQL),
-    "crawl_budget_allocation": (crawlops.crawl_budget_allocation,
-                                crawlops.CRAWL_BUDGET_ALLOCATION_SQL),
+    # round 8 batch #14: the crawl's URL-discovery channel — sharded
+    # sitemap synthesis + regexp extraction, oracled against an
+    # INDEPENDENT direct construction (no XML in the oracle) —
+    # brand-new, straight into the head
+    "sitemap_extract": (crawlops.sitemap_extract,
+                        crawlops.SITEMAP_EXTRACT_SQL),
+    # round 8 batch #14: magic-byte content-type sniffing over REAL
+    # binary payloads vs the URL-declared extension (the post-fetch
+    # gate beside url_classify's pre-fetch gate) — brand-new, head
+    "content_type_sniff": (crawlops.content_type_sniff,
+                           crawlops.CONTENT_TYPE_SNIFF_SQL),
     "url_frontier_priority": (crawlops.url_frontier_priority,
                               crawlops.URL_FRONTIER_PRIORITY_SQL),
-    "host_graph_stats": (crawlops.host_graph_stats,
-                         crawlops.HOST_GRAPH_STATS_SQL),
     # round 8 batch #12: URL-feature fetch gating (doc-type + crawler-
     # trap heuristics, pure codegen projection) — brand-new, head
     "url_classify": (crawlops.url_classify, crawlops.URL_CLASSIFY_SQL),
@@ -1311,6 +1336,17 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # the frontier's per-domain top-K — brand-new, head
     "fetch_scheduler": (crawlops.fetch_scheduler,
                         crawlops.FETCH_SCHEDULER_SQL),
+    # round 8 batch #15: per-domain recrawl-rate estimation (Cho &
+    # Garcia-Molina) composed over crawl_snapshot_diff — brand-new, head
+    "change_rate_estimate": (webtext.change_rate_estimate,
+                             webtext.CHANGE_RATE_ESTIMATE_SQL),
+    # batch-#15 re-promotion: crawl_snapshot_diff's carving key changed
+    # this round (phase-shifted DIV-20 residues so every domain sees a
+    # MIX of verdicts — change_rate_estimate's input requirement); the
+    # changed code gets a fresh driver row (the dedup_clusters
+    # precedent)
+    "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
+                            webtext.CRAWL_SNAPSHOT_DIFF_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
     # round 7 batch #8 addendum: the WARC->WET conversion product,
@@ -1390,8 +1426,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          webtext.ANCHOR_TEXT_TOPK_SQL),
     "bitext_url_pairs": (webtext.bitext_url_pairs,
                          webtext.BITEXT_URL_PAIRS_SQL),
-    "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
-                            webtext.CRAWL_SNAPSHOT_DIFF_SQL),
     # batch-#11 demotions (ALL r7-green; the three new ops take their
     # head slots): semdedup_prune's cluster assignment is the ANN
     # ladder's quantizer (head) and its within-cluster pairwise stage is
@@ -1566,6 +1600,39 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                                 sampling.DSIR_IMPORTANCE_SQL),
     "image_resize_meta": (multimodal.image_resize_meta,
                           multimodal.IMAGE_RESIZE_SQL),
+    # round-8 batch #14 demotions (ALL hold r7-green driver rows and
+    # are unchanged since; surfaces stay head- or pytest-covered):
+    #   extract_word_counts — the trivial per-page count projection of
+    #     the word unit; head extract_text/extract_jsonl ride the same
+    #     word-detection path and test_serializers carries the golden
+    #   hll_url_cardinality — the deterministic-HLL register math is
+    #     pytest-covered (snapshot-merge property test) and its
+    #     canonicalizer input is head url_frontier_priority's verbatim
+    #   crawl_budget_allocation — Hamilton largest-remainder is
+    #     pytest-covered (sums-to-budget exact); its host dimension agg
+    #     is head host_graph_stats' coarsened shape
+    "extract_word_counts": (extract_word_counts, None),  # oracle below
+    "hll_url_cardinality": (crawlops.hll_url_cardinality,
+                            crawlops.HLL_URL_CARDINALITY_SQL),
+    "crawl_budget_allocation": (crawlops.crawl_budget_allocation,
+                                crawlops.CRAWL_BUDGET_ALLOCATION_SQL),
+    # round-8 batch #15 demotions (ALL hold r7-green driver rows and
+    # are unchanged since; surfaces stay head- or pytest-covered):
+    #   domain_stats — its per-domain agg + bounded top-K window shape
+    #     is carried by head change_rate_estimate (domain agg) and
+    #     url_frontier_priority (WindowGroupLimit); the r6 cast fix is
+    #     pinned by the DESCRIBE type-parity pytest
+    #   host_graph_stats — the coarsen-to-host-pairs rollup rides the
+    #     same EDGES fragment as head link_pagerank/hits_scores; edge
+    #     conservation stays pytest-covered
+    #   trust_propagation — shares rank_iterations verbatim with head
+    #     link_pagerank (the seed-gated teleport is the only delta,
+    #     pytest-covered)
+    "domain_stats": (webtext.domain_stats, webtext.DOMAIN_STATS_SQL),
+    "host_graph_stats": (crawlops.host_graph_stats,
+                         crawlops.HOST_GRAPH_STATS_SQL),
+    "trust_propagation": (crawlops.trust_propagation,
+                          crawlops.TRUST_PROPAGATION_SQL),
 }
 
 

@@ -1184,9 +1184,16 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incremental-crawl diff: per-URL verdict between two crawl
     snapshots — added / removed / changed / unchanged.
 
-    Snapshots are carved deterministically from the corpus (A = ids with
-    ``% 4 != 3``, B = ids with ``% 4 != 1``; every ``% 5 == 0`` page's
-    content changed in B), identically in the oracle.
+    Snapshots are carved deterministically from the corpus on the
+    ``doc_id DIV 20`` residue — the coordinate that VARIES within a
+    host, PHASE-SHIFTED by the host residue: the carving key is
+    ``doc_id DIV 20 + doc_id % 20`` (the corpus assigns source =
+    doc_id % 20, so keying on doc_id % 4 directly would make every
+    host all-in or all-out, and an unshifted DIV-20 key would give
+    every host the IDENTICAL mix).  A drops key % 4 == 3, B drops
+    == 1, and every key % 5 == 0 page's content changed in B.
+    Identical in the oracle; downstream, change_rate_estimate
+    aggregates these verdicts per domain, so domains must DIFFER.
 
     Plan shape at 100 TB: ONE full-outer equi-join on the URL key with
     both sides reduced to (key, content_hash) FIRST — the fixed-width
@@ -1196,11 +1203,12 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     narrow projections, no window, no skew (URL keys are unique).
     """
     docs = _documents(spark, sf_dir)
-    a = (docs.filter(F.col("doc_id") % 4 != 3)
+    gen = F.expr("doc_id DIV 20 + doc_id % 20")
+    a = (docs.filter(gen % 4 != 3)
          .select("doc_id", F.md5("text").alias("h_a")))
-    b = (docs.filter(F.col("doc_id") % 4 != 1)
+    b = (docs.filter(gen % 4 != 1)
          .select("doc_id", F.md5(
-             F.when(F.col("doc_id") % 5 == 0,
+             F.when(gen % 5 == 0,
                     F.concat(F.col("text"), F.lit("|v2")))
              .otherwise(F.col("text"))).alias("h_b")))
     j = a.join(b, "doc_id", "full_outer")
@@ -1216,13 +1224,14 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CRAWL_SNAPSHOT_DIFF_SQL = """
 WITH a AS (
-  SELECT doc_id, md5(text) AS h_a FROM documents WHERE doc_id % 4 <> 3
+  SELECT doc_id, md5(text) AS h_a FROM documents
+  WHERE (doc_id // 20 + doc_id % 20) % 4 <> 3
 ),
 b AS (
   SELECT doc_id,
-         md5(CASE WHEN doc_id % 5 = 0 THEN text || '|v2' ELSE text END)
-           AS h_b
-  FROM documents WHERE doc_id % 4 <> 1
+         md5(CASE WHEN (doc_id // 20 + doc_id % 20) % 5 = 0 THEN text || '|v2'
+                  ELSE text END) AS h_b
+  FROM documents WHERE (doc_id // 20 + doc_id % 20) % 4 <> 1
 )
 SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
        CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS in_a,
@@ -1318,3 +1327,302 @@ FROM b
 
 
 CCNET_PIPELINE_SQL = _ccnet_pipeline_sql()
+
+
+# ---------------------------------------------------------------------------
+# host-level template (boilerplate) line detection — the CCNet "onion" pass
+# ---------------------------------------------------------------------------
+
+# A crawl's per-host boilerplate (nav bars, subscribe banners, copyright
+# footers) repeats VERBATIM across most pages of the host while real
+# content does not; CCNet / RefinedWeb strip it by line-level document
+# frequency within the host.  The driver's documents are single-line
+# word streams, so the page's line structure is SYNTHESIZED
+# DETERMINISTICALLY (identically in Spark and the oracle): a nav line on
+# every page, a promo line on 75% of the host's pages, an ad line on
+# 20% (clearly above / below the 50% cut), the body chunked into 8-word
+# lines, and a footer line on every page.  The corpus assigns source =
+# doc_id % 20, so the optional lines key on doc_id DIV 20 — the residue
+# that VARIES within a host (keying on doc_id % 4 would be constant per
+# host and make them all-or-nothing).  Detection downstream of the
+# synthesis is generic: it never inverts the construction, it just
+# computes per-(host, line) document frequency over whatever lines it's
+# given.
+
+TEMPLATE_DF_PCT = 50        # line is template when 100*df >= PCT*n_docs
+TEMPLATE_MIN_HOST_DOCS = 2  # singleton hosts have no template evidence
+TEMPLATE_BODY_WORDS = 8     # words per synthesized body line
+
+_PAGE_LINES_SPARK = f"""
+concat(
+  filter(array(
+    concat('nav: ', source, ' home about contact'),
+    CASE WHEN (doc_id div 20) % 4 != 0
+         THEN concat('promo: subscribe to ', source) END,
+    CASE WHEN (doc_id div 20) % 5 = 0
+         THEN concat('ad: special offer ', source) END),
+    x -> x IS NOT NULL),
+  transform(
+    sequence(0, (size(split(text, ' ')) + {TEMPLATE_BODY_WORDS - 1})
+                div {TEMPLATE_BODY_WORDS} - 1),
+    i -> array_join(slice(split(text, ' '),
+                          i * {TEMPLATE_BODY_WORDS} + 1,
+                          {TEMPLATE_BODY_WORDS}), ' ')),
+  array(concat('footer: (c) ', source, ' all rights reserved')))
+"""
+
+
+def host_template_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-page template-line detection by within-host line document
+    frequency: a line occurring verbatim in >= 50% of the host's pages
+    (host must have >= 2 pages) is boilerplate; emit per page the line
+    counts, the integer per-mille template ratio, and an md5 of the
+    DETEMPLATED text so the oracle checks surviving content, not counts.
+
+    Plan shape at 100 TB: line explode (narrow) -> distinct on
+    (host, line, doc_id) (map-side partial distinct absorbs within-page
+    repeats) -> ONE hash agg per (host, line) -> N:1 joins back on
+    (host, line) and host -> per-page agg.  The c4_line_dedup plan with
+    a host-scoped document-frequency threshold instead of a global
+    first-occurrence min — no window, no self-join; the host dimension
+    (n_docs) is tiny and broadcasts.
+    """
+    docs = _documents(spark, sf_dir)
+    pages = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.expr(_PAGE_LINES_SPARK).alias("ls"))
+    lines = pages.select(
+        "doc_id", "host", F.posexplode("ls").alias("idx", "line"))
+    n_docs = pages.groupBy("host").agg(F.count("*").alias("n_docs"))
+    dfreq = (lines.select("host", "line", "doc_id").distinct()
+             .groupBy("host", "line").agg(F.count("*").alias("df")))
+    flagged = (lines.join(dfreq, ["host", "line"])
+               .join(F.broadcast(n_docs), "host")
+               .withColumn(
+                   "is_template",
+                   ((F.col("df") * 100 >= F.col("n_docs")
+                     * TEMPLATE_DF_PCT)
+                    & (F.col("n_docs") >= TEMPLATE_MIN_HOST_DOCS))
+                   .cast("int")))
+    kept_struct = F.when(F.col("is_template") == 0,
+                         F.struct("idx", "line"))
+    return (flagged.groupBy("doc_id", "host")
+            .agg(F.count("*").alias("n_lines"),
+                 F.sum("is_template").alias("n_template_lines"),
+                 F.md5(F.array_join(
+                     F.transform(
+                         F.array_sort(F.collect_list(kept_struct)),
+                         lambda s: s["line"]),
+                     "\n")).alias("clean_md5"))
+            .select("doc_id", "host", "n_lines", "n_template_lines",
+                    F.expr("CAST((n_template_lines * 1000) DIV n_lines"
+                           " AS INT)").alias("template_permille"),
+                    "clean_md5"))
+
+
+HOST_TEMPLATE_RATIO_SQL = f"""
+WITH pages AS (
+  SELECT doc_id, source || '.example.com' AS host,
+         list_concat(list_concat(
+           list_filter([
+             'nav: ' || source || ' home about contact',
+             CASE WHEN (doc_id // 20) % 4 != 0
+                  THEN 'promo: subscribe to ' || source END,
+             CASE WHEN (doc_id // 20) % 5 = 0
+                  THEN 'ad: special offer ' || source END
+           ], x -> x IS NOT NULL),
+           list_transform(
+             range(0, (len(string_split(text, ' '))
+                       + {TEMPLATE_BODY_WORDS - 1})
+                      // {TEMPLATE_BODY_WORDS}),
+             i -> array_to_string(
+                    string_split(text, ' ')
+                      [(i * {TEMPLATE_BODY_WORDS} + 1):
+                       (i * {TEMPLATE_BODY_WORDS}
+                        + {TEMPLATE_BODY_WORDS})], ' '))),
+           ['footer: (c) ' || source || ' all rights reserved']) AS ls
+  FROM documents
+), lines AS (
+  SELECT doc_id, host, i - 1 AS idx, ls[i] AS line
+  FROM (SELECT doc_id, host, ls,
+               unnest(generate_series(1, len(ls))) AS i FROM pages)
+), n_docs AS (
+  SELECT host, count(*) AS n_docs FROM pages GROUP BY host
+), dfreq AS (
+  SELECT host, line, count(*) AS df
+  FROM (SELECT DISTINCT host, line, doc_id FROM lines)
+  GROUP BY host, line
+), flagged AS (
+  SELECT l.doc_id, l.host, l.idx, l.line,
+         CASE WHEN f.df * 100 >= n.n_docs * {TEMPLATE_DF_PCT}
+                   AND n.n_docs >= {TEMPLATE_MIN_HOST_DOCS}
+              THEN 1 ELSE 0 END AS is_template
+  FROM lines l
+  JOIN dfreq f ON f.host = l.host AND f.line = l.line
+  JOIN n_docs n ON n.host = l.host
+)
+SELECT doc_id, host, count(*) AS n_lines,
+       CAST(sum(is_template) AS BIGINT) AS n_template_lines,
+       CAST((CAST(sum(is_template) AS BIGINT) * 1000) // count(*)
+            AS INTEGER) AS template_permille,
+       md5(COALESCE(string_agg(CASE WHEN is_template = 0 THEN line END,
+                               chr(10) ORDER BY idx), ''))
+         AS clean_md5
+FROM flagged
+GROUP BY doc_id, host
+"""
+
+
+# ---------------------------------------------------------------------------
+# recrawl-rate estimation — the incremental crawl's scheduling signal
+# ---------------------------------------------------------------------------
+
+# Cho & Garcia-Molina (VLDB 2000): estimate each site's change rate from
+# observed snapshot diffs and derive the revisit interval.  Composed
+# over crawl_snapshot_diff's per-URL verdicts (the nightly-delta join),
+# aggregated to the domain, with an integer-exact per-mille change rate
+# and a clamped inverse-rate revisit interval — the knob
+# fetch_scheduler/warc_revisit consume upstream.
+
+RECRAWL_MAX_HOURS = 720   # revisit at least monthly
+RECRAWL_MIN_HOURS = 12    # never more than twice a day
+RECRAWL_BASE = 24_000     # 24h at a 1000-permille (always-changed) rate
+
+
+def change_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain change-rate estimate and revisit interval from two
+    crawl snapshots.
+
+    Composition, not re-derivation: the input is crawl_snapshot_diff's
+    output (ONE hash-reduced full-outer join); this op adds a dim-sized
+    join to recover the domain and ONE per-domain hash agg — the
+    domain key count is hosts, not pages, so the final agg output is
+    dim-sized at any corpus scale.
+    """
+    diff = crawl_snapshot_diff(spark, sf_dir)
+    docs = _documents(spark, sf_dir).select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
+    j = diff.join(docs, "doc_id")
+    agg = (j.groupBy("domain")
+           .agg(F.count(F.when(F.col("status").isin("changed",
+                                                    "unchanged"), 1))
+                .alias("n_common"),
+                F.count(F.when(F.col("status") == "changed", 1))
+                .alias("n_changed"),
+                F.count(F.when(F.col("status") == "added", 1))
+                .alias("n_added"),
+                F.count(F.when(F.col("status") == "removed", 1))
+                .alias("n_removed")))
+    return agg.select(
+        "domain", "n_common", "n_changed", "n_added", "n_removed",
+        F.expr("CAST((1000 * n_changed) DIV greatest(n_common, 1)"
+               " AS INT)").alias("change_permille"),
+        F.expr(f"CAST(least({RECRAWL_MAX_HOURS}, greatest("
+               f"{RECRAWL_MIN_HOURS}, {RECRAWL_BASE} DIV greatest("
+               "(1000 * n_changed) DIV greatest(n_common, 1), 1)))"
+               " AS INT)").alias("recrawl_hours"))
+
+
+CHANGE_RATE_ESTIMATE_SQL = f"""
+WITH diff AS ({CRAWL_SNAPSHOT_DIFF_SQL}),
+j AS (
+  SELECT d.source || '.example.com' AS domain, f.status
+  FROM diff f JOIN documents d ON d.doc_id = f.doc_id
+),
+agg AS (
+  SELECT domain,
+         count(*) FILTER (WHERE status IN ('changed', 'unchanged'))
+           AS n_common,
+         count(*) FILTER (WHERE status = 'changed') AS n_changed,
+         count(*) FILTER (WHERE status = 'added') AS n_added,
+         count(*) FILTER (WHERE status = 'removed') AS n_removed
+  FROM j GROUP BY domain
+)
+SELECT domain, n_common, n_changed, n_added, n_removed,
+       CAST((1000 * n_changed) // greatest(n_common, 1) AS INTEGER)
+         AS change_permille,
+       CAST(least({RECRAWL_MAX_HOURS}, greatest({RECRAWL_MIN_HOURS},
+              {RECRAWL_BASE} // greatest(
+                (1000 * n_changed) // greatest(n_common, 1), 1)))
+            AS INTEGER) AS recrawl_hours
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# postings delta-gap accounting — the index-size estimator
+# ---------------------------------------------------------------------------
+
+# Inverted indexes store doc-id GAPS, not ids, varint-encoded (the
+# standard d-gap + VByte scheme, Witten/Moffat/Bell "Managing
+# Gigabytes"); the per-term gap distribution IS the index-size estimate
+# and the compression-planning signal.  Integer-exact everywhere:
+# varint bytes of a gap g >= 1 is (bit_length(g) + 6) // 7, and
+# bit_length(g) = length(bin(g)) in both engines (the HLL rho trick).
+
+
+def postings_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-token d-gap statistics over the full posting list: df, the
+    largest gap, the varint-encoded size, and the per-mille compression
+    ratio vs fixed 8-byte ids.
+
+    Plan shape at 100 TB: the inverted_index plan's window stage — the
+    distinct (tok, doc_id) stream takes ONE lag window per token
+    (sort-based, spill-able; a billion-posting stop word degrades to
+    spilled sort time, never an OOM) followed by ONE hash agg per
+    token.  The first posting's gap is taken against sentinel -1 so
+    every gap is >= 1 and sum(gaps) = last_id + 1 (a self-check the
+    oracle hashes).
+    """
+    docs = _documents(spark, sf_dir)
+    toks = (docs.select("doc_id",
+                        F.explode(F.split(F.trim("text"), r"\s+"))
+                        .alias("tok"))
+            .filter(F.length("tok") > 0)
+            .dropDuplicates(["tok", "doc_id"]))
+    w = Window.partitionBy("tok").orderBy("doc_id")
+    gaps = toks.withColumn(
+        "gap", F.col("doc_id") - F.coalesce(F.lag("doc_id").over(w),
+                                            F.lit(-1)))
+    agg = (gaps.groupBy("tok")
+           .agg(F.count("*").alias("df"),
+                F.max("gap").alias("max_gap"),
+                F.sum("gap").alias("sum_gaps"),
+                F.sum(F.expr("(length(bin(gap)) + 6) DIV 7"))
+                .alias("varint_bytes")))
+    return agg.select(
+        "tok", "df", "max_gap",
+        F.col("sum_gaps").cast("long").alias("sum_gaps"),
+        F.col("varint_bytes").cast("long").alias("varint_bytes"),
+        (F.col("df") * 8).alias("plain_bytes"),
+        F.expr("CAST((1000 * varint_bytes) DIV (df * 8) AS INT)")
+        .alias("ratio_permille"))
+
+
+POSTINGS_GAP_STATS_SQL = """
+WITH toks AS (
+  SELECT DISTINCT doc_id, tok
+  FROM (SELECT d.doc_id,
+               unnest(string_split_regex(trim(d.text, ' '), '\\s+')) AS tok
+        FROM documents d)
+  WHERE length(tok) > 0
+),
+gaps AS (
+  SELECT tok,
+         doc_id - COALESCE(lag(doc_id) OVER (PARTITION BY tok
+                                             ORDER BY doc_id), -1) AS gap
+  FROM toks
+),
+agg AS (
+  SELECT tok, count(*) AS df, max(gap) AS max_gap,
+         CAST(sum(gap) AS BIGINT) AS sum_gaps,
+         CAST(sum((length(bin(gap)) + 6) // 7) AS BIGINT) AS varint_bytes
+  FROM gaps GROUP BY tok
+)
+SELECT tok, df, max_gap, sum_gaps, varint_bytes,
+       df * 8 AS plain_bytes,
+       CAST((1000 * varint_bytes) // (df * 8) AS INTEGER) AS ratio_permille
+FROM agg
+"""

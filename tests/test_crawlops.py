@@ -238,3 +238,73 @@ def test_fetch_scheduler_politeness_timetable(spark):
                 for a, b in zip(rs, rs[1:])}
         assert gaps <= {rs[0]["delay_ms"]}
         assert rs[0]["scheduled_ms"] == 0
+
+
+# ---------------------------------------------------------------------------
+# batch #14: sitemap extraction + content-type sniffing
+# ---------------------------------------------------------------------------
+
+def test_sitemap_shards_bounded_and_complete(spark):
+    """Every sitemap shard holds at most SITEMAP_MAX_URLS entries (the
+    protocol's 50k cap scaled down — the bound on per-group agg state),
+    shards are contiguous from 0, and the union of shards covers every
+    document exactly once."""
+    rows = crawlops.sitemap_extract(spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(
+        f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == n_docs
+    assert len({r["loc"] for r in rows}) == n_docs
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault((r["host"], r["shard"]), []).append(r)
+    for (host, shard), rs in by_shard.items():
+        assert 1 <= len(rs) <= crawlops.SITEMAP_MAX_URLS
+        # positions dense from 0 within the shard
+        assert sorted(r["pos"] for r in rs) == list(range(len(rs)))
+    shards_per_host = {}
+    for host, shard in by_shard:
+        shards_per_host.setdefault(host, set()).add(shard)
+    for host, shards in shards_per_host.items():
+        assert shards == set(range(len(shards)))
+        # only the LAST shard may be partial
+        for s in sorted(shards)[:-1]:
+            assert len(by_shard[(host, s)]) == crawlops.SITEMAP_MAX_URLS
+
+
+def test_sitemap_round_trip_recovers_fields(spark):
+    """The regexp extractor recovers loc/lastmod/priority exactly as the
+    writer put them in (field-level round trip, independent of the
+    oracle's direct construction)."""
+    rows = crawlops.sitemap_extract(spark, SF_DIR).collect()
+    for r in rows:
+        doc_id = int(r["loc"].rsplit("/", 1)[1])
+        assert r["loc"] == f"http://{r['host']}/p/{doc_id}"
+        assert r["lastmod"] == f"2026-0{1 + doc_id % 9}-01"
+        assert r["priority_tenths"] == doc_id % 10
+
+
+def test_content_type_sniff_magic_dispatch(spark):
+    """The sniffer reads the BINARY payload: every residue class maps to
+    its magic's MIME, byte sizes match magic+utf8 arithmetic, and the
+    mismatch flag fires exactly when a declared extension disagrees."""
+    rows = crawlops.content_type_sniff(spark, SF_DIR).collect()
+    seen_mismatch = seen_agree = False
+    for r in rows:
+        hx, mime, mlen = crawlops._SNIFF_MAGIC[r["doc_id"] % 6]
+        assert r["sniffed_type"] == mime
+        ext = crawlops._SNIFF_EXTS[r["doc_id"] % 7]
+        declared = crawlops._EXT_MIME.get(ext, "unknown")
+        assert r["declared_type"] == declared
+        expected_mismatch = int(declared != "unknown" and declared != mime)
+        assert r["mismatch"] == expected_mismatch
+        seen_mismatch |= bool(expected_mismatch)
+        seen_agree |= (declared == mime)
+    assert seen_mismatch and seen_agree
+
+
+def test_content_type_sniff_plan_is_pure_projection(spark):
+    """Like url_classify: the post-fetch gate is ONE codegen projection,
+    no exchange at any corpus size."""
+    plan = (crawlops.content_type_sniff(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    assert "Exchange" not in plan

@@ -431,3 +431,151 @@ def test_ccnet_pipeline_dup_band_and_keep(spark, tmp_path):
     cols = [d[0] for d in rel.description]
     for r in out:
         assert tuple(r[c] for c in cols) == drows[r["doc_id"]]
+
+
+# ---------------------------------------------------------------------------
+# batch #14: host-level template (boilerplate) detection
+# ---------------------------------------------------------------------------
+
+def test_host_template_ratio_injected_lines(spark):
+    """The detector recovers the construction's intent on a hand-built
+    host: 100%- and 75%-presence lines are template, the 20% ad line and
+    unique body lines are not, and the detemplated md5 matches a
+    pure-Python rederivation."""
+    import hashlib
+    rows = {r["doc_id"]: r
+            for r in webtext.host_template_ratio(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    by_host = {}
+    for d in docs:
+        by_host.setdefault(d["source"], []).append(d)
+    # python rederivation of lines + host df for a couple of hosts
+    for source in list(by_host)[:3]:
+        ds = by_host[source]
+        pages = {}
+        for d in ds:
+            lines = [f"nav: {source} home about contact"]
+            if (d["doc_id"] // 20) % 4 != 0:
+                lines.append(f"promo: subscribe to {source}")
+            if (d["doc_id"] // 20) % 5 == 0:
+                lines.append(f"ad: special offer {source}")
+            words = d["text"].split(" ")
+            k = webtext.TEMPLATE_BODY_WORDS
+            lines += [" ".join(words[i:i + k])
+                      for i in range(0, len(words), k)]
+            lines.append(f"footer: (c) {source} all rights reserved")
+            pages[d["doc_id"]] = lines
+        n_docs = len(pages)
+        df = {}
+        for doc_id, lines in pages.items():
+            for ln in set(lines):
+                df[ln] = df.get(ln, 0) + 1
+        for doc_id, lines in pages.items():
+            is_t = [int(df[ln] * 100 >= n_docs * webtext.TEMPLATE_DF_PCT
+                        and n_docs >= webtext.TEMPLATE_MIN_HOST_DOCS)
+                    for ln in lines]
+            r = rows[doc_id]
+            assert r["host"] == f"{source}.example.com"
+            assert r["n_lines"] == len(lines)
+            assert r["n_template_lines"] == sum(is_t)
+            assert r["template_permille"] == sum(is_t) * 1000 // len(lines)
+            clean = "\n".join(ln for ln, t in zip(lines, is_t) if not t)
+            assert r["clean_md5"] == hashlib.md5(clean.encode()).hexdigest()
+            # the injected nav/footer are ALWAYS template (df = 100%),
+            # the ad line never is (20% < the 50% cut)
+            assert is_t[0] == 1 and is_t[-1] == 1
+            if (doc_id // 20) % 5 == 0:
+                ad = lines.index(f"ad: special offer {source}")
+                assert is_t[ad] == 0
+            if (doc_id // 20) % 4 != 0:
+                promo = lines.index(f"promo: subscribe to {source}")
+                assert is_t[promo] == 1
+
+
+def test_host_template_ratio_singleton_host_has_no_template():
+    """A host with a single page yields zero template lines (no
+    document-frequency evidence, the MIN_HOST_DOCS guard)."""
+    import duckdb
+    con = duckdb.connect()
+    con.execute("""create view documents as select * from (values
+        (0, 'alpha beta gamma delta', 'en', 'solo', 22)
+      ) t(doc_id, text, lang, source, n_chars)""")
+    out = con.execute(webtext.HOST_TEMPLATE_RATIO_SQL).fetchall()
+    assert len(out) == 1
+    _, host, n_lines, n_t, permille, _ = out[0]
+    assert host == "solo.example.com"
+    assert n_t == 0 and permille == 0
+    # doc 0: nav + ad (0 // 20 % 5 == 0; no promo, 0 // 20 % 4 == 0)
+    # + one 4-word body chunk + footer
+    assert n_lines == 4
+
+
+# ---------------------------------------------------------------------------
+# batch #15: recrawl-rate estimation + postings gap accounting
+# ---------------------------------------------------------------------------
+
+def test_change_rate_estimate_matches_python_rederivation(spark):
+    """Per-domain counts and the integer rate/interval math match a
+    pure-Python rederivation of the snapshot carving; domains must see
+    DIFFERENT mixes (the phase-shift requirement)."""
+    rows = {r["domain"]: r
+            for r in webtext.change_rate_estimate(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "source").collect()
+    agg = {}
+    for d in docs:
+        key = d["doc_id"] // 20 + d["doc_id"] % 20
+        in_a, in_b = key % 4 != 3, key % 4 != 1
+        changed = key % 5 == 0
+        st = ("added" if not in_a else
+              "removed" if not in_b else
+              "changed" if changed else "unchanged")
+        dom = f"{d['source']}.example.com"
+        a = agg.setdefault(dom, {"common": 0, "changed": 0,
+                                 "added": 0, "removed": 0})
+        if st in ("changed", "unchanged"):
+            a["common"] += 1
+        if st in ("changed", "added", "removed"):
+            a[st] += 1
+    permilles = set()
+    for dom, a in agg.items():
+        r = rows[dom]
+        assert r["n_common"] == a["common"]
+        assert r["n_changed"] == a["changed"]
+        assert r["n_added"] == a["added"]
+        assert r["n_removed"] == a["removed"]
+        pm = 1000 * a["changed"] // max(a["common"], 1)
+        assert r["change_permille"] == pm
+        assert r["recrawl_hours"] == min(
+            webtext.RECRAWL_MAX_HOURS,
+            max(webtext.RECRAWL_MIN_HOURS,
+                webtext.RECRAWL_BASE // max(pm, 1)))
+        permilles.add(pm)
+    assert len(permilles) >= 3, "domains must see different change mixes"
+
+
+def test_postings_gap_stats_varint_math(spark):
+    """Gap and varint arithmetic vs a pure-Python rederivation of the
+    posting lists; sum(gaps) == last doc id + 1 (the sentinel -1
+    self-check); ratio always <= 1000 (varint never beats 8-byte ids
+    backwards)."""
+    rows = {r["tok"]: r
+            for r in webtext.postings_gap_stats(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    postings = {}
+    for d in docs:
+        for t in set(d["text"].split()):
+            postings.setdefault(t, set()).add(d["doc_id"])
+    assert set(rows) == set(postings)
+    for tok, ids in postings.items():
+        ids = sorted(ids)
+        gaps = [ids[0] + 1] + [b - a for a, b in zip(ids, ids[1:])]
+        vb = sum((g.bit_length() + 6) // 7 for g in gaps)
+        r = rows[tok]
+        assert r["df"] == len(ids)
+        assert r["max_gap"] == max(gaps)
+        assert r["sum_gaps"] == sum(gaps) == ids[-1] + 1
+        assert r["varint_bytes"] == vb
+        assert r["plain_bytes"] == 8 * len(ids)
+        assert r["ratio_permille"] == 1000 * vb // (8 * len(ids)) <= 1000
