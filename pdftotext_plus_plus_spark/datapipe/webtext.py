@@ -1196,27 +1196,34 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates these verdicts per domain, so domains must DIFFER.
 
     Plan shape at 100 TB: ONE full-outer equi-join on the URL key with
-    both sides reduced to (key, content_hash) FIRST — the fixed-width
-    md5 crosses the shuffle instead of page bytes (a ~1000x shuffle-size
-    cut), and content equality is a hash compare, never a byte compare.
-    This is the nightly CommonCrawl-delta plan: co-partitioned join,
-    narrow projections, no window, no skew (URL keys are unique).
+    both sides reduced to (key, domain, content_hash) FIRST — the
+    fixed-width md5 crosses the shuffle instead of page bytes (a ~1000x
+    shuffle-size cut), and content equality is a hash compare, never a
+    byte compare.  The domain rides each side's narrow projection (a
+    crawl diff keyed by url knows its host for free), so downstream
+    per-domain consumers (change_rate_estimate) aggregate WITHOUT a
+    second corpus-sized join.  This is the nightly CommonCrawl-delta
+    plan: co-partitioned join, narrow projections, no window, no skew
+    (URL keys are unique).
     """
     docs = _documents(spark, sf_dir)
     gen = F.expr("doc_id DIV 20 + doc_id % 20")
+    dom = F.concat(F.col("source"), F.lit(".example.com"))
     a = (docs.filter(gen % 4 != 3)
-         .select("doc_id", F.md5("text").alias("h_a")))
+         .select("doc_id", dom.alias("dom_a"),
+                 F.md5("text").alias("h_a")))
     b = (docs.filter(gen % 4 != 1)
-         .select("doc_id", F.md5(
-             F.when(gen % 5 == 0,
-                    F.concat(F.col("text"), F.lit("|v2")))
-             .otherwise(F.col("text"))).alias("h_b")))
+         .select("doc_id", dom.alias("dom_b"),
+                 F.md5(F.when(gen % 5 == 0,
+                              F.concat(F.col("text"), F.lit("|v2")))
+                       .otherwise(F.col("text"))).alias("h_b")))
     j = a.join(b, "doc_id", "full_outer")
     status = (F.when(F.col("h_a").isNull(), F.lit("added"))
               .when(F.col("h_b").isNull(), F.lit("removed"))
               .when(F.col("h_a") == F.col("h_b"), F.lit("unchanged"))
               .otherwise(F.lit("changed")))
     return j.select("doc_id",
+                    F.coalesce("dom_a", "dom_b").alias("domain"),
                     F.col("h_a").isNotNull().cast("int").alias("in_a"),
                     F.col("h_b").isNotNull().cast("int").alias("in_b"),
                     status.alias("status"))
@@ -1224,16 +1231,18 @@ def crawl_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CRAWL_SNAPSHOT_DIFF_SQL = """
 WITH a AS (
-  SELECT doc_id, md5(text) AS h_a FROM documents
+  SELECT doc_id, source || '.example.com' AS dom_a, md5(text) AS h_a
+  FROM documents
   WHERE (doc_id // 20 + doc_id % 20) % 4 <> 3
 ),
 b AS (
-  SELECT doc_id,
-         md5(CASE WHEN (doc_id // 20 + doc_id % 20) % 5 = 0 THEN text || '|v2'
-                  ELSE text END) AS h_b
+  SELECT doc_id, source || '.example.com' AS dom_b,
+         md5(CASE WHEN (doc_id // 20 + doc_id % 20) % 5 = 0
+                  THEN text || '|v2' ELSE text END) AS h_b
   FROM documents WHERE (doc_id // 20 + doc_id % 20) % 4 <> 1
 )
 SELECT COALESCE(a.doc_id, b.doc_id) AS doc_id,
+       COALESCE(a.dom_a, b.dom_b) AS domain,
        CASE WHEN a.doc_id IS NULL THEN 0 ELSE 1 END AS in_a,
        CASE WHEN b.doc_id IS NULL THEN 0 ELSE 1 END AS in_b,
        CASE WHEN a.doc_id IS NULL THEN 'added'
@@ -1495,17 +1504,13 @@ def change_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
     crawl snapshots.
 
     Composition, not re-derivation: the input is crawl_snapshot_diff's
-    output (ONE hash-reduced full-outer join); this op adds a dim-sized
-    join to recover the domain and ONE per-domain hash agg — the
-    domain key count is hosts, not pages, so the final agg output is
-    dim-sized at any corpus scale.
+    output (ONE hash-reduced full-outer join, domain carried on each
+    side's narrow projection); this op adds ONLY one per-domain hash
+    agg — no second corpus-sized join anywhere, and the agg output is
+    host-dim-sized at any corpus scale.
     """
     diff = crawl_snapshot_diff(spark, sf_dir)
-    docs = _documents(spark, sf_dir).select(
-        "doc_id",
-        F.concat(F.col("source"), F.lit(".example.com")).alias("domain"))
-    j = diff.join(docs, "doc_id")
-    agg = (j.groupBy("domain")
+    agg = (diff.groupBy("domain")
            .agg(F.count(F.when(F.col("status").isin("changed",
                                                     "unchanged"), 1))
                 .alias("n_common"),
@@ -1527,10 +1532,6 @@ def change_rate_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 CHANGE_RATE_ESTIMATE_SQL = f"""
 WITH diff AS ({CRAWL_SNAPSHOT_DIFF_SQL}),
-j AS (
-  SELECT d.source || '.example.com' AS domain, f.status
-  FROM diff f JOIN documents d ON d.doc_id = f.doc_id
-),
 agg AS (
   SELECT domain,
          count(*) FILTER (WHERE status IN ('changed', 'unchanged'))
@@ -1538,7 +1539,7 @@ agg AS (
          count(*) FILTER (WHERE status = 'changed') AS n_changed,
          count(*) FILTER (WHERE status = 'added') AS n_added,
          count(*) FILTER (WHERE status = 'removed') AS n_removed
-  FROM j GROUP BY domain
+  FROM diff GROUP BY domain
 )
 SELECT domain, n_common, n_changed, n_added, n_removed,
        CAST((1000 * n_changed) // greatest(n_common, 1) AS INTEGER)
