@@ -174,7 +174,12 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # round-8 batch #15: recrawl-rate estimation (snapshot
                  # diff + one domain-dim agg) and postings d-gap
                  # accounting (the inverted_index window plan + one agg)
-                 "change_rate_estimate", "postings_gap_stats"]
+                 "change_rate_estimate", "postings_gap_stats",
+                 # round-8 batch #16: quality-argmax representative per
+                 # near-dup cluster (fixpoint components + classifier
+                 # logit + two cluster-dim joins) and the integer A-ES
+                 # weighted sample (WindowGroupLimit top-K per source)
+                 "dedup_representatives", "weighted_sample_topk"]
 
 
 def ensure_corpus() -> int:
@@ -467,6 +472,13 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # likewise.  content_type_sniff excluded like
                        # url_classify: the no-shuffle projection floor.
                        "host_template_ratio", "sitemap_extract",
+                       # batch #16: the representative op rides the
+                       # skew-stressed fixpoint graph — its 10x behavior
+                       # certifies the argmax joins stay cluster-dim-
+                       # sized.  weighted_sample excluded: output is
+                       # K-per-source (dim-sized) and the window is
+                       # sequence_packing's probed per-shard shape.
+                       "dedup_representatives",
                        # batch #15: the d-gap window must scale like the
                        # index build it mirrors (per-token sort,
                        # spill-able).  change_rate_estimate excluded:

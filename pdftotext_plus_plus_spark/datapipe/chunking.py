@@ -271,3 +271,91 @@ SELECT l.doc_id, l.cluster_id, s.cluster_size,
        CASE WHEN l.doc_id = l.cluster_id THEN 1 ELSE 0 END AS keep
 FROM labels l JOIN sizes s ON s.cluster_id = l.cluster_id
 """
+
+
+# ---------------------------------------------------------------------------
+# representative selection — keep the BEST member of each near-dup cluster
+# ---------------------------------------------------------------------------
+
+# Production dedup does not keep the lowest doc_id — it keeps the
+# highest-QUALITY member of each near-duplicate cluster (RefinedWeb,
+# FineWeb both select representatives by quality signals).  Composed
+# from dedup_clusters_fixpoint (the pointer-doubling components) and
+# textstats.quality_classifier's integer logit; ties break to the
+# smallest doc_id so the verdict is total and engine-exact.
+
+
+def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document cluster assignment + the quality-argmax
+    representative verdict.
+
+    Plan shape at 100 TB: the fixpoint component plan (O(log d)
+    pointer-doubling rounds over star edges) + the classifier's one
+    token hash-agg, then ONE per-cluster max agg and ONE broadcast-able
+    join back (cluster dim: one row per cluster).  The argmax is
+    max(best_logit) + a min(doc_id) tie-break — never a per-cluster
+    sort of the members.
+    """
+    from . import textstats as _textstats
+    clusters = dedup_clusters_fixpoint(spark, sf_dir)
+    qual = _textstats.quality_classifier(spark, sf_dir) \
+        .select("doc_id", "logit")
+    j = clusters.join(qual, "doc_id")
+    best = (j.groupBy("cluster_id")
+            .agg(F.count("*").alias("cluster_size"),
+                 F.max("logit").alias("best_logit")))
+    rep = (j.join(best, "cluster_id")
+           .filter(F.col("logit") == F.col("best_logit"))
+           .groupBy("cluster_id")
+           .agg(F.min("doc_id").alias("rep_doc_id")))
+    return (j.join(best, "cluster_id").join(rep, "cluster_id")
+            .select("doc_id", "cluster_id", "cluster_size", "logit",
+                    "rep_doc_id",
+                    (F.col("doc_id") == F.col("rep_doc_id")).cast("int")
+                    .alias("is_representative")))
+
+
+def _dedup_representatives_sql() -> str:
+    from . import textstats as _textstats
+    return f"""
+WITH RECURSIVE pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL SELECT id_b AS src, id_a AS dst FROM pairs
+  UNION ALL SELECT doc_id AS src, doc_id AS dst FROM documents
+),
+reach(doc_id, label) AS (
+  SELECT doc_id, doc_id AS label FROM documents
+  UNION
+  SELECT e.src AS doc_id, r.label
+  FROM edges e JOIN reach r ON e.dst = r.doc_id
+),
+labels AS (
+  SELECT doc_id, min(label) AS cluster_id FROM reach GROUP BY doc_id
+),
+qual AS ({_textstats.QUALITY_CLASSIFIER_SQL}),
+j AS (
+  SELECT l.doc_id, l.cluster_id, q.logit
+  FROM labels l JOIN qual q ON q.doc_id = l.doc_id
+),
+best AS (
+  SELECT cluster_id, count(*) AS cluster_size,
+         max(logit) AS best_logit
+  FROM j GROUP BY cluster_id
+),
+rep AS (
+  SELECT j.cluster_id, min(j.doc_id) AS rep_doc_id
+  FROM j JOIN best b ON b.cluster_id = j.cluster_id
+                    AND j.logit = b.best_logit
+  GROUP BY j.cluster_id
+)
+SELECT j.doc_id, j.cluster_id, b.cluster_size, j.logit, r.rep_doc_id,
+       CASE WHEN j.doc_id = r.rep_doc_id THEN 1 ELSE 0 END
+         AS is_representative
+FROM j
+JOIN best b ON b.cluster_id = j.cluster_id
+JOIN rep r ON r.cluster_id = j.cluster_id
+"""
+
+
+DEDUP_REPRESENTATIVES_SQL = _dedup_representatives_sql()

@@ -1177,6 +1177,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the head for first-round driver rows; demoted in exchange (all
 # r7-green; rationale at the tail entries): `extract_jsonl_pages`,
 # `multimodal_meta`, `extract_stats`.
+# Round-8 batch #16 (same round): the two brand-new ops
+# `dedup_representatives` (quality-argmax member per near-dup cluster —
+# the RefinedWeb/FineWeb keep rule, composing the fixpoint components
+# with the quality classifier's integer logit) and
+# `weighted_sample_topk` (Efraimidis-Spirakis weighted sampling as an
+# integer-exact exponential race, WindowGroupLimit top-K per source)
+# enter the head; demoted in exchange (both r7-green AND unchanged
+# since): `robots_filter`, `warc_wet_records`.
 # Round-8 batch #15 (same round): the two brand-new ops
 # `change_rate_estimate` (Cho & Garcia-Molina per-domain recrawl-rate
 # estimation over the snapshot diff) and `postings_gap_stats` (postings
@@ -1258,6 +1266,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # driver row certifies the changed code end to end
     "dedup_keep_list": (chunking.dedup_keep_list,
                         chunking.DEDUP_KEEP_LIST_SQL),
+    # round 8 batch #16: quality-argmax representative per near-dup
+    # cluster (RefinedWeb/FineWeb keep the BEST member, not the lowest
+    # id) — composes the fixpoint components with quality_classifier's
+    # integer logit; brand-new, head
+    "dedup_representatives": (chunking.dedup_representatives,
+                              chunking.DEDUP_REPRESENTATIVES_SQL),
     "chunk_documents": (chunking.chunk_documents,
                         chunking.CHUNK_DOCUMENTS_SQL),
     # similarity search
@@ -1286,6 +1300,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # nests each component's own SQL as a CTE
     "training_mix_pipeline": (sampling.training_mix_pipeline,
                               sampling.TRAINING_MIX_SQL),
+    # round 8 batch #16: Efraimidis-Spirakis weighted sampling in an
+    # integer-exact exponential race (arrival = md5_60bit DIV weight,
+    # WindowGroupLimit top-K per source) — brand-new, head
+    "weighted_sample_topk": (sampling.weighted_sample_topk,
+                             sampling.WEIGHTED_SAMPLE_TOPK_SQL),
     # round 8 batch #12: the CCNet curation composition (exact dedup ->
     # language -> per-lang perplexity tercile, tail band dropped) —
     # brand-new, straight into the head
@@ -1301,7 +1320,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 8 batch #11: HITS hubs & authorities (integer-exact ppm
     # normalization) beside PageRank/TrustRank — brand-new, head
     "hits_scores": (webtext.hits_scores, webtext.HITS_SCORES_SQL),
-    "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "inverted_index": (webtext.inverted_index, webtext.INVERTED_INDEX_SQL),
     # round 8 batch #15: postings d-gap + varint size accounting (the
     # index-compression estimator) — brand-new, head
@@ -1349,9 +1367,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                             webtext.CRAWL_SNAPSHOT_DIFF_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
-    # round 7 batch #8 addendum: the WARC->WET conversion product,
-    # round-tripped through the engine (oracle = extract_text's golden)
-    "warc_wet_records": (warc_wet_records, None),  # oracle filled below
     # round 8 batch #13: ISO 28500 revisit records (cross-snapshot
     # payload dedup at WARC write time) — brand-new, head
     "warc_revisit_records": (warc_revisit_records,
@@ -1633,6 +1648,18 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
                          crawlops.HOST_GRAPH_STATS_SQL),
     "trust_propagation": (crawlops.trust_propagation,
                           crawlops.TRUST_PROPAGATION_SQL),
+    # round-8 batch #16 demotions (BOTH hold r7-green driver rows and
+    # are unchanged since; surfaces stay head- or pytest-covered):
+    #   robots_filter — the prefix-gate semantics are pytest-covered
+    #     (crafted robots fixtures) and the TRY_CAST totality parity is
+    #     pinned by the type-parity suite; its broadcast-dim join shape
+    #     is head bloom/frontier territory
+    #   warc_wet_records — the WET writer/parser round trip stays
+    #     byte-anchored to the extract_text goldens in pytest
+    #     (test_warc), and head warc_revisit_records + warc_wat_records
+    #     carry the ISO 28500 writer/parser surface every round
+    "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
+    "warc_wet_records": (warc_wet_records, None),  # oracle filled below
 }
 
 

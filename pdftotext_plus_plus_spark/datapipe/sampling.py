@@ -310,3 +310,68 @@ JOIN samp p ON p.doc_id = d.doc_id
 
 
 TRAINING_MIX_SQL = training_mix_sql()
+
+
+# ---------------------------------------------------------------------------
+# weighted sampling — the size-biased per-source sample
+# ---------------------------------------------------------------------------
+
+# Weighted sampling without replacement a la Efraimidis–Spirakis (A-ES,
+# IPL 2006): each item draws a uniform key and the k best
+# weight-adjusted keys win.  The float form ranks by u^(1/w); the
+# integer-exact form used here runs the equivalent EXPONENTIAL RACE
+# with arrival time r = h / w (h the 60-bit md5 integer, w the weight):
+# heavier documents draw proportionally smaller arrival times, the k
+# smallest r per source win, and every quantity stays in BIGINT so the
+# verdict is bit-identical across engines (the md5 idiom of
+# stratified_sample — overflow-safe at any doc_id).
+
+WEIGHTED_SAMPLE_K = 5
+
+_WS_HASH_SPARK = ("conv(substring(md5(cast(doc_id AS string)), 1, 15),"
+                  " 16, 10)")
+_WS_HASH_DUCK = ("('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15))"
+                 "::BIGINT")
+
+
+def weighted_sample_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K weighted sample per source: weight = greatest(n_chars, 1)
+    (the floor keeps empty documents total — weight-0 items never win a
+    real race, but the verdict must stay defined on them), arrival
+    r = md5_60bit(doc_id) DIV weight, k smallest r win (ties to the
+    smaller doc_id).
+
+    Plan shape at 100 TB: pure map-side arithmetic (no dim, no join) +
+    ONE row_number window per source that Catalyst plans as
+    WindowGroupLimit — the partial top-K runs BEFORE the exchange, so
+    each map task ships at most K rows per source (the bounded-shuffle
+    top-K shape, never a per-source collect)."""
+    docs = _documents(spark, sf_dir)
+    scored = docs.select(
+        "source", "doc_id",
+        F.expr("greatest(n_chars, 1)").alias("weight"),
+        F.expr(f"CAST({_WS_HASH_SPARK} AS BIGINT)"
+               " DIV greatest(n_chars, 1)").alias("arrival"))
+    w = Window.partitionBy("source").orderBy("arrival", "doc_id")
+    return (scored.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= WEIGHTED_SAMPLE_K)
+            .select("source", "doc_id", "weight", "arrival",
+                    F.col("rn").cast("int").alias("rn")))
+
+
+WEIGHTED_SAMPLE_TOPK_SQL = f"""
+WITH scored AS (
+  SELECT source, doc_id, greatest(n_chars, 1) AS weight,
+         {_WS_HASH_DUCK} // greatest(n_chars, 1) AS arrival
+  FROM documents
+),
+ranked AS (
+  SELECT source, doc_id, weight, arrival,
+         CAST(row_number() OVER (PARTITION BY source
+                                 ORDER BY arrival, doc_id) AS INTEGER)
+           AS rn
+  FROM scored
+)
+SELECT source, doc_id, weight, arrival, rn
+FROM ranked WHERE rn <= {WEIGHTED_SAMPLE_K}
+"""

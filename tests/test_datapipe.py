@@ -1032,3 +1032,67 @@ def test_html_outline_non_tree_level_jumps():
         (6, 3, "h", 5),
     ]
     assert outline_py("<p>no headings</p>") == []
+
+
+def test_dedup_representatives_argmax_semantics(spark):
+    """The representative is the cluster's quality argmax (min doc_id on
+    ties), never just the lowest id: on the fixture corpus the two
+    rules must genuinely disagree somewhere, every cluster has exactly
+    one representative, and singleton clusters represent themselves."""
+    from pdftotext_plus_plus_spark.datapipe import chunking, textstats
+    rows = chunking.dedup_representatives(spark, SF_DIR).collect()
+    logits = {r["doc_id"]: r["logit"] for r in
+              textstats.quality_classifier(spark, SF_DIR).collect()}
+    by_cluster = {}
+    for r in rows:
+        assert r["logit"] == logits[r["doc_id"]]
+        by_cluster.setdefault(r["cluster_id"], []).append(r)
+    disagree = 0
+    for cid, rs in by_cluster.items():
+        assert len(rs) == rs[0]["cluster_size"]
+        reps = [r for r in rs if r["is_representative"] == 1]
+        assert len(reps) == 1
+        best = max(r["logit"] for r in rs)
+        expect = min(r["doc_id"] for r in rs if r["logit"] == best)
+        assert reps[0]["doc_id"] == expect == reps[0]["rep_doc_id"]
+        if len(rs) == 1:
+            assert reps[0]["doc_id"] == cid
+        elif expect != min(r["doc_id"] for r in rs):
+            disagree += 1
+    assert disagree > 0, "quality argmax must differ from min-id somewhere"
+
+
+def test_weighted_sample_topk_is_size_biased(spark):
+    """A-ES semantics: per source exactly K winners (rn dense from 1,
+    ordered by arrival), arrival arithmetic matches a pure-Python md5
+    rederivation, and heavier documents win more often than a uniform
+    sample would (the size bias is real, not decorative)."""
+    import hashlib
+    from pdftotext_plus_plus_spark.datapipe import sampling
+    rows = sampling.weighted_sample_topk(spark, SF_DIR).collect()
+    docs = {d["doc_id"]: (d["source"], max(d["n_chars"], 1))
+            for d in spark.read.parquet(
+                f"{SF_DIR}/documents.parquet").collect()}
+
+    def arrival(doc_id):
+        h = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:15], 16)
+        return h // docs[doc_id][1]
+
+    by_source = {}
+    for r in rows:
+        src, w = docs[r["doc_id"]]
+        assert r["source"] == src and r["weight"] == w
+        assert r["arrival"] == arrival(r["doc_id"])
+        by_source.setdefault(src, []).append(r)
+    for src, rs in by_source.items():
+        rs.sort(key=lambda r: r["rn"])
+        assert [r["rn"] for r in rs] == list(
+            range(1, sampling.WEIGHTED_SAMPLE_K + 1))
+        ids = [d for d, (s, _) in docs.items() if s == src]
+        expect = sorted(ids, key=lambda d: (arrival(d), d))[
+            :sampling.WEIGHTED_SAMPLE_K]
+        assert [r["doc_id"] for r in rs] == expect
+    # size bias: winners' mean weight exceeds the corpus mean weight
+    all_w = [w for _, w in docs.values()]
+    win_w = [r["weight"] for r in rows]
+    assert sum(win_w) / len(win_w) > sum(all_w) / len(all_w)

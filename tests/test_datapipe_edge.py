@@ -64,6 +64,10 @@ EDGE_QUERIES = [
     "tfidf_keywords", "per_source_topk",
     "chunk_documents", "dedup_clusters", "dedup_clusters_fixpoint",
     "dedup_keep_list",
+    # round-8 batch #16 (documents-only members; weighted_sample's
+    # zero-weight floor and the representative argmax on degenerate
+    # single-member clusters are exactly edge-corpus territory)
+    "dedup_representatives", "weighted_sample_topk",
     "multimodal_meta", "image_resize_meta", "audio_meta",
     "video_frame_sample", "image_phash", "audio_energy_fingerprint",
 ]
