@@ -179,7 +179,11 @@ BENCH_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash", "lang_id",
                  # near-dup cluster (fixpoint components + classifier
                  # logit + two cluster-dim joins) and the integer A-ES
                  # weighted sample (WindowGroupLimit top-K per source)
-                 "dedup_representatives", "weighted_sample_topk"]
+                 "dedup_representatives", "weighted_sample_topk",
+                 # round-8 batch #17: mirror detection (hash-bucket
+                 # equi-join pairs + dim-sized threshold join) and the
+                 # exact length-percentile histogram rollup
+                 "mirror_host_pairs", "length_percentiles"]
 
 
 def ensure_corpus() -> int:
@@ -479,6 +483,14 @@ SCALE_PROBE_QUERIES = ["exact_dedup", "minhash_lsh_pairs", "simhash",
                        # K-per-source (dim-sized) and the window is
                        # sequence_packing's probed per-shard shape.
                        "dedup_representatives",
+                       # batch #17: the hash-bucket pair join must stay
+                       # bounded when every mirror set gets 10x pages
+                       # (bucket size = hosts per content, invariant
+                       # under replication).  length_percentiles
+                       # excluded: output is lang-dim-sized and the
+                       # per-doc work is ONE hash agg, probed by
+                       # domain_stats/token_counts shapes already.
+                       "mirror_host_pairs",
                        # batch #15: the d-gap window must scale like the
                        # index build it mirrors (per-token sort,
                        # spill-able).  change_rate_estimate excluded:

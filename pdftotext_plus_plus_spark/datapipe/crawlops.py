@@ -841,3 +841,101 @@ FROM d
 
 
 CONTENT_TYPE_SNIFF_SQL = _content_type_sniff_sql()
+
+
+# ---------------------------------------------------------------------------
+# mirror-host detection — content-hash overlap between hosts
+# ---------------------------------------------------------------------------
+
+# Mirror sites replicate another host's pages verbatim; crawls detect
+# them by CONTENT-hash overlap between hosts and collapse the mirror's
+# fetch budget.  The driver corpus has no cross-host duplicates, so a
+# mirror layer is SYNTHESIZED DETERMINISTICALLY (identically in the
+# oracle): every doc_id % 3 == 0 page is replicated onto the host's
+# `m.`-prefixed mirror (a true mirror: 100% of its content is shared),
+# and every doc_id % 7 == 0 page ALSO lands on one cross-source
+# `scraper.example.com` aggregator (a partial copier: ~14% of any
+# origin — the threshold's NEGATIVE cases, so is_mirror genuinely
+# discriminates).  Detection downstream is generic: per-host distinct
+# hash sets, hash-bucket equi-join for candidate pairs, and an integer
+# containment threshold on the smaller side.
+
+MIRROR_OVERLAP_PCT = 80   # pair is a mirror when 100*shared >= 80*min(n)
+
+
+def mirror_host_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Host pairs ranked by content-hash containment; `is_mirror` when
+    the smaller host shares >= 80% of its distinct content with the
+    other.
+
+    Plan shape at 100 TB: one narrow (host, md5) projection + union
+    (the mirror synth), ONE distinct, ONE hash agg per host (dim-sized
+    output), and a self-equi-join ON THE CONTENT HASH — pair expansion
+    is quadratic only per identical-content bucket, whose size is the
+    number of hosts serving that exact content (mirror-set size, small
+    in practice; a 10^4-host viral page would take the star-edge
+    bounding used by dedup_clusters).  The final threshold join is
+    host-pair-dim-sized.
+    """
+    docs = _documents(spark, sf_dir)
+    origin = docs.select(
+        F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
+        F.md5("text").alias("h"))
+    mirror = (docs.filter(F.col("doc_id") % 3 == 0)
+              .select(F.concat(F.lit("m."), F.col("source"),
+                               F.lit(".example.com")).alias("host"),
+                      F.md5("text").alias("h")))
+    scraper = (docs.filter(F.col("doc_id") % 7 == 0)
+               .select(F.lit("scraper.example.com").alias("host"),
+                       F.md5("text").alias("h")))
+    pages = origin.unionAll(mirror).unionAll(scraper).distinct()
+    sizes = pages.groupBy("host").agg(F.count("*").alias("n"))
+    a = pages.select(F.col("host").alias("host_a"), "h")
+    b = pages.select(F.col("host").alias("host_b"), "h")
+    shared = (a.join(b, "h")
+              .filter(F.col("host_a") < F.col("host_b"))
+              .groupBy("host_a", "host_b")
+              .agg(F.count("*").alias("shared")))
+    sa = sizes.select(F.col("host").alias("host_a"),
+                      F.col("n").alias("n_a"))
+    sb = sizes.select(F.col("host").alias("host_b"),
+                      F.col("n").alias("n_b"))
+    j = shared.join(F.broadcast(sa), "host_a").join(F.broadcast(sb),
+                                                    "host_b")
+    return j.select(
+        "host_a", "host_b", "shared", "n_a", "n_b",
+        F.expr("CAST((1000 * shared) DIV least(n_a, n_b) AS INT)")
+        .alias("overlap_permille"),
+        F.expr(f"CAST(100 * shared >= {MIRROR_OVERLAP_PCT}"
+               " * least(n_a, n_b) AS INT)").alias("is_mirror"))
+
+
+MIRROR_HOST_PAIRS_SQL = f"""
+WITH pages AS (
+  SELECT DISTINCT host, h FROM (
+    SELECT source || '.example.com' AS host, md5(text) AS h
+    FROM documents
+    UNION ALL
+    SELECT 'm.' || source || '.example.com' AS host, md5(text) AS h
+    FROM documents WHERE doc_id % 3 = 0
+    UNION ALL
+    SELECT 'scraper.example.com' AS host, md5(text) AS h
+    FROM documents WHERE doc_id % 7 = 0
+  )
+),
+sizes AS (SELECT host, count(*) AS n FROM pages GROUP BY host),
+shared AS (
+  SELECT a.host AS host_a, b.host AS host_b, count(*) AS shared
+  FROM pages a JOIN pages b ON a.h = b.h AND a.host < b.host
+  GROUP BY a.host, b.host
+)
+SELECT s.host_a, s.host_b, s.shared, sa.n AS n_a, sb.n AS n_b,
+       CAST((1000 * s.shared) // least(sa.n, sb.n) AS INTEGER)
+         AS overlap_permille,
+       CAST(CASE WHEN 100 * s.shared >= {MIRROR_OVERLAP_PCT}
+                      * least(sa.n, sb.n)
+                 THEN 1 ELSE 0 END AS INTEGER) AS is_mirror
+FROM shared s
+JOIN sizes sa ON sa.host = s.host_a
+JOIN sizes sb ON sb.host = s.host_b
+"""

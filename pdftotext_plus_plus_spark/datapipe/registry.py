@@ -1177,6 +1177,14 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the head for first-round driver rows; demoted in exchange (all
 # r7-green; rationale at the tail entries): `extract_jsonl_pages`,
 # `multimodal_meta`, `extract_stats`.
+# Round-8 batch #17 (same round): the two brand-new ops
+# `mirror_host_pairs` (mirror-site detection by content-hash
+# containment — hash-bucket equi-join candidates, integer threshold on
+# the smaller host) and `length_percentiles` (exact per-language
+# p10/p50/p90 via a value-histogram rollup — one (lang, n_chars) hash
+# agg then dim-sized cumulative math; no global sort at any scale)
+# enter the head; demoted in exchange (both r7-green AND unchanged
+# since): `redirect_resolution`, `warc_wat_records`.
 # Round-8 batch #16 (same round): the two brand-new ops
 # `dedup_representatives` (quality-argmax member per near-dup cluster —
 # the RefinedWeb/FineWeb keep rule, composing the fixpoint components
@@ -1295,6 +1303,11 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # straight into the head
     "quality_classifier": (textstats.quality_classifier,
                            textstats.QUALITY_CLASSIFIER_SQL),
+    # round 8 batch #17: exact per-language length percentiles via the
+    # value-histogram rollup (no global sort at any corpus size) —
+    # brand-new, head
+    "length_percentiles": (textstats.length_percentiles,
+                           textstats.LENGTH_PERCENTILES_SQL),
     # round 6 batch #3: the flagship composition — dedup + Gopher gate +
     # surprisal band + stratified sample composed end to end; the oracle
     # nests each component's own SQL as a CTE
@@ -1332,8 +1345,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # batch siblings hold r7-green rows and are demoted this rotation;
     # the doubling plan is the registry's only log-rounds join chain, so
     # it keeps a head slot)
-    "redirect_resolution": (webtext.redirect_resolution,
-                            webtext.REDIRECT_RESOLUTION_SQL),
     # round 8 batch #14: the crawl's URL-discovery channel — sharded
     # sitemap synthesis + regexp extraction, oracled against an
     # INDEPENDENT direct construction (no XML in the oracle) —
@@ -1365,6 +1376,12 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # precedent)
     "crawl_snapshot_diff": (webtext.crawl_snapshot_diff,
                             webtext.CRAWL_SNAPSHOT_DIFF_SQL),
+    # round 8 batch #17: mirror-host detection by content-hash
+    # containment (synthesized m.-mirrors = true positives, a partial
+    # cross-source scraper = the threshold's negative cases) —
+    # brand-new, head
+    "mirror_host_pairs": (crawlops.mirror_host_pairs,
+                          crawlops.MIRROR_HOST_PAIRS_SQL),
     # round 6 batch #5: crawl-native source + streaming dedup
     "warc_extract_equivalence": (warc_extract_equivalence, None),  # below
     # round 8 batch #13: ISO 28500 revisit records (cross-snapshot
@@ -1374,7 +1391,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 7 batch #9: the WAT metadata product (JSON envelopes),
     # completing the WARC/WAT/WET triad; oracled against an independent
     # index_warc+read_record+hashlib construction
-    "warc_wat_records": (warc_wat_records, None),  # oracle filled below
     "streaming_url_dedup": (streaming_url_dedup_equivalence,
                             STREAMING_URL_DEDUP_SQL),
     # rotation #8 promotions: the r5-stale decoded-content signatures
@@ -1660,6 +1676,20 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     #     carry the ISO 28500 writer/parser surface every round
     "robots_filter": (webtext.robots_filter, webtext.ROBOTS_FILTER_SQL),
     "warc_wet_records": (warc_wet_records, None),  # oracle filled below
+    # round-8 batch #17 demotions (BOTH hold r7-green driver rows and
+    # are unchanged since; surfaces stay head- or pytest-covered):
+    #   redirect_resolution — the pointer-doubling join chain is carried
+    #     every round by head dedup_clusters_fixpoint (the same
+    #     log-rounds localCheckpoint discipline); hop/loop semantics
+    #     stay pytest-covered
+    #   warc_wat_records — the WAT JSON-envelope product; head
+    #     warc_extract_equivalence + warc_revisit_records carry the ISO
+    #     28500 writer/parser surface every round, and the WAT
+    #     canonical-JSON construction stays pinned by its independent
+    #     index+digest oracle in pytest
+    "redirect_resolution": (webtext.redirect_resolution,
+                            webtext.REDIRECT_RESOLUTION_SQL),
+    "warc_wat_records": (warc_wat_records, None),  # oracle filled below
 }
 
 

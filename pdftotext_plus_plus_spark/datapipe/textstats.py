@@ -1116,3 +1116,75 @@ SELECT a.url, a.n_lines,
        COALESCE(k.kept_md5, md5('')) AS kept_md5
 FROM n_all a LEFT JOIN n_kept k ON k.url = a.url
 """
+
+
+# ---------------------------------------------------------------------------
+# exact length percentiles — the corpus-profiling rollup
+# ---------------------------------------------------------------------------
+
+# Pipeline reports profile the document-length distribution per language
+# (Gopher/FineWeb-style corpus cards).  Exact percentiles at 10^12 rows
+# do NOT need a global sort: lengths live in a small value domain, so
+# the scale-correct plan is a VALUE HISTOGRAM — one hash agg keyed on
+# (lang, n_chars) whose output is value-domain-sized, then a cumulative
+# window over that tiny dim.  Percentile definition: the smallest value
+# whose cumulative count covers p% (lower quantile, integer-exact —
+# ntile/float interpolation would differ across engines).
+
+
+def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language exact p10/p50/p90 (plus min/max/count) of document
+    length via the histogram rollup.
+
+    Plan shape at 100 TB: ONE map-side-combined hash agg on
+    (lang, n_chars) — output rows = distinct lengths per language, a
+    value-domain count independent of corpus size — then the cumulative
+    window and the percentile picks run on that dim (thousands of rows
+    at any scale).  No global sort, no per-document window, ever.
+    """
+    docs = _documents(spark, sf_dir)
+    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    w = (Window.partitionBy("lang").orderBy("n_chars")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    cum = hist.withColumn("cum", F.sum("c").over(w))
+    tot = hist.groupBy("lang").agg(F.sum("c").alias("total"))
+    j = cum.join(F.broadcast(tot), "lang")
+    pick = lambda num, den: F.min(  # noqa: E731 — local percentile pick
+        F.when(F.col("cum") * den >= F.col("total") * num,
+               F.col("n_chars")))
+    return (j.groupBy("lang")
+            .agg(F.max("total").alias("n_docs"),
+                 F.min("n_chars").alias("len_min"),
+                 pick(1, 10).alias("p10"),
+                 pick(1, 2).alias("p50"),
+                 pick(9, 10).alias("p90"),
+                 F.max("n_chars").alias("len_max"))
+            .select("lang",
+                    F.col("n_docs").cast("long").alias("n_docs"),
+                    "len_min", "p10", "p50", "p90", "len_max"))
+
+
+LENGTH_PERCENTILES_SQL = """
+WITH hist AS (
+  SELECT lang, n_chars, count(*) AS c
+  FROM documents GROUP BY lang, n_chars
+),
+cum AS (
+  SELECT lang, n_chars, c,
+         sum(c) OVER (PARTITION BY lang ORDER BY n_chars
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum
+  FROM hist
+),
+tot AS (SELECT lang, CAST(sum(c) AS BIGINT) AS total FROM hist
+        GROUP BY lang)
+SELECT c.lang,
+       CAST(max(t.total) AS BIGINT) AS n_docs,
+       min(c.n_chars) AS len_min,
+       min(CASE WHEN c.cum * 10 >= t.total * 1 THEN c.n_chars END) AS p10,
+       min(CASE WHEN c.cum * 2 >= t.total * 1 THEN c.n_chars END) AS p50,
+       min(CASE WHEN c.cum * 10 >= t.total * 9 THEN c.n_chars END) AS p90,
+       max(c.n_chars) AS len_max
+FROM cum c JOIN tot t ON t.lang = c.lang
+GROUP BY c.lang
+"""

@@ -308,3 +308,51 @@ def test_content_type_sniff_plan_is_pure_projection(spark):
     plan = (crawlops.content_type_sniff(spark, SF_DIR)
             ._jdf.queryExecution().executedPlan().toString())
     assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# batch #17: mirror-host detection
+# ---------------------------------------------------------------------------
+
+def test_mirror_host_pairs_discriminates(spark):
+    """True mirrors (m.-hosts, 100% containment) are flagged, the
+    partial scraper never is, and shared counts match a pure-Python
+    rederivation of the synthesized layers."""
+    rows = crawlops.mirror_host_pairs(spark, SF_DIR).collect()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "source", "text").collect()
+    import hashlib
+    hosts = {}
+    for d in docs:
+        h = hashlib.md5(d["text"].encode()).hexdigest()
+        hosts.setdefault(f"{d['source']}.example.com", set()).add(h)
+        if d["doc_id"] % 3 == 0:
+            hosts.setdefault(f"m.{d['source']}.example.com", set()).add(h)
+        if d["doc_id"] % 7 == 0:
+            hosts.setdefault("scraper.example.com", set()).add(h)
+    expect = {}
+    names = sorted(hosts)
+    for i, a in enumerate(names):
+        for b in names[i + 1:]:
+            shared = len(hosts[a] & hosts[b])
+            if shared:
+                expect[(a, b)] = shared
+    got = {(r["host_a"], r["host_b"]): r for r in rows}
+    assert set(got) == set(expect)
+    saw_mirror = saw_partial = False
+    for (a, b), r in got.items():
+        assert r["shared"] == expect[(a, b)]
+        assert r["n_a"] == len(hosts[a]) and r["n_b"] == len(hosts[b])
+        m = min(len(hosts[a]), len(hosts[b]))
+        assert r["overlap_permille"] == 1000 * r["shared"] // m
+        assert r["is_mirror"] == int(
+            100 * r["shared"] >= crawlops.MIRROR_OVERLAP_PCT * m)
+    for (a, b), r in got.items():
+        if b == "m." + a or a == "m." + b:
+            assert r["is_mirror"] == 1 and r["overlap_permille"] == 1000
+            saw_mirror = True
+        if "scraper.example.com" in (a, b) and not (
+                a.startswith("m.") or b.startswith("m.")):
+            assert r["is_mirror"] == 0
+            saw_partial = True
+    assert saw_mirror and saw_partial

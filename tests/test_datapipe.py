@@ -1096,3 +1096,55 @@ def test_weighted_sample_topk_is_size_biased(spark):
     all_w = [w for _, w in docs.values()]
     win_w = [r["weight"] for r in rows]
     assert sum(win_w) / len(win_w) > sum(all_w) / len(all_w)
+
+
+def test_length_percentiles_exact_lower_quantile(spark):
+    """p10/p50/p90 equal the exact lower quantile (smallest value whose
+    cumulative count covers p%) per language, against a pure-Python
+    rederivation; min/max/count agree."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+    rows = {r["lang"]: r
+            for r in textstats.length_percentiles(spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("lang", "n_chars").collect()
+    by_lang = {}
+    for d in docs:
+        by_lang.setdefault(d["lang"], []).append(d["n_chars"])
+    assert set(rows) == set(by_lang)
+    for lang, vals in by_lang.items():
+        vals.sort()
+        n = len(vals)
+
+        def lower_q(num, den):
+            for i, v in enumerate(vals, start=1):
+                if i * den >= n * num:
+                    return v
+
+        r = rows[lang]
+        assert r["n_docs"] == n
+        assert r["len_min"] == vals[0] and r["len_max"] == vals[-1]
+        assert r["p10"] == lower_q(1, 10)
+        assert r["p50"] == lower_q(1, 2)
+        assert r["p90"] == lower_q(9, 10)
+        assert r["len_min"] <= r["p10"] <= r["p50"] <= r["p90"] \
+            <= r["len_max"]
+
+
+def test_length_percentiles_plan_is_histogram_rollup(spark):
+    """The scale contract: the ONLY per-document work is the
+    (lang, n_chars) hash agg — the window runs over the value-domain
+    dim, so the plan's window input must be the aggregated frame, and
+    there is no per-document sort anywhere."""
+    from pdftotext_plus_plus_spark.datapipe import textstats
+    plan = (textstats.length_percentiles(spark, SF_DIR)
+            ._jdf.queryExecution().executedPlan().toString())
+    # the window must be fed by the (lang, n_chars) histogram aggregate,
+    # not by per-document rows: below the Window node, a HashAggregate
+    # keyed on lang+n_chars appears before the scan
+    wpos = plan.index("Window")
+    below = plan[wpos:plan.index("FileScan")]
+    assert "HashAggregate(keys=[lang#" in below and "n_chars#" in \
+        below[below.index("HashAggregate"):].split("]", 1)[0]
+    # column pruning: the scan reads ONLY lang + n_chars
+    assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan
+    assert "CartesianProduct" not in plan
