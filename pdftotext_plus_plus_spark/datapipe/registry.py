@@ -1341,10 +1341,6 @@ QUERIES: Dict[str, Tuple[Callable[[SparkSession, str], DataFrame],
     # round 8 (VERDICT r7 item #7): BM25 ranked retrieval over the index
     # — brand-new, straight into the head
     "bm25_topk": (webtext.bm25_topk, webtext.BM25_TOPK_SQL),
-    # round 7 batch #7: pointer-doubling redirect resolver (its three
-    # batch siblings hold r7-green rows and are demoted this rotation;
-    # the doubling plan is the registry's only log-rounds join chain, so
-    # it keeps a head slot)
     # round 8 batch #14: the crawl's URL-discovery channel — sharded
     # sitemap synthesis + regexp extraction, oracled against an
     # INDEPENDENT direct construction (no XML in the oracle) —

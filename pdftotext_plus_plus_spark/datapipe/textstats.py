@@ -1143,7 +1143,12 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     at any scale).  No global sort, no per-document window, ever.
     """
     docs = _documents(spark, sf_dir)
-    hist = docs.groupBy("lang", "n_chars").agg(F.count("*").alias("c"))
+    # NULL lengths carry no distribution information AND order
+    # differently across engines (Spark windows sort NULLS FIRST,
+    # DuckDB NULLS LAST — a latent cum-shift); drop them explicitly in
+    # BOTH engines so the histogram domain is total and identical
+    hist = (docs.filter(F.col("n_chars").isNotNull())
+            .groupBy("lang", "n_chars").agg(F.count("*").alias("c")))
     w = (Window.partitionBy("lang").orderBy("n_chars")
          .rowsBetween(Window.unboundedPreceding, 0))
     cum = hist.withColumn("cum", F.sum("c").over(w))
@@ -1167,7 +1172,7 @@ def length_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
 LENGTH_PERCENTILES_SQL = """
 WITH hist AS (
   SELECT lang, n_chars, count(*) AS c
-  FROM documents GROUP BY lang, n_chars
+  FROM documents WHERE n_chars IS NOT NULL GROUP BY lang, n_chars
 ),
 cum AS (
   SELECT lang, n_chars, c,

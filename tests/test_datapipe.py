@@ -1148,3 +1148,33 @@ def test_length_percentiles_plan_is_histogram_rollup(spark):
     # column pruning: the scan reads ONLY lang + n_chars
     assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_length_percentiles_null_lengths_identical_across_engines(
+        spark, tmp_path):
+    """NULL n_chars rows order differently across engines (Spark windows
+    sort NULLS FIRST, DuckDB NULLS LAST) — review finding: both engines
+    must DROP them before the histogram, or every non-null cum shifts.
+    Pinned with an adversarial NULL fixture: counts exclude NULLs, an
+    all-NULL language vanishes, and the engines agree exactly."""
+    import duckdb
+    from pdftotext_plus_plus_spark.datapipe import textstats
+    rows = [(0, "a", "en", "s", None), (1, "b", "en", "s", 10),
+            (2, "c", "en", "s", 20), (3, "d", "en", "s", 30),
+            (4, "e", "en", "s", 40), (5, "f", "fr", "s", None)]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string,"
+              " n_chars long")
+    d = str(tmp_path / "nulls")
+    df.write.parquet(f"{d}/documents.parquet")
+    got = textstats.length_percentiles(spark, d).collect()
+    assert len(got) == 1 and got[0]["lang"] == "en"
+    r = got[0]
+    assert (r["n_docs"], r["len_min"], r["p10"], r["p50"], r["p90"],
+            r["len_max"]) == (4, 10, 10, 20, 40, 40)
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{d}/documents.parquet/*.parquet'")
+    duck = con.execute(textstats.LENGTH_PERCENTILES_SQL).fetchall()
+    assert len(duck) == 1
+    assert tuple(duck[0]) == ("en", 4, 10, 10, 20, 40, 40)
