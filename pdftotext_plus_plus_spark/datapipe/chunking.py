@@ -29,7 +29,8 @@ PROP_ROUNDS = 3
 
 
 def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import spread
+    docs = spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
     toks = F.split(F.trim("text"), r"\s+")
     return (docs
             .select("doc_id", toks.alias("toks"))

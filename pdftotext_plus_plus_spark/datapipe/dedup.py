@@ -30,7 +30,8 @@ COSINE_DUP_THRESHOLD = 0.38
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
@@ -469,7 +470,10 @@ def simhash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross join.  16-bit band keys (65,536 buckets per band) keep each
     (band, key) bucket ~N/65,536 docs, bounding the self-join at scale."""
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
-    sig = simhash(spark, sf_dir)
+    # one narrow (doc_id, simhash) row per doc, materialized once so the
+    # banded self-join does not re-run the tokenize + 64-column hash agg
+    # on both sides (r9; same rationale as image_phash_near_pairs)
+    sig = simhash(spark, sf_dir).localCheckpoint()
     bands = spark.range(SIMHASH_BANDS).select(
         F.col("id").cast("int").alias("band"))
     keyed = (sig.crossJoin(F.broadcast(bands))
@@ -549,7 +553,8 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     B = EMB_TILES
     threshold = COSINE_DUP_THRESHOLD
-    emb = (spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    from . import spread
+    emb = (spread(spark.read.parquet(f"{sf_dir}/embeddings.parquet"))
            .select("vec_id", "embedding")
            .withColumn("blk", (F.col("vec_id") % B).cast("int")))
     # row in block i is the left side of tiles (i, j>=i) ...

