@@ -609,89 +609,115 @@ def ivf2_strides(n: int) -> tuple:
     return s, s * s2
 
 
-def _ivf2_assign_probes(emb: DataFrame, n: int):
+def _ivf2_assign_probes(emb: DataFrame, n: int, with_state: bool = False):
     """Shared two-level quantizer core (steps 1-4 of ann_ivf2_topk's plan):
     returns (assigned, probes, fine, queries) — the per-vector fine-list
     assignment, the query-side probed fine lists, the K-row fine-centroid
     table (cent_id, c_emb, c_norm), and the broadcast-sized query table.
     Used by ann_ivf2_topk (exact rescore within probed lists) AND
-    ann_ivfpq_topk (PQ-coded fine scan within the same probed lists)."""
+    ann_ivfpq_topk (PQ-coded fine scan within the same probed lists).
+
+    r9: assignment and probes are Arrow-batched numpy kernels against the
+    collected (IVF_K_CAP-bounded) fine-centroid matrix — the same
+    vectorization as _ivf_assign_probes_np, with the two-level routing
+    (vector -> best super -> best fine centroid routed to that super)
+    reproduced exactly: round4 half-up sims, argmax ties to the smallest
+    id at both levels, fine->super routing computed once on the driver
+    from the same matrices.  Output is identical to the old
+    crossJoin/hash-agg plan (oracle-checked)."""
+    import numpy as np
+    import pandas as pd
+
     s, big_s = ivf2_strides(n)
-    supers = (emb.filter(F.col("vec_id") % big_s == 0)
-              .select(F.col("vec_id").alias("super_id"),
-                      F.col("embedding").alias("s_emb"),
-                      F.col("norm").alias("s_norm")))
     fine = (emb.filter(F.col("vec_id") % s == 0)
             .select(F.col("vec_id").alias("cent_id"),
                     F.col("embedding").alias("c_emb"),
                     F.col("norm").alias("c_norm")))
-
-    sdot = F.aggregate(
-        F.zip_with("embedding", "s_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    vsim = (emb.crossJoin(F.broadcast(supers))
-            .withColumn("ssim",
-                        F.round(sdot / (F.col("norm") * F.col("s_norm")), 4))
-            .select("vec_id", "super_id", "ssim"))
-    # per-vector super argmax: one hash agg (partial map-side combine),
-    # ties to the smallest super id — same trick as ann_ivf_topk
-    vsup = (vsim.groupBy("vec_id")
-            .agg(F.max(F.struct(
-                F.col("ssim"),
-                (-F.col("super_id")).alias("neg_super"))).alias("m"))
-            .select("vec_id", (-F.col("m.neg_super")).alias("super_id")))
-    # fine -> super routing on the K-row seed subtree only
-    route = (vsim.filter(F.col("vec_id") % s == 0)
-             .groupBy("vec_id")
-             .agg(F.max(F.struct(
-                 F.col("ssim"),
-                 (-F.col("super_id")).alias("neg_super"))).alias("m"))
-             .select(F.col("vec_id").alias("cent_id"),
-                     (-F.col("m.neg_super")).alias("super_id")))
-    fine_routed = fine.join(route, "cent_id")   # K rows, broadcast below
-
-    fdot = F.aggregate(
-        F.zip_with("embedding", "c_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    assigned = (emb.join(vsup, "vec_id")
-                .join(F.broadcast(fine_routed), "super_id")
-                .withColumn("fsim",
-                            F.round(fdot / (F.col("norm") * F.col("c_norm")),
-                                    4))
-                .groupBy("vec_id")
-                .agg(F.max(F.struct(
-                    F.col("fsim"),
-                    (-F.col("cent_id")).alias("neg_cent"))).alias("m"))
-                .select("vec_id", (-F.col("m.neg_cent")).alias("cent_id")))
-
-    # query probes: NPROBE_SUPER super lists, then NPROBE fine lists
-    w_super = Window.partitionBy("vec_id").orderBy(F.desc("ssim"),
-                                                   F.asc("super_id"))
-    qsuper = (vsim.filter(F.col("vec_id") < N_QUERIES)
-              .withColumn("rn", F.row_number().over(w_super))
-              .filter(F.col("rn") <= IVF2_NPROBE_SUPER)
-              .select(F.col("vec_id").alias("query_id"), "super_id"))
     queries = (emb.filter(F.col("vec_id") < N_QUERIES)
                .select(F.col("vec_id").alias("query_id"),
                        F.col("embedding").alias("q_emb"),
                        F.col("norm").alias("q_norm")))
-    qdot = F.aggregate(
-        F.zip_with("q_emb", "c_emb",
-                   lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0), lambda acc, x: acc + x)
-    w_fine = Window.partitionBy("query_id").orderBy(F.desc("qsim"),
-                                                    F.asc("cent_id"))
-    probes = (qsuper.join(F.broadcast(fine_routed), "super_id")
-              .join(F.broadcast(queries), "query_id")
-              .withColumn("qsim",
-                          F.round(qdot / (F.col("q_norm") * F.col("c_norm")),
-                                  4))
-              .withColumn("rn", F.row_number().over(w_fine))
-              .filter(F.col("rn") <= IVF_NPROBE)
-              .select("query_id", "cent_id"))
+
+    fid, fmat, fnorm = _collect_centroid_matrix(emb, s)
+    sup_mask = fid % big_s == 0
+    sid, smat, snorm = fid[sup_mask], fmat[sup_mask], fnorm[sup_mask]
+    # fine -> super routing (K x K1, driver-side): best super per fine
+    # seed, round4 sims, ties to the smallest super_id
+    rsim = _round4_half_up(fmat @ smat.T / (fnorm[:, None] * snorm[None, :]))
+    rsim = np.nan_to_num(rsim, nan=np.inf)
+    super_of_fine = sid[rsim.argmax(axis=1)]
+    spark = emb.sparkSession
+    bc = spark.sparkContext.broadcast(
+        (fid, fmat, fnorm, sid, smat, snorm, super_of_fine))
+
+    def assign_kernel(batches):
+        # vector -> best super -> argmax over the fine lists routed to
+        # that super (the broadcast equi-join in the old plan; a vector
+        # whose super has NO routed fine list is dropped, exactly like
+        # the old inner join) — see _ivf2_assign_matrix
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cent, valid = _ivf2_assign_matrix(v, bc.value)
+            yield pd.DataFrame({
+                "vec_id": pdf["vec_id"].to_numpy(dtype=np.int64)[valid],
+                "cent_id": cent[valid]})
+
+    def probe_kernel(batches):
+        f_id, f_mat, f_norm, s_id, s_mat, s_norm, sof = bc.value
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            vn = np.sqrt((v * v).sum(axis=1))
+            ssim = _round4_half_up(
+                v @ s_mat.T / (vn[:, None] * s_norm[None, :]))
+            ssim = np.nan_to_num(ssim, nan=np.inf)
+            qsim = _round4_half_up(
+                v @ f_mat.T / (vn[:, None] * f_norm[None, :]))
+            qsim = np.nan_to_num(qsim, nan=np.inf)
+            qids, cents = [], []
+            for r, qid in enumerate(pdf["vec_id"]):
+                sup_order = np.lexsort((s_id, -ssim[r]))[:IVF2_NPROBE_SUPER]
+                probed = np.isin(sof, s_id[sup_order])
+                row = qsim[r].copy()
+                row[~probed] = -np.inf
+                order = np.lexsort((f_id, -row))[:IVF_NPROBE]
+                order = order[row[order] > -np.inf]
+                qids.extend([int(qid)] * len(order))
+                cents.extend(f_id[order])
+            yield pd.DataFrame({
+                "query_id": pd.Series(qids, dtype="int64"),
+                "cent_id": pd.Series(cents, dtype="int64")})
+
+    narrow = emb.select("vec_id", "embedding")
+    assigned = narrow.mapInPandas(assign_kernel,
+                                  "vec_id bigint, cent_id bigint")
+    probes = (narrow.filter(F.col("vec_id") < N_QUERIES)
+              .mapInPandas(probe_kernel,
+                           "query_id bigint, cent_id bigint"))
+    if with_state:
+        return assigned, probes, fine, queries, bc
     return assigned, probes, fine, queries
+
+
+def _ivf2_assign_matrix(v, bc_value):
+    """The assign_kernel math for an in-memory [n, D] matrix: returns
+    (cent_ids int64, valid bool mask) with the exact kernel semantics."""
+    import numpy as np
+
+    f_id, f_mat, f_norm, s_id, s_mat, s_norm, sof = bc_value
+    vn = np.sqrt((v * v).sum(axis=1))
+    ssim = _round4_half_up(v @ s_mat.T / (vn[:, None] * s_norm[None, :]))
+    ssim = np.nan_to_num(ssim, nan=np.inf)
+    best_super = s_id[ssim.argmax(axis=1)]
+    fsim = _round4_half_up(v @ f_mat.T / (vn[:, None] * f_norm[None, :]))
+    fsim = np.nan_to_num(fsim, nan=np.inf)
+    fsim[sof[None, :] != best_super[:, None]] = -np.inf
+    j = fsim.argmax(axis=1)
+    valid = fsim[np.arange(len(j)), j] > -np.inf
+    return f_id[j], valid
 
 
 def ann_ivf2_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -911,57 +937,88 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
          true cosine (a shortlist-sized join back to the vectors) and
          ranked; output schema matches the rest of the ANN ladder.
     """
+    import numpy as np
+    import pandas as pd
+
     emb = _with_norm(_embeddings(spark, sf_dir))
     n = emb.count()
     cbs = pq_seed_stride(n)
-    assigned, probes, fine, queries = _ivf2_assign_probes(emb, n)
+    assigned, probes, fine, queries, bc = _ivf2_assign_probes(
+        emb, n, with_state=True)
     cents = fine.select("cent_id", "c_emb")
 
-    # residuals: one broadcast join back to the centroid table
-    resid = (emb.join(assigned, "vec_id")
-             .join(F.broadcast(cents), "cent_id")
-             .select("vec_id", "cent_id",
-                     F.zip_with("embedding", "c_emb",
-                                lambda x, y: x.cast("double")
-                                - y.cast("double")).alias("r")))
-    sublen = F.expr("div(size(r), %d)" % PQ_M)
-    subs = resid.select(
-        "vec_id", "cent_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(m).alias("m"),
-                     F.slice("r", F.lit(m) * sublen + 1, sublen)
-                     .alias("sub"))
-            for m in range(PQ_M)])).alias("e")
-    ).select("vec_id", "cent_id", "e.m", "e.sub")
+    # Codebook, driver-side (r9): the seed set is ~PQ_CODES rows at ANY
+    # corpus size (stride n // PQ_CODES), so collecting it is bounded
+    # like the centroid matrix.  Seed residuals use the SAME assignment
+    # math as the kernels (_ivf2_assign_matrix), and the code numbering
+    # reproduces the old row_number-over-vec_id window: assigned seeds
+    # only, ascending vec_id, first PQ_CODES.
+    seed_rows = sorted(
+        emb.filter(F.col("vec_id") % cbs == 0)
+        .select("vec_id", "embedding").collect(),
+        key=lambda r: r[0])
+    seed_mat = np.array([list(r[1]) for r in seed_rows], dtype=np.float64)
+    f_id = bc.value[0]
+    f_mat = bc.value[1]
+    seed_cent, seed_valid = _ivf2_assign_matrix(seed_mat, bc.value)
+    fpos = {int(c): k for k, c in enumerate(f_id)}
+    seed_resid = [seed_mat[k] - f_mat[fpos[int(seed_cent[k])]]
+                  for k in range(len(seed_rows)) if seed_valid[k]]
+    seed_resid = seed_resid[:PQ_CODES]
+    dim = seed_mat.shape[1]
+    sublen = dim // PQ_M
+    # [PQ_CODES, PQ_M, sublen] codeword tensor (trailing dims dropped,
+    # same as the old fixed-length slices)
+    cb = np.array([r[:PQ_M * sublen] for r in seed_resid],
+                  dtype=np.float64).reshape(-1, PQ_M, sublen)
+    bc_cb = spark.sparkContext.broadcast(cb)
 
-    # codebook: the PQ_CODES smallest seed ids' residual subvectors
-    # (seed set is ~PQ_CODES rows -> the global row_number window is a
-    # constant-size single partition, then broadcast)
-    w_seed = Window.orderBy("vec_id")
-    seeds = (resid.filter(F.col("vec_id") % cbs == 0)
-             .select("vec_id", "r")
-             .withColumn("code", F.row_number().over(w_seed) - 1)
-             .filter(F.col("code") < PQ_CODES))
-    cb_sublen = F.expr("div(size(r), %d)" % PQ_M)
-    codebook = seeds.select(
-        "code",
-        F.explode(F.array(*[
-            F.struct(F.lit(m).alias("m"),
-                     F.slice("r", F.lit(m) * cb_sublen + 1, cb_sublen)
-                     .alias("cw"))
-            for m in range(PQ_M)])).alias("e")
-    ).select("code", "e.m", "e.cw")
+    # per-(vector, subspace) encoding argmin in the SAME Arrow kernel
+    # family as the assignment: residual against the assigned centroid,
+    # round4 squared distances, np.argmin = ties to the smaller code —
+    # replaces the subs explode + broadcast codebook join + hash agg
+    def codes_kernel(batches):
+        codebook = bc_cb.value      # [C, M, L]
+        f_id_k = bc.value[0]
+        f_mat_k = bc.value[1]
+        pos = {int(c): k for k, c in enumerate(f_id_k)}
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            v = np.array(list(pdf["embedding"]), dtype=np.float64)
+            cent, valid = _ivf2_assign_matrix(v, bc.value)
+            v = v[valid]
+            cent = cent[valid]
+            ids = pdf["vec_id"].to_numpy(dtype=np.int64)[valid]
+            if not len(ids):
+                continue
+            ci = np.array([pos[int(c)] for c in cent], dtype=np.int64)
+            r = (v - f_mat_k[ci])[:, :PQ_M * sublen] \
+                .reshape(-1, PQ_M, sublen)
+            # [b, M, C] squared distances, rounded like the old sqdist
+            d = _round4_half_up(
+                ((r[:, :, None, :] - codebook.transpose(1, 0, 2)[None]) ** 2
+                 ).sum(axis=3))
+            code = d.argmin(axis=2)      # first min = smallest code
+            b = len(ids)
+            yield pd.DataFrame({
+                "vec_id": np.repeat(ids, PQ_M),
+                "m": np.tile(np.arange(PQ_M, dtype=np.int32), b),
+                "code": code.reshape(-1).astype(np.int32)})
+
+    codes = emb.select("vec_id", "embedding").mapInPandas(
+        codes_kernel, "vec_id bigint, m int, code int")
+
+    # codebook as a (PQ_M * PQ_CODES)-row DataFrame for the (tiny) ADC
+    # subtree below — the JVM path there is unchanged
+    codebook = spark.createDataFrame(
+        [(c, m, [float(x) for x in cb[c, m]])
+         for c in range(cb.shape[0]) for m in range(PQ_M)],
+        "code int, m int, cw array<double>")
 
     sqdist = F.round(F.aggregate(
         F.zip_with("sub", "cw", lambda x, y: (x - y) * (x - y)),
         F.lit(0.0), lambda acc, x: acc + x), 4)
-    # per-(vector, subspace) encoding argmin: min over a (dist, code)
-    # struct = smallest distance, ties to the smaller code — ONE hash agg
-    codes = (subs.join(F.broadcast(codebook), "m")
-             .withColumn("d", sqdist)
-             .groupBy("vec_id", "m")
-             .agg(F.min(F.struct(F.col("d"), F.col("code"))).alias("mn"))
-             .select("vec_id", "m", F.col("mn.code").alias("code")))
 
     # ADC lookup table: query residual vs every codeword, per probed list
     # (probes and queries come from the two-level core)
