@@ -30,12 +30,13 @@ COSINE_DUP_THRESHOLD = 0.38
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from . import spread
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _shingles(docs: DataFrame) -> DataFrame:
     """Distinct character 3-gram shingles per doc (JVM-side, no UDF)."""
+    from . import spread
+    docs = spread(docs)   # heavy explode map side: parallelize the scan
     return (docs
             .select("doc_id",
                     F.explode(F.expr(
@@ -48,6 +49,8 @@ def _token_shingles(docs: DataFrame) -> DataFrame:
     """Distinct 3-token shingles per doc (the MinHash unit — token shingles
     are far more discriminative than char n-grams and much cheaper: the
     explode factor is n_tokens, not n_chars)."""
+    from . import spread
+    docs = spread(docs)   # heavy explode map side: parallelize the scan
     return (docs
             .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
             .select("doc_id",
@@ -194,6 +197,8 @@ def _word_grams(docs: DataFrame) -> DataFrame:
     already use — INCLUDING their short-document rule: a document under
     5 tokens has NO 5-gram signal and emits no grams (it cannot pair),
     rather than pairing on a sub-unit fragment."""
+    from . import spread
+    docs = spread(docs)   # heavy explode map side: parallelize the scan
     ts = F.split(F.trim(F.col("text")), r"\s+")
     grams = F.expr(
         f"CASE WHEN size(ts) >= {CONTAINMENT_GRAM} THEN "
@@ -642,7 +647,8 @@ def benchmark_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct'd); dedup happens AFTER the broadcast filter via a two-phase
     countDistinct over the few surviving rows.  No quadratic stage, no
     full-corpus-wide shuffle beyond the per-doc partial agg."""
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     raw = (docs
            .select("doc_id", F.split(F.trim("text"), r"\s+").alias("toks"))
            .select("doc_id", F.explode(F.expr(
@@ -715,7 +721,8 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     the frequency table to gf > 1 and left-join — the tail never shuffles
     twice).  No windows, no self-join, nothing quadratic.
     """
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     toked = docs.select(
         "doc_id",
         F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")

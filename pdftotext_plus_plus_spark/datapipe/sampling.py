@@ -20,8 +20,7 @@ from pyspark.sql import functions as F
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from . import spread
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -109,7 +108,8 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-token bits back on the stream, one per-doc partial agg.  The
     unigram_surprisal plan with a two-column dim.
     """
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     toks = (docs.select("doc_id", "lang",
                         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"))
             .filter(F.length("tok") > 0))

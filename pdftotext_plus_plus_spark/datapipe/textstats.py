@@ -18,8 +18,7 @@ FP_STRIDE = 8
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from . import spread
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 def _tokens(docs: DataFrame) -> DataFrame:
@@ -161,7 +160,8 @@ FROM toks GROUP BY doc_id
 def fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing-style fingerprint: lexicographic min of md5 over 16-char
     windows at stride 8 (one representative hash per document)."""
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     return (docs
             .select("doc_id",
                     F.explode(F.expr(
@@ -401,7 +401,8 @@ def tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
     row per token), so Zipf-skewed tokens fan out but never blow up; the
     corpus doc count joins as a broadcast single-row frame (no driver
     action)."""
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     toks = _tokens(docs)
     tf = toks.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tf.groupBy("tok").agg(F.count("*").alias("df"))
@@ -768,7 +769,8 @@ def unigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast for the corpus total, an N:1 token-dim join back to the
     token stream, one (doc_id) partial agg — the tfidf plan minus the
     ranking window."""
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     toks = _tokens(docs)
     tf = toks.groupBy("tok").agg(F.count("*").alias("tf"))
     total = tf.agg(F.sum("tf").alias("total"))
@@ -839,7 +841,8 @@ def bigram_surprisal(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct-bigram table), then two N:1 dim joins back onto the bigram
     stream — the unigram_surprisal plan with one extra bounded join.
     """
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     toked = docs.select(
         "doc_id",
         F.expr(r"filter(split(trim(text), '\\s+'), x -> length(x) > 0)")

@@ -34,8 +34,7 @@ from pyspark.sql import functions as F
 
 
 def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from . import spread
-    return spread(spark.read.parquet(f"{sf_dir}/documents.parquet"))
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
 
 
 # ---------------------------------------------------------------------------
@@ -758,7 +757,8 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bounded collect_list runs over ≤POSTINGS_HEAD rows.  The final
     token-dim equi-join is vocab-sized on both sides.
     """
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     toks = (docs.select("doc_id",
                         F.explode(F.split(F.trim("text"), r"\s+"))
                         .alias("tok"))
@@ -858,7 +858,8 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exchanges now carry ~candidate-matching rows instead of every bigram
     in the corpus.  Corpus stats (n_docs, avgdl) come from array lengths
     alone — no bigram materialization on that pass."""
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     # terms = word bigrams of the whitespace token stream
     toked = docs.select(
         "doc_id",
@@ -1312,7 +1313,8 @@ def ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     form the oracle can hash-match (the perplexity_buckets note).
     """
     from . import textstats as _textstats
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     sur = _textstats.unigram_surprisal(spark, sf_dir) \
         .select("doc_id", "mean_centibits")
     keyed = docs.select("doc_id", "lang", F.md5("text").alias("h"))
@@ -1430,7 +1432,8 @@ def host_template_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     first-occurrence min — no window, no self-join; the host dimension
     (n_docs) is tiny and broadcasts.
     """
-    docs = _documents(spark, sf_dir)
+    from . import spread
+    docs = spread(_documents(spark, sf_dir))
     pages = docs.select(
         "doc_id",
         F.concat(F.col("source"), F.lit(".example.com")).alias("host"),
