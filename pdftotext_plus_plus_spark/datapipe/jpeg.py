@@ -190,6 +190,82 @@ def _category(v: int) -> int:
     return int(v).bit_length() if v > 0 else int(-v).bit_length()
 
 
+_FAST_TABLE_NP_CACHE: Dict[Tuple[bytes, bytes], tuple] = {}
+
+
+def _decode_table_np(bits, vals) -> tuple:
+    """(value[65536] uint8, length[65536] uint8) numpy form of the
+    16-bit-prefix Huffman lookup; length 0 marks an invalid prefix."""
+    key = (bytes(bits), bytes(vals))
+    cached = _FAST_TABLE_NP_CACHE.get(key)
+    if cached is not None:
+        return cached
+    table = _decode_table(bits, vals)
+    val = np.zeros(65536, dtype=np.uint8)
+    ln = np.zeros(65536, dtype=np.uint8)
+    for peek, entry in enumerate(table):
+        if entry is not None:
+            val[peek] = entry[0]
+            ln[peek] = entry[1]
+    _FAST_TABLE_NP_CACHE[key] = (val, ln)
+    return val, ln
+
+
+def _try_decode_dc_only(segment: bytes, n_blocks: int, dct, act):
+    """Vectorized decode of a restartless scan whose every block is
+    (DC symbol, EOB) — the corpus's block-constant family.  Returns the
+    per-block DC values (int64) or None when the stream has any AC
+    coefficient, an invalid prefix, or runs past its end — the caller
+    then falls back to the exact sequential loop, so behaviour on
+    general streams is unchanged.
+
+    Method: for EVERY bit position p, compute the length of one
+    (DC, EOB) block starting at p from the 16-bit-prefix tables (pure
+    numpy gathers), giving a jump table J; the block-start positions
+    0, J[0], J[J[0]], ... are then filled in log2(n_blocks) rounds of
+    pointer doubling (J <- J[J]), never a per-symbol Python loop."""
+    dval, dlen = dct
+    aval, alen = act
+    data = np.frombuffer(segment + b"\x00" * 8, dtype=np.uint8) \
+        .astype(np.int64)
+    nbits = 8 * len(segment)
+    if nbits == 0 or n_blocks == 0:
+        return None
+    # 32-bit big-endian window starting at every byte
+    u32 = ((data[:-3] << 24) | (data[1:-2] << 16)
+           | (data[2:-1] << 8) | data[3:])
+    p = np.arange(nbits, dtype=np.int64)
+    w16 = (u32[p >> 3] >> (16 - (p & 7))) & 0xFFFF
+    cat = dval[w16].astype(np.int64)
+    dcl = dlen[w16].astype(np.int64)
+    p2 = np.minimum(p + dcl + cat, nbits - 1)   # EOB symbol position
+    w16b = (u32[p2 >> 3] >> (16 - (p2 & 7))) & 0xFFFF
+    eobl = alen[w16b].astype(np.int64)
+    ok = (dcl > 0) & (eobl > 0) & (aval[w16b] == 0) \
+        & (p + dcl + cat < nbits)
+    jump = np.minimum(p2 + eobl, nbits - 1)
+    starts = np.empty(n_blocks, dtype=np.int64)
+    starts[0] = 0
+    cnt = 1
+    hop = jump
+    while cnt < n_blocks:
+        take = min(cnt, n_blocks - cnt)
+        starts[cnt:cnt + take] = hop[starts[:take]]
+        cnt += take
+        if cnt < n_blocks:
+            hop = hop[hop]
+    if not ok[starts].all():
+        return None
+    scat = cat[starts]
+    bp = starts + dcl[starts]
+    bits = (u32[bp >> 3] >> (32 - (bp & 7) - scat)) & ((1 << scat) - 1)
+    half = np.where(scat > 0, 1 << np.maximum(scat - 1, 0), 0)
+    diffs = np.where(scat == 0, 0,
+                     np.where(bits >= half, bits,
+                              bits - (1 << scat) + 1))
+    return np.cumsum(diffs)
+
+
 # --------------------------------------------------------------------------
 # encoder
 # --------------------------------------------------------------------------
@@ -486,7 +562,8 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
                     raise ValueError("jpeg: truncated DHT")
                 vals = list(body[b + 17:b + 17 + nvals])
                 (dc_tables if tc == 0 else ac_tables)[th] = \
-                    _decode_table(bits, vals)
+                    (_decode_table(bits, vals),
+                     _decode_table_np(bits, vals))
                 b += 17 + nvals
         elif marker == 0xC0:                  # SOF0 baseline
             precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
@@ -539,10 +616,29 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
         p += 1
     segments.append(bytes(raw))
 
-    dct = dc_tables[dc_id]
-    act = ac_tables[ac_id]
+    dct, dct_np = dc_tables[dc_id]
+    act, act_np = ac_tables[ac_id]
     qtab = quant[qt_id]
     bh, bw_ = (h + 7) // 8, (w + 7) // 8
+    # Vectorized fast path first (r9): a restartless scan whose blocks
+    # are all (DC, EOB) — the corpus's block-constant family — decodes
+    # via the pointer-doubling jump table in _try_decode_dc_only; any
+    # other stream falls through to the sequential loop unchanged.
+    if restart_interval == 0 and len(segments) == 1:
+        dc_fast = _try_decode_dc_only(segments[0], bh * bw_,
+                                      dct_np, act_np)
+        if dc_fast is not None:
+            zz_all = np.zeros((bh * bw_, 64), dtype=np.int64)
+            zz_all[:, 0] = dc_fast
+            deq = (zz_all[:, UNZIGZAG] * qtab).reshape(-1, 8, 8) \
+                .astype(np.float64)
+            pix = np.einsum("nu,buv,mv->bnm", _C.T, deq, _C.T,
+                            optimize=True)
+            blocks = np.clip(np.round(pix) + 128.0, 0, 255) \
+                .astype(np.uint8)
+            out = blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3) \
+                .reshape(bh * 8, bw_ * 8)
+            return out[:h, :w]
     # Hot loop (r9): windowed bit reads inlined on local variables (no
     # _BitReader method dispatch), DC values collected in a flat Python
     # list and AC coefficients as sparse (flat_index, value) pairs —
