@@ -301,7 +301,10 @@ def dedup_representatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     clusters = dedup_clusters_fixpoint(spark, sf_dir)
     qual = _textstats.quality_classifier(spark, sf_dir) \
         .select("doc_id", "logit")
-    j = clusters.join(qual, "doc_id")
+    # j feeds three consumers (best, rep, the final select) — one narrow
+    # (doc_id, cluster_id, logit) row per doc, materialized once so the
+    # classifier's token agg does not run three times (r9)
+    j = clusters.join(qual, "doc_id").localCheckpoint()
     best = (j.groupBy("cluster_id")
             .agg(F.count("*").alias("cluster_size"),
                  F.max("logit").alias("best_logit")))

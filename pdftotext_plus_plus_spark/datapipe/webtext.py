@@ -1313,8 +1313,11 @@ def ccnet_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     form the oracle can hash-match (the perplexity_buckets note).
     """
     from . import textstats as _textstats
-    from . import spread
-    docs = spread(_documents(spark, sf_dir))
+    # NOTE: no spread() here — the composed unigram_surprisal already
+    # spreads the token-heavy branch; this function's own branch is one
+    # md5 hash-agg (the exact_dedup shape), for which the extra exchange
+    # measured as a pure regression (r9)
+    docs = _documents(spark, sf_dir)
     sur = _textstats.unigram_surprisal(spark, sf_dir) \
         .select("doc_id", "mean_centibits")
     keyed = docs.select("doc_id", "lang", F.md5("text").alias("h"))

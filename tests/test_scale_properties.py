@@ -198,11 +198,11 @@ def test_ivf_plan_broadcasts_centroids_no_cartesian(spark):
 
 
 def test_ivf2_plan_broadcasts_both_levels_no_cartesian(spark):
-    """Two-level IVF: the super table and the routed fine-centroid table
-    are both broadcast (bounded at K1 resp. K <= IVF_K_CAP rows); the
-    per-vector assignment argmaxes are aggregates with map-side partials
-    (struct-max compiles to SortAggregate — still partial-then-final, no
-    window over the N x K1 frame); never a shuffled cartesian."""
+    """Two-level IVF (r9 form): the assignment and probe stages run as
+    Arrow-batched numpy kernels against the collected (IVF_K_CAP-bounded)
+    centroid matrices — the plan carries MapInPandas nodes instead of the
+    old N x K1 aggregate fan-out — and the candidate stage joins the
+    tiny probes frame by broadcast; never a shuffled cartesian."""
     from pdftotext_plus_plus_spark.datapipe import similarity
 
     df = similarity.ann_ivf2_topk(spark, "/root/testdata/sf0.001")
@@ -210,8 +210,55 @@ def test_ivf2_plan_broadcasts_both_levels_no_cartesian(spark):
     assert "CartesianProduct" not in plan
     assert ("BroadcastNestedLoopJoin" in plan
             or "BroadcastHashJoin" in plan)
-    # argmax stages fold through partial aggregation (partial+final pairs)
-    assert (plan.count("SortAggregate") + plan.count("HashAggregate")) >= 4
+    # assignment + probe kernels (vectorized argmax, no N x K1 fan-out)
+    assert plan.count("MapInPandas") >= 2
+
+
+def test_ivf2_assignment_matches_bruteforce_argmax(spark):
+    """The vectorized two-level assignment must agree with a brute-force
+    reconstruction of the old plan's semantics: round4 half-up sims,
+    best super by (sim desc, id asc), then best routed fine centroid by
+    (sim desc, id asc) — computed independently with plain Python."""
+    import numpy as np
+
+    from pdftotext_plus_plus_spark.datapipe import similarity
+
+    sf = "/root/testdata/sf0.001"
+    emb = similarity._with_norm(similarity._embeddings(spark, sf))
+    n = emb.count()
+    assigned, _p, _f, _q = similarity._ivf2_assign_probes(emb, n)
+    got = {r["vec_id"]: r["cent_id"] for r in assigned.collect()}
+
+    rows = sorted(emb.select("vec_id", "embedding").collect(),
+                  key=lambda r: r[0])
+    ids = np.array([r[0] for r in rows], dtype=np.int64)
+    mat = np.array([list(r[1]) for r in rows], dtype=np.float64)
+    s, big_s = similarity.ivf2_strides(n)
+    fmask = ids % s == 0
+    fid, fmat = ids[fmask], mat[fmask]
+    smask = ids % big_s == 0
+    sid, smat = ids[smask], mat[smask]
+
+    def r4(x):
+        return (np.floor(x * 1e4 + 0.5) if x >= 0
+                else -np.floor(-x * 1e4 + 0.5)) / 1e4
+
+    def best(v, cids, cmat):
+        vn = np.sqrt((v * v).sum())
+        sims = [r4(float(v @ c) / (vn * np.sqrt((c * c).sum())))
+                for c in cmat]
+        order = sorted(range(len(cids)), key=lambda k: (-sims[k], cids[k]))
+        return cids[order[0]]
+
+    route = {int(fid[k]): best(fmat[k], sid, smat) for k in range(len(fid))}
+    for k in range(len(ids)):
+        sup = best(mat[k], sid, smat)
+        fine_in = [j for j in range(len(fid)) if route[int(fid[j])] == sup]
+        if not fine_in:
+            assert int(ids[k]) not in got
+            continue
+        want = best(mat[k], fid[fine_in], fmat[fine_in])
+        assert got[int(ids[k])] == int(want), ids[k]
 
 
 def test_vocab_topk_is_take_ordered(spark):
