@@ -380,13 +380,26 @@ def encode_gray_jpeg(img: np.ndarray, restart_interval: int = 0) -> bytes:
     if h % 8 or w % 8:
         raise ValueError("jpeg: dims must be multiples of 8 (this encoder)")
 
-    # forward DCT + quantization, all blocks vectorized
-    s = img.astype(np.float64) - 128.0
-    blocks = (s.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3))
-    coef = np.einsum("un,bcnm,vm->bcuv", _C, blocks, _C, optimize=True)
-    q = np.round(coef.reshape(-1, 8, 8)
-                 / QUANT.reshape(8, 8).astype(np.float64)).astype(np.int64)
-    zz = q.reshape(-1, 64)[:, ZIGZAG]
+    # Block-constant shortcut (r9): when every 8x8 block is a constant
+    # (checked EXACTLY on the uint8 pixels, not a float property), the
+    # DCT is DC-only with S00 = 8*(v - 128) and round(S00/8) = v - 128
+    # exactly — the same zz the float path computes (its AC magnitudes
+    # are ~1e-13, far below the 0.5 rounding radius; its DC error is
+    # ~1e-12 on an integer target), so the emitted bytes are identical
+    # and the corpus encode skips the full-einsum DCT.
+    rep = np.repeat(np.repeat(img[::8, ::8], 8, axis=0), 8, axis=1)
+    if np.array_equal(rep, img):
+        zz = np.zeros(((h // 8) * (w // 8), 64), dtype=np.int64)
+        zz[:, 0] = img[::8, ::8].astype(np.int64).reshape(-1) - 128
+    else:
+        # forward DCT + quantization, all blocks vectorized
+        s = img.astype(np.float64) - 128.0
+        blocks = (s.reshape(h // 8, 8, w // 8, 8).transpose(0, 2, 1, 3))
+        coef = np.einsum("un,bcnm,vm->bcuv", _C, blocks, _C, optimize=True)
+        q = np.round(coef.reshape(-1, 8, 8)
+                     / QUANT.reshape(8, 8).astype(np.float64)) \
+            .astype(np.int64)
+        zz = q.reshape(-1, 64)[:, ZIGZAG]
 
     if restart_interval:
         parts = [_encode_blocks(zz[i:i + restart_interval])
@@ -628,16 +641,16 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
         dc_fast = _try_decode_dc_only(segments[0], bh * bw_,
                                       dct_np, act_np)
         if dc_fast is not None:
-            zz_all = np.zeros((bh * bw_, 64), dtype=np.int64)
-            zz_all[:, 0] = dc_fast
-            deq = (zz_all[:, UNZIGZAG] * qtab).reshape(-1, 8, 8) \
-                .astype(np.float64)
-            pix = np.einsum("nu,buv,mv->bnm", _C.T, deq, _C.T,
-                            optimize=True)
-            blocks = np.clip(np.round(pix) + 128.0, 0, 255) \
-                .astype(np.uint8)
-            out = blocks.reshape(bh, bw_, 8, 8).transpose(0, 2, 1, 3) \
-                .reshape(bh * 8, bw_ * 8)
+            # DC-only IDCT in closed form: pix(n, m) = deq00 * C[0,n] *
+            # C[0,m] = dc * q00/8 * (1 +- 1e-16), which rounds to the
+            # same integer as the full einsum for any |dc*q00| < ~1e12
+            # (the einsum's zero terms add exactly 0) — so the constant
+            # per-block value is round(dc * q00 / 8) + 128, clipped.
+            dcv = np.round(dc_fast.astype(np.float64) * float(qtab[0])
+                           * (0.125 * 8.0 * _C[0, 0] * _C[0, 0])) + 128.0
+            vals = np.clip(dcv, 0, 255).astype(np.uint8)
+            out = np.repeat(np.repeat(vals.reshape(bh, bw_), 8, axis=0),
+                            8, axis=1)
             return out[:h, :w]
     # Hot loop (r9): windowed bit reads inlined on local variables (no
     # _BitReader method dispatch), DC values collected in a flat Python
@@ -723,7 +736,12 @@ def decode_gray_jpeg(blob: bytes) -> np.ndarray:
 def synth_block_gray(doc_id: int, width: int, height: int) -> np.ndarray:
     """The JPEG corpus pixel formula: constant within each 8x8 block,
     value (doc_id*7 + 3*bx + 5*by) % 256 — the family for which the
-    lossy pipeline is exactly lossless (module docstring)."""
-    by = np.arange(height, dtype=np.int64)[:, None] // 8
-    bx = np.arange(width, dtype=np.int64)[None, :] // 8
-    return ((doc_id * 7 + 3 * bx + 5 * by) % 256).astype(np.uint8)
+    lossy pipeline is exactly lossless (module docstring).  Computed as
+    a uint8 outer sum (uint8 addition IS mod-256) over the row/column
+    vectors instead of a per-pixel int64 mod (r9)."""
+    col = ((doc_id * 7
+            + 5 * (np.arange(height, dtype=np.int64) // 8)) % 256) \
+        .astype(np.uint8)[:, None]
+    row = ((3 * (np.arange(width, dtype=np.int64) // 8)) % 256) \
+        .astype(np.uint8)[None, :]
+    return col + row

@@ -50,10 +50,15 @@ def _chunk(ctype: bytes, data: bytes) -> bytes:
 
 
 def synth_gray(doc_id: int, width: int, height: int) -> np.ndarray:
-    """The corpus pixel formula, vectorized: (doc_id*7 + 3x + 5y) % 256."""
-    ys = np.arange(height, dtype=np.int64)[:, None]
-    xs = np.arange(width, dtype=np.int64)[None, :]
-    return ((doc_id * 7 + 5 * ys + 3 * xs) % 256).astype(np.uint8)
+    """The corpus pixel formula, vectorized: (doc_id*7 + 3x + 5y) % 256.
+
+    Computed as a uint8 outer sum (uint8 addition IS mod-256): one
+    int64 mod per row/column vector instead of per pixel (r9)."""
+    col = ((doc_id * 7 + 5 * np.arange(height, dtype=np.int64)) % 256) \
+        .astype(np.uint8)[:, None]
+    row = ((3 * np.arange(width, dtype=np.int64)) % 256) \
+        .astype(np.uint8)[None, :]
+    return col + row
 
 
 def png_encode(gray: np.ndarray, compress_level: int = 1,
