@@ -70,6 +70,12 @@ EDGE_QUERIES = [
     "dedup_representatives", "weighted_sample_topk",
     "multimodal_meta", "image_resize_meta", "audio_meta",
     "video_frame_sample", "image_phash", "audio_energy_fingerprint",
+    # r9 (ADVICE r8, low): the seven documents-only batch 14-17 ops that
+    # were missing from this list — pure regression guard so future
+    # Spark/DuckDB string-edge divergences in these kernels fail here
+    "host_template_ratio", "sitemap_extract", "content_type_sniff",
+    "mirror_host_pairs", "length_percentiles", "change_rate_estimate",
+    "postings_gap_stats",
 ]
 
 
