@@ -40,6 +40,7 @@ single ``np.frombuffer`` per page (vectorized decode; no per-field parsing).
 from __future__ import annotations
 
 import struct
+from itertools import repeat
 from typing import List, Optional, Tuple
 
 import numpy as np
@@ -411,18 +412,42 @@ def decode_payload(payload: Optional[bytes]) -> Tuple[Optional[Doc], int]:
                                                  row[3], row[4]))
                         keep &= ~fig
                     kept = np.flatnonzero(keep)
-                    # rows: [left, up, right, low, rotation, w_mode,
-                    #        font_size, base] per kept char, decode order
+                    # rows: (left, up, right, low, rotation, w_mode,
+                    #        font_size, base) per kept char, decode order.
+                    # Built by zipping per-COLUMN tolist()s so the
+                    # font-size/base columns convert once (they are also
+                    # the CharCols fsizes/bases columns) and the
+                    # all-zero rotation/w_mode columns of an upright
+                    # page convert never — ndarray.tolist element
+                    # conversion was ~56% of decode on simple pages, and
+                    # every consumer reads rows by index only
                     sub = num[kept]
-                    rows = sub[:, (0, 1, 2, 3, 6, 7, 5, 4)].tolist()
+                    fs_col = sub[:, 5].tolist()
+                    base_col = sub[:, 4].tolist()
+                    all_upright = not (bool(sub[:, 6].any())
+                                       or bool(sub[:, 7].any()))
+                    if all_upright:
+                        zcol = repeat(0.0)
+                        rows = list(zip(sub[:, 0].tolist(),
+                                        sub[:, 1].tolist(),
+                                        sub[:, 2].tolist(),
+                                        sub[:, 3].tolist(),
+                                        zcol, zcol, fs_col, base_col))
+                    else:
+                        rows = list(zip(sub[:, 0].tolist(),
+                                        sub[:, 1].tolist(),
+                                        sub[:, 2].tolist(),
+                                        sub[:, 3].tolist(),
+                                        sub[:, 6].tolist(),
+                                        sub[:, 7].tolist(),
+                                        fs_col, base_col))
                     ktexts = list(bytes(tb[kept]).decode("ascii"))
                     fname_col = np.array(font_names, dtype=object)[
                         sub[:, 8].astype(np.intp)].tolist()
                     page.char_cols = CharCols(
                         rows, ktexts, fname_col,
-                        sub[:, 5].tolist(), sub[:, 4].tolist(), page_num,
-                        all_upright=not (bool(sub[:, 6].any())
-                                         or bool(sub[:, 7].any())))
+                        fs_col, base_col, page_num,
+                        all_upright=all_upright)
                     page.characters = None  # lazy (CharCols.materialize)
                     n_chars = 0  # general loop below skipped
                 if n_chars:

@@ -168,3 +168,42 @@ def test_v2_wire_format_unchanged_without_glyph_tables():
     every pre-v3 corpus and golden stays byte-identical."""
     payload = _payload([_char("a", 0.0)])
     assert payload[4:6] == (2).to_bytes(2, "little")
+
+
+def test_columnar_rows_semantics_upright_and_rotated():
+    """The columnar fast path builds CharCols.rows by zipping per-column
+    conversions (the rotation/w_mode columns of an all-upright page are
+    shared constants, and fsizes/bases alias the row columns).  Pin the
+    row tuple layout (l, u, r, low, rot, wmode, fs, base) and its parity
+    with the lazily materialized Char objects on BOTH branches."""
+    # all-upright page: every rotation/w_mode is 0
+    up = [_char("a", 0.0, unicodes=[]), _char("b", 5.0, unicodes=[])]
+    doc, code = decode_payload(_payload(up))
+    assert code == codec.OK
+    cols = doc.pages[0].char_cols
+    assert cols is not None and cols.all_upright
+    assert cols.rows[0] == (0.0, 93.0, 5.0, 100.0, 0.0, 0.0, 10.0, 100.0)
+    assert cols.rows[1][0] == 5.0 and cols.rows[1][2] == 10.0
+    # fsizes/bases columns are exactly the row fields
+    assert [r[6] for r in cols.rows] == cols.fsizes
+    assert [r[7] for r in cols.rows] == cols.bases
+    # parity with the materialized object representation
+    for row, ch in zip(cols.rows, doc.pages[0].characters):
+        assert (row[0], row[1], row[2], row[3]) == \
+            (ch.left_x, ch.upper_y, ch.right_x, ch.lower_y)
+        assert (int(row[4]), int(row[5])) == (ch.rotation, ch.w_mode)
+        assert (row[6], row[7]) == (ch.font_size, ch.base)
+
+    # rotated char present: the non-upright branch carries the real
+    # rotation/w_mode column values
+    rot = [_char("a", 0.0, unicodes=[]), _char("b", 5.0, unicodes=[])]
+    rot[1]["rotation"] = 2
+    rot[1]["w_mode"] = 1
+    doc, code = decode_payload(_payload(rot))
+    assert code == codec.OK
+    cols = doc.pages[0].char_cols
+    assert cols is not None and not cols.all_upright
+    assert (cols.rows[0][4], cols.rows[0][5]) == (0.0, 0.0)
+    assert (cols.rows[1][4], cols.rows[1][5]) == (2.0, 1.0)
+    chars = doc.pages[0].characters
+    assert (chars[1].rotation, chars[1].w_mode) == (2, 1)
